@@ -1,0 +1,443 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{GlobFns, TimeFns}
+import graft.operators.{Catalog, Extrema, Raster, Resample}
+import graft.sources.EventsArchiveAdapter
+
+/** SURVEY §2 core operators expressed over the driver's `events` table
+  * (the HDB++-points stand-in, see FIXTURES.md §1), each with a DuckDB
+  * oracle. Numeric determinism rules (hash compare vs the oracle):
+  *
+  *  - money/value sums go through exact integer cents
+  *    (`sum(cast(round(v*100) as bigint))`) — bit-exact in any engine;
+  *  - means divide an exact integer sum by the count, then `round(.,6)`;
+  *  - timestamp means average the *offset from 2024-01-01* so partial
+  *    sums stay inside double's 53-bit exact-integer range;
+  *  - every query has a total ORDER BY with a unique tie-break.
+  */
+object EventQueries {
+
+  // epoch-µs constants (UTC)
+  val Epoch2024: Long = 1704067200000000L // 2024-01-01
+  val T0: Long = 1704412800000000L // 2024-01-05
+  val T1: Long = 1705708800000000L // 2024-01-20
+  val TEnd: Long = 1706659200000000L // 2024-01-31
+  val Jan10: Long = 1704844800000000L // 2024-01-10
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    new EventsArchiveAdapter(s, dir).pointsAll
+
+  /** Oracle-side equivalent of [[EventsArchiveAdapter.pointsAll]]. */
+  val PtsSql: String =
+    """WITH pts AS (
+      |  SELECT event_id AS point_id, user_id, event_type,
+      |         user_id * 8 + (CASE event_type WHEN 'click' THEN 0
+      |            WHEN 'error' THEN 1 WHEN 'purchase' THEN 2
+      |            WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END) AS att_conf_id,
+      |         'u' || user_id || '/' || event_type AS att_name,
+      |         epoch_us(ts) AS t, value AS value_r
+      |  FROM events)
+      |""".stripMargin
+
+  /** Exact mean of a 2-decimal value column: integer-cents sum / count. */
+  private def meanCents(c: String): org.apache.spark.sql.Column =
+    round(sum(round(col(c) * 100).cast("long")).cast("double")
+      / count(lit(1)) / lit(100.0), 6)
+  private def meanCentsSql(c: String): String =
+    s"round(CAST(sum(CAST(round($c*100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6)"
+
+  private def sumCents(c: String): org.apache.spark.sql.Column =
+    sum(round(col(c) * 100).cast("long"))
+  private def sumCentsSql(c: String): String =
+    s"CAST(sum(CAST(round($c*100) AS BIGINT)) AS BIGINT)"
+
+  // ---------------------------------------------------------------- S1/S2/P1/P2/F1
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .where(col("event_type") === "purchase"
+        && TimeFns.inRangeInclusive(col("t"), T0, T1))
+      .select(col("att_name"), col("point_id"), col("t"), col("value_r"))
+      .orderBy(col("t"), col("point_id"))
+
+  private val q01Sql =
+    s"""${PtsSql}SELECT att_name, point_id, t, value_r FROM pts
+       |WHERE event_type = 'purchase' AND t BETWEEN $T0 AND $T1
+       |ORDER BY t, point_id""".stripMargin
+
+  // ---------------------------------------------------------------- A1 resample
+  private def resampleQ(freq: String)(s: SparkSession, dir: String): DataFrame = {
+    val d = TimeFns.intervalUs(freq)
+    pts(s, dir)
+      .where(TimeFns.inRangeInclusive(col("t"), T0, T1))
+      .withColumn("t_off", col("t") - lit(Epoch2024))
+      .groupBy(col("att_name"),
+        TimeFns.roundBucketUs(col("t"), d).as("bucket_us"))
+      .agg(
+        round(avg(col("t_off")), 6).as("t_mean_off_us"),
+        meanCents("value_r").as("value_mean"),
+        count(lit(1)).as("n"))
+      .orderBy(col("att_name"), col("bucket_us"))
+  }
+
+  private def resampleSql(freq: String): String = {
+    val d = TimeFns.intervalUs(freq)
+    s"""${PtsSql}SELECT att_name,
+       |  ((t + ${d / 2}) // $d) * $d AS bucket_us,
+       |  round(avg(t - $Epoch2024), 6) AS t_mean_off_us,
+       |  ${meanCentsSql("value_r")} AS value_mean,
+       |  count(*) AS n
+       |FROM pts WHERE t BETWEEN $T0 AND $T1
+       |GROUP BY att_name, bucket_us
+       |ORDER BY att_name, bucket_us""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- A2/A7 extrema
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    Extrema.perAttribute(
+      pts(s, dir).where(TimeFns.inRangeInclusive(col("t"), T0, T1)),
+      Seq("att_name"))
+      .orderBy(col("att_name"))
+
+  private val q04Sql =
+    s"""${PtsSql}SELECT att_name, min(value_r) AS vmin, max(value_r) AS vmax,
+       |  count(*) AS points
+       |FROM pts WHERE t BETWEEN $T0 AND $T1
+       |GROUP BY att_name ORDER BY att_name""".stripMargin
+
+  // ---------------------------------------------------------------- F3 log-axis extrema
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .withColumn("value_r", col("value_r") - 100) // synthesize negatives
+      .where(col("value_r") > 0
+        && TimeFns.inRangeInclusive(col("t"), T0, T1))
+      .groupBy(col("att_name"))
+      .agg(min(col("value_r")).as("vmin"), max(col("value_r")).as("vmax"),
+        count(lit(1)).as("points"))
+      .orderBy(col("att_name"))
+
+  private val q05Sql =
+    s"""${PtsSql}SELECT att_name, min(value_r - 100) AS vmin,
+       |  max(value_r - 100) AS vmax, count(*) AS points
+       |FROM pts
+       |WHERE value_r - 100 > 0 AND t BETWEEN $T0 AND $T1
+       |GROUP BY att_name ORDER BY att_name""".stripMargin
+
+  // ---------------------------------------------------------------- A3/J4 axis limits
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val ex = pts(s, dir)
+      .where(TimeFns.inRangeInclusive(col("t"), T0, T1))
+      .groupBy(col("att_name"), (col("user_id") % 3).as("y_axis"))
+      .agg(min(col("value_r")).as("vmin"), max(col("value_r")).as("vmax"),
+        count(lit(1)).as("points"))
+    Extrema.axisLimits(ex, "y_axis").orderBy(col("y_axis"))
+  }
+
+  private val q06Sql =
+    s"""${PtsSql}, ex AS (
+       |  SELECT att_name, user_id % 3 AS y_axis, min(value_r) AS vmin,
+       |         max(value_r) AS vmax, count(*) AS points
+       |  FROM pts WHERE t BETWEEN $T0 AND $T1
+       |  GROUP BY att_name, y_axis)
+       |SELECT y_axis, min(vmin) AS axis_min, max(vmax) AS axis_max,
+       |  CAST(sum(points) AS BIGINT) AS axis_points, count(*) AS n_series
+       |FROM ex GROUP BY y_axis ORDER BY y_axis""".stripMargin
+
+  // ---------------------------------------------------------------- A5 raster grid
+  private val W = 64; private val H = 32
+  private val VMax = 330.0
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    Raster.binPoints(pts(s, dir), Seq("event_type"),
+      Epoch2024, TEnd, 0.0, VMax, W, H)
+      .withColumn("vmean", round(col("vmean"), 6))
+      .orderBy(col("event_type"), col("px"), col("py"))
+
+  // Note: vmean here is a plain double avg (not the cents trick) — cell
+  // populations are tiny so the double sum stays exact; still rounded.
+  private val q07Sql =
+    s"""${PtsSql}, binned AS (
+       |  SELECT event_type,
+       |    least(((t - $Epoch2024) * $W) // ${TEnd - Epoch2024}, ${W - 1}) AS px,
+       |    least(CAST(floor((value_r - 0.0) / $VMax * $H) AS BIGINT), ${H - 1}) AS py,
+       |    value_r
+       |  FROM pts
+       |  WHERE t BETWEEN $Epoch2024 AND $TEnd AND NOT isnan(value_r)
+       |    AND value_r BETWEEN 0.0 AND $VMax)
+       |SELECT event_type, px, py, count(*) AS cnt,
+       |  round(avg(value_r), 6) AS vmean,
+       |  min(value_r) AS vmin, max(value_r) AS vmax
+       |FROM binned GROUP BY event_type, px, py
+       |ORDER BY event_type, px, py""".stripMargin
+
+  // ---------------------------------------------------------------- A6 hover
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    Raster.hoverColumns(
+      Raster.binPoints(pts(s, dir), Seq("event_type"),
+        Epoch2024, TEnd, 0.0, VMax, W, H),
+      Seq("event_type"))
+      .orderBy(col("event_type"), col("px"))
+
+  private val q08Sql =
+    s"""${PtsSql}, binned AS (
+       |  SELECT event_type,
+       |    least(((t - $Epoch2024) * $W) // ${TEnd - Epoch2024}, ${W - 1}) AS px,
+       |    least(CAST(floor((value_r - 0.0) / $VMax * $H) AS BIGINT), ${H - 1}) AS py,
+       |    value_r
+       |  FROM pts
+       |  WHERE t BETWEEN $Epoch2024 AND $TEnd AND NOT isnan(value_r)
+       |    AND value_r BETWEEN 0.0 AND $VMax),
+       |grid AS (
+       |  SELECT event_type, px, py, count(*) AS cnt, min(value_r) AS vmin,
+       |         max(value_r) AS vmax
+       |  FROM binned GROUP BY event_type, px, py)
+       |SELECT event_type, px, min(vmin) AS col_min, max(vmax) AS col_max,
+       |  CAST(sum(cnt) AS BIGINT) AS col_count
+       |FROM grid GROUP BY event_type, px
+       |ORDER BY event_type, px""".stripMargin
+
+  // ---------------------------------------------------------------- S6/O3 point-in-time
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Catalog.latestBefore(pts(s, dir), Seq("user_id"), "t", T1, "point_id")
+      .select(col("user_id"), col("point_id"), col("t"), col("value_r"))
+      .orderBy(col("user_id"))
+
+  private val q09Sql =
+    s"""${PtsSql}, ranked AS (
+       |  SELECT user_id, point_id, t, value_r,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY t DESC, point_id DESC) AS rn
+       |  FROM pts WHERE t < $T1)
+       |SELECT user_id, point_id, t, value_r FROM ranked WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- S7/O4 history limit
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Catalog.firstEvents(pts(s, dir), Seq("event_type"), "t", T0, T1, 10,
+      "point_id")
+      .select(col("event_type"), col("rn").cast("long").as("rn"),
+        col("point_id"), col("t"), col("value_r"))
+      .orderBy(col("event_type"), col("rn"))
+
+  private val q10Sql =
+    s"""${PtsSql}, ranked AS (
+       |  SELECT event_type, point_id, t, value_r,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY t ASC, point_id ASC) AS rn
+       |  FROM pts WHERE t > $T0 AND t < $T1)
+       |SELECT event_type, rn, point_id, t, value_r FROM ranked WHERE rn <= 10
+       |ORDER BY event_type, rn""".stripMargin
+
+  // ---------------------------------------------------------------- F5/O1 glob search
+  private val Glob = "*/u1?/p*"
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Catalog.search(new EventsArchiveAdapter(s, dir).attNames, Glob)
+
+  private val q11Sql = {
+    val re = "(?i)" + GlobFns.globToRegex(Glob)
+    s"""WITH an AS (SELECT DISTINCT
+       |    'events/stream/u' || user_id || '/' || event_type AS attribute
+       |  FROM events)
+       |SELECT attribute FROM an WHERE regexp_matches(attribute, '$re')
+       |ORDER BY attribute""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- F6 substring search
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Catalog.searchSubstring(new EventsArchiveAdapter(s, dir).attNames, "chas")
+
+  private val q12Sql =
+    s"""WITH an AS (SELECT DISTINCT
+       |    'events/stream/u' || user_id || '/' || event_type AS attribute
+       |  FROM events)
+       |SELECT attribute FROM an
+       |WHERE regexp_matches(attribute, '${GlobFns.substringRegex("chas")}')
+       |ORDER BY attribute""".stripMargin
+
+  // ---------------------------------------------------------------- O2 distinct sorted
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).select(col("att_name")).distinct().orderBy(col("att_name"))
+
+  private val q13Sql =
+    s"""${PtsSql}SELECT DISTINCT att_name FROM pts ORDER BY att_name"""
+
+  // ---------------------------------------------------------------- J2 catalog grouping
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    new EventsArchiveAdapter(s, dir).attNames
+      .groupBy(col("member"))
+      .agg(count(lit(1)).as("n_attributes"),
+        array_join(sort_array(collect_list(col("name"))), ",").as("attrs"))
+      .orderBy(col("member"))
+
+  private val q14Sql =
+    """WITH an AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT 'u' || user_id AS member, count(*) AS n_attributes,
+      |  string_agg(event_type, ',' ORDER BY event_type) AS attrs
+      |FROM an GROUP BY user_id ORDER BY member""".stripMargin
+
+  // ---------------------------------------------------------------- U1 union of partitions
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val a = p.where(col("t") >= Epoch2024 && col("t") < Jan10)
+    val b = p.where(col("t") >= Jan10 && col("t") < T1)
+    a.unionByName(b)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumCents("value_r").as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  // oracle is the single-scan equivalent — union of day partitions must
+  // be indistinguishable from one scan (reference U1, hdbpp.py:324-325)
+  private val q15Sql =
+    s"""${PtsSql}SELECT event_type, count(*) AS n,
+       |  ${sumCentsSql("value_r")} AS sum_cents
+       |FROM pts WHERE t >= $Epoch2024 AND t < $T1
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- O6 top-k (fixed)
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .select(col("point_id"), col("att_name"), col("t"), col("value_r"))
+      .orderBy(col("value_r").desc, col("point_id").asc)
+      .limit(20)
+
+  private val q16Sql =
+    s"""${PtsSql}SELECT point_id, att_name, t, value_r FROM pts
+       |ORDER BY value_r DESC, point_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- K2 Grafana datapoints
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .where(col("event_type") === "click"
+        && TimeFns.inRangeInclusive(col("t"), T0, T1))
+      .select(col("att_name"), col("point_id"),
+        when(isnan(col("value_r")), lit(null)).otherwise(col("value_r"))
+          .as("value_r"),
+        (col("t") / lit(1000.0)).as("t_ms"))
+      .orderBy(col("att_name"), col("t_ms"), col("point_id"))
+
+  private val q17Sql =
+    s"""${PtsSql}SELECT att_name, point_id,
+       |  CASE WHEN isnan(value_r) THEN NULL ELSE value_r END AS value_r,
+       |  t / 1000.0 AS t_ms
+       |FROM pts WHERE event_type = 'click' AND t BETWEEN $T0 AND $T1
+       |ORDER BY att_name, t_ms, point_id""".stripMargin
+
+  // ---------------------------------------------------------------- K1 CSV projection
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .where(col("att_name") === "u3/view")
+      .select(col("t"), col("value_r"))
+      .orderBy(col("t"), col("value_r"))
+
+  private val q18Sql =
+    s"""${PtsSql}SELECT t, value_r FROM pts WHERE att_name = 'u3/view'
+       |ORDER BY t, value_r""".stripMargin
+
+  // ---------------------------------------------------------------- J1 broadcast join
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    pts(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sumCents("value_r").as("sum_cents"),
+        meanCents("value_r").as("value_mean"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q19Sql =
+    s"""${PtsSql}SELECT c_mktsegment, count(*) AS n,
+       |  ${sumCentsSql("value_r")} AS sum_cents,
+       |  ${meanCentsSql("value_r")} AS value_mean
+       |FROM pts JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- TPC-H Q1 style
+  private val ShipCut = 904694400000000L // 1998-09-02 UTC epoch-µs
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .where(unix_micros(col("l_shipdate")) <= ShipCut)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("sum_disc_e4"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * 1000000).cast("long"))
+          .as("sum_charge_e6"),
+        round(sum(round(col("l_quantity")).cast("long")).cast("double")
+          / count(lit(1)), 6).as("avg_qty"),
+        meanCents("l_extendedprice").as("avg_price"),
+        round(sum(round(col("l_discount") * 100).cast("long")).cast("double")
+          / count(lit(1)) / lit(100.0), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q20Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+       |    AS sum_base_cents,
+       |  CAST(sum(CAST(round(l_extendedprice*(1 - l_discount)*10000)
+       |    AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+       |  CAST(sum(CAST(round(l_extendedprice*(1 - l_discount)*(1 + l_tax)
+       |    *1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+       |  round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+       |    / count(*), 6) AS avg_qty,
+       |  ${meanCentsSql("l_extendedprice")} AS avg_price,
+       |  round(CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 100.0, 6) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE epoch_us(l_shipdate) <= $ShipCut
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> (q01 _),
+    "q02_resample_5m" -> (resampleQ("5m") _),
+    "q03_resample_30s" -> (resampleQ("30s") _),
+    "q04_extrema" -> (q04 _),
+    "q05_extrema_log" -> (q05 _),
+    "q06_axis_limits" -> (q06 _),
+    "q07_raster_grid" -> (q07 _),
+    "q08_hover_columns" -> (q08 _),
+    "q09_point_in_time" -> (q09 _),
+    "q10_history_limit" -> (q10 _),
+    "q11_search_glob" -> (q11 _),
+    "q12_search_substring" -> (q12 _),
+    "q13_distinct_sorted" -> (q13 _),
+    "q14_catalog_group" -> (q14 _),
+    "q15_union_partitions" -> (q15 _),
+    "q16_topk_value" -> (q16 _),
+    "q17_grafana_datapoints" -> (q17 _),
+    "q18_csv_projection" -> (q18 _),
+    "q19_broadcast_join" -> (q19 _),
+    "q20_pricing_summary" -> (q20 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_project" -> q01Sql,
+    "q02_resample_5m" -> resampleSql("5m"),
+    "q03_resample_30s" -> resampleSql("30s"),
+    "q04_extrema" -> q04Sql,
+    "q05_extrema_log" -> q05Sql,
+    "q06_axis_limits" -> q06Sql,
+    "q07_raster_grid" -> q07Sql,
+    "q08_hover_columns" -> q08Sql,
+    "q09_point_in_time" -> q09Sql,
+    "q10_history_limit" -> q10Sql,
+    "q11_search_glob" -> q11Sql,
+    "q12_search_substring" -> q12Sql,
+    "q13_distinct_sorted" -> q13Sql,
+    "q14_catalog_group" -> q14Sql,
+    "q15_union_partitions" -> q15Sql,
+    "q16_topk_value" -> q16Sql,
+    "q17_grafana_datapoints" -> q17Sql,
+    "q18_csv_projection" -> q18Sql,
+    "q19_broadcast_join" -> q19Sql,
+    "q20_pricing_summary" -> q20Sql)
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GlobFns
+
+/** Catalog / lookup operators: wildcard search (F5/F6/O1), control-system
+  * listing (O2/J2), parameter point-in-time lookup (S6/O3), history scan
+  * (S7/O4).
+  *
+  * Scale: catalogs are ~100k rows (reference `hdbpp.py:216-218`) — tiny
+  * next to the point data. They are cached and BROADCAST into any join
+  * against point scans (J1), never shuffled. Unlike the reference
+  * (Cassandra can't server-side wildcard, so it fetches all names and
+  * regex-matches in Python), the Spark scan evaluates the regex inside
+  * whole-stage codegen.
+  */
+object Catalog {
+
+  /** F5+O1 — glob search over formatted attribute names, sorted.
+    * Reference `server.py:73-89`. */
+  def search(attNames: DataFrame, glob: String): DataFrame =
+    attNames
+      .select(concat_ws("/", col("domain"), col("family"), col("member"),
+        col("name")).as("attribute"))
+      .where(GlobFns.globMatch(col("attribute"), glob))
+      .orderBy("attribute")
+
+  /** F6 — Grafana substring search. Reference `server.py:196-207`. */
+  def searchSubstring(attNames: DataFrame, term: String): DataFrame =
+    attNames
+      .select(concat_ws("/", col("domain"), col("family"), col("member"),
+        col("name")).as("attribute"))
+      .where(GlobFns.substringMatch(col("attribute"), term))
+      .orderBy("attribute")
+
+  /** O2 — distinct control systems, sorted. Reference `server.py:63-70`. */
+  def controlSystems(attConf: DataFrame): DataFrame =
+    attConf.select(col("cs_name")).distinct().orderBy("cs_name")
+
+  /** J2 — names grouped per control system (reference `hdbpp.py:219-228`
+    * builds cs → [(d,f,m,n)] dicts). Sorted inside the list so results
+    * are deterministic. */
+  def namesPerCs(attNames: DataFrame): DataFrame =
+    attNames
+      .select(col("cs_name"), concat_ws("/", col("domain"), col("family"),
+        col("member"), col("name")).as("attribute"))
+      .groupBy("cs_name")
+      .agg(
+        count(lit(1)).as("n_attributes"),
+        array_join(sort_array(collect_list(col("attribute"))), ",")
+          .as("attributes"))
+
+  /** S6/O3 — point-in-time lookup: latest row per key strictly before a
+    * cutoff (reference `hdbpp.py:167-177`: ORDER BY recv_time DESC
+    * LIMIT 1). Window + row_number, ties broken deterministically. */
+  def latestBefore(df: DataFrame, keys: Seq[String], timeCol: String,
+      cutoffUs: Long, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).desc, col(tieBreak).desc)
+    df.where(col(timeCol) < cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** S7/O4 — first n events per key in a time window, ordered by time
+    * (reference `hdbpp.py:180-191`: ORDER BY time LIMIT 10). */
+  def firstEvents(df: DataFrame, keys: Seq[String], timeCol: String,
+      t0Us: Long, t1Us: Long, n: Int, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tieBreak).asc)
+    df.where(col(timeCol) > t0Us && col(timeCol) < t1Us)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+  }
+}

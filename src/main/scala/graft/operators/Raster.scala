@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A4/A5/A6 — 2-D binned rasterization of (time, value) points into a
+  * width×height pixel grid (reference `plot.py:15-60`, datashader
+  * Canvas.line / Canvas.points / per-column hover reductions).
+  *
+  * Scale design: the raster is an AGGREGATION, not a render loop — the
+  * grid has ≤ width×height cells per attribute no matter how many
+  * points feed it, so the collect at the end is O(pixels), never
+  * O(points) (SURVEY.md §7.5.6). Binning is a plain hash aggregate
+  * (partial+final, one shuffle); line rasterization needs consecutive
+  * points, i.e. one shuffle+sort per attribute via a window `lag`, then
+  * a flatMap that emits covered pixels per segment (≤ width+height per
+  * segment) followed by the same hash aggregate.
+  *
+  * Divergence: datashader draws anti-aliased lines with numba kernels
+  * (`plot.py:22-27`); we use a deterministic integer Bresenham so
+  * golden tests are stable (SURVEY.md §7.5.2).
+  */
+object Raster {
+
+  /** Pixel-x of a µs timestamp over [t0, t1] — integer math so the
+    * DuckDB oracle reproduces it bit-exactly. Spark's `/` on longs is
+    * double division, so integer division is done as
+    * `(n - (n mod span)) / span`: the numerator is an exact multiple of
+    * span and both fit a double's 53-bit mantissa for ranges up to
+    * ~(2^53/width) µs (≈ 100 days at width=1024 — beyond that the worst
+    * case is a ±1-pixel difference, invisible in a raster). */
+  def pxCol(tUs: Column, t0Us: Long, t1Us: Long, width: Int): Column = {
+    val num = (tUs - lit(t0Us)) * lit(width.toLong)
+    val span = lit(t1Us - t0Us)
+    least(((num - pmod(num, span)) / span).cast("long"), lit(width - 1L))
+      .cast("long")
+  }
+
+  /** Pixel-y of a value over [vmin, vmax], linear or log10 scale
+    * (reference y-scale config `imageplot.js:194-216`). */
+  def pyCol(v: Column, vmin: Double, vmax: Double, height: Int,
+      logScale: Boolean = false): Column = {
+    val (value, lo, hi) =
+      if (logScale) (log10(v), math.log10(vmin), math.log10(vmax))
+      else (v, vmin, vmax)
+    least(floor((value - lit(lo)) / lit(hi - lo) * lit(height)), lit(height - 1L))
+      .cast("long")
+  }
+
+  /** A5 — Canvas.points equivalent: per-cell count/mean/min/max of
+    * value_r (reference `plot.py:28-33`). Input needs `t` (µs) and
+    * `value_r`; output one row per non-empty cell per key. */
+  def binPoints(points: DataFrame, keys: Seq[String],
+      t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
+      width: Int, height: Int, logScale: Boolean = false): DataFrame = {
+    val base = points
+      .where(col("t").between(t0Us, t1Us) && !isnan(col("value_r"))
+        && col("value_r").between(
+          if (logScale) math.max(vmin, java.lang.Double.MIN_VALUE) else vmin,
+          vmax))
+    base
+      .withColumn("px", pxCol(col("t"), t0Us, t1Us, width))
+      .withColumn("py", pyCol(col("value_r"), vmin, vmax, height, logScale))
+      .groupBy(keys.map(col) :+ col("px") :+ col("py"): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        avg(col("value_r")).as("vmean"),
+        min(col("value_r")).as("vmin"),
+        max(col("value_r")).as("vmax"))
+  }
+
+  /** A6 — hover reductions: collapse the grid along y per pixel column
+    * (reference `plot.py:44-60`: nonempty columns, per-column min/max,
+    * summed count). Runs over [[binPoints]] output — O(pixels) input. */
+  def hoverColumns(grid: DataFrame, keys: Seq[String]): DataFrame =
+    grid.groupBy(keys.map(col) :+ col("px"): _*)
+      .agg(
+        min(col("vmin")).as("col_min"),
+        max(col("vmax")).as("col_max"),
+        sum(col("cnt")).as("col_count"))
+
+  /** A4 — Canvas.line equivalent: per-cell count of pixels covered by
+    * the polyline connecting consecutive points of each series.
+    * NaN values break the line (datashader semantics: segments touching
+    * a NaN endpoint are skipped). */
+  def binLines(points: DataFrame, keys: Seq[String],
+      t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
+      width: Int, height: Int, logScale: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("t"))
+    val withPx = points
+      .withColumn("px", pxCol(col("t"), t0Us, t1Us, width))
+      .withColumn("py",
+        when(isnan(col("value_r")), lit(null))
+          .otherwise(pyCol(col("value_r"), vmin, vmax, height, logScale)))
+      .withColumn("px0", lag(col("px"), 1).over(w))
+      .withColumn("py0", lag(col("py"), 1).over(w))
+      .where(col("px0").isNotNull && col("py0").isNotNull
+        && col("py").isNotNull)
+    val seg = udf(bresenham _)
+    withPx
+      .select(keys.map(col) :+
+        explode(seg(col("px0"), col("py0"), col("px"), col("py")))
+          .as("cell"): _*)
+      .select(keys.map(col) :+ col("cell._1").as("px")
+        :+ col("cell._2").as("py"): _*)
+      .where(col("px").between(0, width - 1) && col("py").between(0, height - 1))
+      .groupBy(keys.map(col) :+ col("px") :+ col("py"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Integer Bresenham line: all cells covered from (x0,y0) to (x1,y1),
+    * excluding the start cell (so consecutive segments don't double-count
+    * their shared endpoint). */
+  def bresenham(x0: Int, y0: Int, x1: Int, y1: Int): Array[(Int, Int)] = {
+    val out = Array.newBuilder[(Int, Int)]
+    var (x, y) = (x0, y0)
+    val dx = math.abs(x1 - x0); val sx = if (x0 < x1) 1 else -1
+    val dy = -math.abs(y1 - y0); val sy = if (y0 < y1) 1 else -1
+    var err = dx + dy
+    var first = true
+    var continue = true
+    while (continue) {
+      if (!first) out += ((x, y))
+      first = false
+      if (x == x1 && y == y1) continue = false
+      else {
+        val e2 = 2 * err
+        if (e2 >= dy) { err += dy; x += sx }
+        if (e2 <= dx) { err += dx; y += sy }
+      }
+    }
+    out.result()
+  }
+}

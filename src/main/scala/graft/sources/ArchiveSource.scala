@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
+
+/** Pluggable storage behind the engine.
+  *
+  * The reference hand-rolls per-(att_conf_id, period)-day Cassandra
+  * queries with chunked asyncio fan-out (`hdbpp.py:274-321`). In Spark
+  * that whole layer collapses into ONE declarative scan: the source
+  * returns a DataFrame whose filters on `att_conf_id` / `period` /
+  * `data_time` are pushed down by Catalyst (partition pruning on
+  * partitioned Parquet; CQL pushdown with the Cassandra connector —
+  * config-level swap, same plan shape).
+  *
+  * Scale design (100 TB): data lives partitioned by
+  * `(att_conf_id, period)` exactly like the reference's Cassandra
+  * partition key, so a query for k attributes × d days touches only
+  * k×d partitions regardless of total archive size; no shuffle is
+  * needed until aggregation, and the per-day union (reference U1) is
+  * implicit in the scan.
+  */
+trait ArchiveSource {
+  def spark: SparkSession
+
+  /** Point rows for the given conf ids with period ∈ [p0, p1]
+    * ("YYYY-MM-DD"), columns per TangoTypes.pointSchema. */
+  def points(attConfIds: Seq[Int], p0: String, p1: String): DataFrame
+
+  /** Catalog: att_conf (cs_name, att_name, att_conf_id, data_type). */
+  def attConf: DataFrame
+
+  /** Catalog: att_names (cs_name, domain, family, member, name). */
+  def attNames: DataFrame
+}
+
+/** Parquet-backed archive laid out as
+  * `root/att_scalar_<type>_<rw>/att_conf_id=…/period=…/…parquet`.
+  * Both partition predicates prune at planning time. */
+final class ParquetArchiveSource(val spark: SparkSession, root: String,
+    table: String = "att_scalar_devdouble_ro") extends ArchiveSource {
+
+  def points(attConfIds: Seq[Int], p0: String, p1: String): DataFrame =
+    spark.read.parquet(s"$root/$table")
+      .where(col("att_conf_id").isin(attConfIds: _*)
+        && col("period").between(p0, p1))
+
+  def attConf: DataFrame = spark.read.parquet(s"$root/att_conf")
+  def attNames: DataFrame = spark.read.parquet(s"$root/att_names")
+}
+
+/** Adapter exposing the driver's synthetic `events` table
+  * (`event_id, ts, user_id, event_type, value, props` — see TESTDATA.md)
+  * in the engine's archive shape, treating `(user_id, event_type)` as
+  * the attribute key the way the reference treats
+  * `cs/domain/family/member/name`:
+  *
+  *   att_conf_id = user_id * 8 + index(event_type)
+  *   att_name    = "u<user_id>/<event_type>"  (4-part analog collapsed)
+  *   data_time   = ts,  value_r = value,  period = utc date of ts
+  *
+  * Everything is column expressions over one parquet scan — filters on
+  * ts/event_type still push down to the footer.
+  */
+final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
+    extends ArchiveSource {
+
+  private val eventTypes =
+    Seq("click", "error", "purchase", "signup", "view") // sorted, stable ids
+
+  def raw: DataFrame = spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** events in archive-point shape, with the derived epoch-µs `t`. */
+  def pointsAll: DataFrame = {
+    val typeId = eventTypes.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
+        when(col("event_type") === t, lit(i)).otherwise(acc)
+      }
+    raw.select(
+      col("event_id").as("point_id"),
+      col("user_id"),
+      col("event_type"),
+      (col("user_id") * 8 + typeId).as("att_conf_id"), // long, like the oracle's
+      concat(lit("u"), col("user_id"), lit("/"), col("event_type"))
+        .as("att_name"),
+      date_format(col("ts"), "yyyy-MM-dd").as("period"),
+      col("ts").as("data_time"),
+      TimeFns.epochUs(col("ts")).as("t"),
+      col("value").as("value_r"),
+      col("props").as("error_desc"))
+  }
+
+  def points(attConfIds: Seq[Int], p0: String, p1: String): DataFrame =
+    pointsAll.where(col("att_conf_id").isin(attConfIds: _*)
+      && col("period").between(p0, p1))
+
+  def attConf: DataFrame =
+    pointsAll.select("att_name", "att_conf_id").distinct()
+      .withColumn("cs_name", lit("events.cs:10000"))
+      .withColumn("data_type", lit("scalar_devdouble_ro"))
+
+  def attNames: DataFrame =
+    raw.select(col("user_id"), col("event_type")).distinct()
+      .select(
+        lit("events.cs:10000").as("cs_name"),
+        lit("events").as("domain"),
+        lit("stream").as("family"),
+        concat(lit("u"), col("user_id")).as("member"),
+        col("event_type").as("name"))
+}
