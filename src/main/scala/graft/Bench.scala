@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main: one JSON line with per-query wall times.
+  *
+  * Failures are recorded, not swallowed (round-1 post-mortem: a
+  * catch-all turned a 100%-broken run into a plausible "8.68 s total").
+  * Execution is forced with `foreach(_ => ())` — `count()` lets Catalyst
+  * drop orderBys and under-measures the sorted queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,32 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).foreach(_ => ())
+      catch { case e: Throwable =>
+        errors += name ->
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Verify.q(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
+      .mkString("{", ",", "}")
+    // total covers successful queries only; failures are listed explicitly
+    val total = results.collect {
+      case (k, v) if !errors.contains(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_queries":${names.size},"n_failed":${errors.size},""" +
+      s""""errors":$errJson,"sf":${Verify.q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -75,7 +75,11 @@ object EventQueries {
       .groupBy(col("att_name"),
         TimeFns.roundBucketUs(col("t"), d).as("bucket_us"))
       .agg(
-        round(avg(col("t_off")), 6).as("t_mean_off_us"),
+        // exact long sum → one double cast → one IEEE division: identical
+        // bits in any engine (`avg` accumulates differently and drifts
+        // 1 ulp at ~1e12 µs offsets — seen vs DuckDB at sf0.01)
+        (sum(col("t_off")).cast("double") / count(lit(1)))
+          .as("t_mean_off_us"),
         meanCents("value_r").as("value_mean"),
         count(lit(1)).as("n"))
       .orderBy(col("att_name"), col("bucket_us"))
@@ -85,7 +89,7 @@ object EventQueries {
     val d = TimeFns.intervalUs(freq)
     s"""${PtsSql}SELECT att_name,
        |  ((t + ${d / 2}) // $d) * $d AS bucket_us,
-       |  round(avg(t - $Epoch2024), 6) AS t_mean_off_us,
+       |  CAST(sum(t - $Epoch2024) AS DOUBLE) / count(*) AS t_mean_off_us,
        |  ${meanCentsSql("value_r")} AS value_mean,
        |  count(*) AS n
        |FROM pts WHERE t BETWEEN $T0 AND $T1
@@ -100,8 +104,13 @@ object EventQueries {
       Seq("att_name"))
       .orderBy(col("att_name"))
 
+  // NaN→null mirrored on the oracle side: DuckDB's min/max order NaN
+  // above all reals, so a NaN row would otherwise make vmax=NaN while
+  // the Spark side (numpy-nanmin/nanmax semantics) returns the real max.
   private val q04Sql =
-    s"""${PtsSql}SELECT att_name, min(value_r) AS vmin, max(value_r) AS vmax,
+    s"""${PtsSql}SELECT att_name,
+       |  min(CASE WHEN isnan(value_r) THEN NULL ELSE value_r END) AS vmin,
+       |  max(CASE WHEN isnan(value_r) THEN NULL ELSE value_r END) AS vmax,
        |  count(*) AS points
        |FROM pts WHERE t BETWEEN $T0 AND $T1
        |GROUP BY att_name ORDER BY att_name""".stripMargin
@@ -357,7 +366,10 @@ object EventQueries {
   private val ShipCut = 904694400000000L // 1998-09-02 UTC epoch-µs
   private def q20(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
-      .where(unix_micros(col("l_shipdate")) <= ShipCut)
+      // l_shipdate loads as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+      // unix_micros needs TIMESTAMP — session TZ is pinned UTC so the cast
+      // matches the oracle's epoch_us semantics exactly.
+      .where(unix_micros(col("l_shipdate").cast("timestamp")) <= ShipCut)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(round(col("l_quantity")).cast("long")).as("sum_qty"),

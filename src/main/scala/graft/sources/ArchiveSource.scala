@@ -69,7 +69,16 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
   private val eventTypes =
     Seq("click", "error", "purchase", "signup", "view") // sorted, stable ids
 
-  def raw: DataFrame = spark.read.parquet(s"$sfDir/events.parquet")
+  /** The driver's `events.parquet` stores `ts` as parquet
+    * TIMESTAMP(NANOS,false), which Spark 4 rejects at scan time by
+    * default ([PARQUET_TYPE_ILLEGAL]). `nanosAsLong` (runtime-settable)
+    * reads it as a bigint of epoch-nanoseconds instead; the µs epoch the
+    * engine works in is then the exact integer `ts div 1000` — matching
+    * DuckDB's `epoch_us(ts)` truncation bit-for-bit. */
+  def raw: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
 
   /** events in archive-point shape, with the derived epoch-µs `t`. */
   def pointsAll: DataFrame = {
@@ -77,16 +86,23 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
       .foldLeft(lit(-1)) { case (acc, (t, i)) =>
         when(col("event_type") === t, lit(i)).otherwise(acc)
       }
-    raw.select(
+    val df = raw
+    // `ts div 1000` is exact long division (Spark's `/` on longs is
+    // double division — lossy above 2^53, i.e. for any epoch-nanos).
+    val tUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => TimeFns.epochUs(col("ts").cast("timestamp"))
+    }
+    df.select(
       col("event_id").as("point_id"),
       col("user_id"),
       col("event_type"),
       (col("user_id") * 8 + typeId).as("att_conf_id"), // long, like the oracle's
       concat(lit("u"), col("user_id"), lit("/"), col("event_type"))
         .as("att_name"),
-      date_format(col("ts"), "yyyy-MM-dd").as("period"),
-      col("ts").as("data_time"),
-      TimeFns.epochUs(col("ts")).as("t"),
+      date_format(timestamp_micros(tUs), "yyyy-MM-dd").as("period"),
+      timestamp_micros(tUs).as("data_time"),
+      tUs.as("t"),
       col("value").as("value_r"),
       col("props").as("error_desc"))
   }
