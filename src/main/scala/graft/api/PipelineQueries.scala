@@ -1,11 +1,355 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps, TextStats}
 
-/** LLM-data-pipeline operators (dedup, similarity search, text analysis,
-  * multimodal) over the `documents` / `embeddings` tables — filled in as
-  * the operators land (see SURVEY.md §7.2 step 8). */
+/** LLM-data-pipeline operators (SURVEY.md §7.2.8) over the driver's
+  * `documents` / `embeddings` tables, each with a DuckDB oracle.
+  *
+  * Oracle-parity rules (same as EventQueries): exact integer math
+  * everywhere; ratios are ONE IEEE division of exact integers; token
+  * and shingle ids come from a sorted dense vocabulary rather than an
+  * engine hash; every query has a total ORDER BY. The synthetic corpus
+  * is all-distinct, so dedup queries plant duplicates (exact copies at
+  * doc_id+2000000, near-copies with the first 3 words dropped at
+  * doc_id+1000000) — the oracle plants the identical rows.
+  */
 object PipelineQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------------------------------------------------------------- exact dedup
+  private def p01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(TextOps.withPlantedExactDups(docs(s, dir), every = 50))
+      .orderBy(col("keep_id"))
+
+  private val p01Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 50 = 0)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  sha256(text) AS fp
+      |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- MinHash-LSH
+  /** Shared oracle CTE: corpus with planted near-dups → distinct
+    * 3-shingles → dense ids (sorted vocabulary). */
+  private val NearDupCtes =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[4:], ' ') AS text
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+      |        AS shingle
+      |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+      |  WHERE shingle IS NOT NULL),
+      |vocab AS (
+      |  SELECT shingle, row_number() OVER (ORDER BY shingle) AS tid
+      |  FROM (SELECT DISTINCT shingle FROM sh)),
+      |dt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle))
+      |""".stripMargin
+
+  private def p02(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(
+      TextOps.withPlantedNearDups(docs(s, dir), every = 25, dropWords = 3),
+      s, shingleK = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  private val p02Sql =
+    s"""$NearDupCtes,
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_inter
+       |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+       |    JOIN dt y ON y.doc_id = c.d2 AND y.tid = x.tid
+       |  GROUP BY c.d1, c.d2)
+       |SELECT i.d1, i.d2, i.n_inter,
+       |  s1.n + s2.n - i.n_inter AS n_union,
+       |  CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) AS jaccard
+       |FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
+       |  JOIN sz s2 ON s2.doc_id = i.d2
+       |WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- SimHash
+  private def p03(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir).select(col("doc_id"), col("text")), s)
+      .orderBy(col("doc_id"))
+
+  private val p03Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+      |vocab AS (SELECT w, row_number() OVER (ORDER BY w) AS tid
+      |          FROM (SELECT DISTINCT w FROM tok)),
+      |dt AS (SELECT doc_id, tid, c FROM cnt JOIN vocab USING (w)),
+      |bits AS (SELECT j, 1 + 2*j AS a, 17 + 5*j AS b FROM range(0, 16) t(j)),
+      |sj AS (
+      |  SELECT doc_id, j,
+      |    CAST(sum(c * (CASE WHEN ((a*tid*tid + b*tid + j) % 8191) < 4096
+      |      THEN 1 ELSE -1 END)) AS BIGINT) AS s
+      |  FROM dt CROSS JOIN bits GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+      |FROM sj GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- blocked Jaccard
+  private def p04(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccard(docs(s, dir), Seq("lang", "source"), 0.9)
+      .orderBy(col("lang"), col("source"), col("d1"), col("d2"))
+
+  private val p04Sql =
+    """WITH base AS (
+      |  SELECT lang, source, doc_id,
+      |         list_distinct(string_split(text, ' ')) AS ws
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.lang, a.source, a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
+      |    CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
+      |      AS BIGINT) AS n_union
+      |  FROM base a JOIN base b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT lang, source, d1, d2, n_inter, n_union,
+      |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+      |FROM pairs WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.9
+      |ORDER BY lang, source, d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- fingerprint
+  private def p05(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprint(docs(s, dir).select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
+  private val p05Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |vocab AS (SELECT w, row_number() OVER (ORDER BY w) AS tid
+      |          FROM (SELECT DISTINCT w FROM tok)),
+      |seq AS (SELECT doc_id, pos, tid FROM tok JOIN vocab USING (w)),
+      |grams AS (
+      |  SELECT doc_id,
+      |    ((tid * 31 + lead(tid, 1) OVER win) * 31
+      |      + lead(tid, 2) OVER win) * 31 + lead(tid, 3) OVER win AS h
+      |  FROM seq WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+      |SELECT doc_id, min(h % 2147483647) AS fingerprint,
+      |  count(*) AS n_grams
+      |FROM grams WHERE h IS NOT NULL GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- text stats
+  private def p06(s: SparkSession, dir: String): DataFrame =
+    TextStats.perLanguage(docs(s, dir)).orderBy(col("lang"))
+
+  private val p06Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+      |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+      |  count(DISTINCT source) AS n_sources,
+      |  CAST(sum(n_chars) AS DOUBLE) / sum(len(string_split(text, ' ')))
+      |    AS chars_per_token
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- quality
+  private def p07(s: SparkSession, dir: String): DataFrame =
+    TextStats.quality(docs(s, dir)).orderBy(col("doc_id"))
+
+  private val p07Sql = {
+    val stopList = TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, lang, n_chars,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |    w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS uniq_ratio,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |    w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stop_ratio,
+       |  CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS mean_word_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- lang-ID
+  private def p08(s: SparkSession, dir: String): DataFrame =
+    TextStats.langConfusion(docs(s, dir))
+      .orderBy(col("lang"), col("guess"))
+
+  private val p08Sql = {
+    def cnt(markers: Seq[String]): String = {
+      val list = markers.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($list)))"
+    }
+    val m = TextStats.LangMarkers.toMap
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    ${cnt(m("de"))} AS s_de, ${cnt(m("en"))} AS s_en,
+       |    ${cnt(m("es"))} AS s_es, ${cnt(m("fr"))} AS s_fr,
+       |    ${cnt(m("zh"))} AS s_zh
+       |  FROM documents),
+       |guessed AS (
+       |  SELECT lang,
+       |    CASE
+       |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+       |        AND s_de >= s_zh THEN 'de'
+       |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |      WHEN s_fr >= s_zh THEN 'fr'
+       |      ELSE 'zh' END AS guess
+       |  FROM scored)
+       |SELECT lang, guess, count(*) AS n FROM guessed
+       |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- kNN brute
+  private def p09(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.knnBrute(e, q, k = 10).orderBy(col("qid"), col("rn"))
+  }
+
+  private val p09Sql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |el AS (SELECT vec_id, unnest(embedding) AS v,
+      |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |ql AS (SELECT qid, unnest(qe) AS qv,
+      |       generate_subscripts(qe, 1) AS i FROM q),
+      |pairs AS (
+      |  SELECT ql.qid, el.vec_id AS nid,
+      |    CAST(sum(CAST(round(CAST(ql.qv AS DOUBLE) * 10000) AS BIGINT)
+      |      * CAST(round(CAST(el.v AS DOUBLE) * 10000) AS BIGINT))
+      |      AS BIGINT) AS dot_e8
+      |  FROM ql JOIN el ON ql.i = el.i AND el.vec_id <> ql.qid
+      |  GROUP BY ql.qid, el.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY dot_e8 DESC, nid) AS rn FROM pairs)
+      |SELECT qid, rn, nid, dot_e8 FROM ranked WHERE rn <= 10
+      |ORDER BY qid, rn""".stripMargin
+
+  // ---------------------------------------------------------------- ANN LSH
+  private def p10(s: SparkSession, dir: String): DataFrame =
+    Similarity.annLsh(emb(s, dir), col("vec_id") < 10, k = 5)
+      .orderBy(col("qid"), col("rn"))
+
+  private val p10Sql =
+    """WITH el AS (
+      |  SELECT vec_id,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+      |      AS qv,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT j, i, ((37 + 13*j) * i + (91 + 7*j)) % 1000 - 500 AS w
+      |  FROM range(0, 8) tj(j), range(1, 65) ti(i)),
+      |sbits AS (SELECT vec_id, j, sum(w * qv) AS s
+      |          FROM el JOIN planes USING (i) GROUP BY vec_id, j),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+      |      AS bucket
+      |  FROM sbits GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+      |      FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+      |      WHERE e.vec_id < 10),
+      |candel AS (SELECT b.bucket, e.vec_id, e.embedding
+      |           FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id),
+      |cl AS (SELECT bucket, vec_id, unnest(embedding) AS v,
+      |       generate_subscripts(embedding, 1) AS i FROM candel),
+      |ql AS (SELECT qid, bucket, unnest(qe) AS qv,
+      |       generate_subscripts(qe, 1) AS i FROM q),
+      |pairs AS (
+      |  SELECT ql.qid, ql.bucket, cl.vec_id AS nid,
+      |    CAST(sum(CAST(round(CAST(ql.qv AS DOUBLE) * 10000) AS BIGINT)
+      |      * CAST(round(CAST(cl.v AS DOUBLE) * 10000) AS BIGINT))
+      |      AS BIGINT) AS dot_e8
+      |  FROM ql JOIN cl ON ql.i = cl.i AND ql.bucket = cl.bucket
+      |    AND cl.vec_id <> ql.qid
+      |  GROUP BY ql.qid, ql.bucket, cl.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY dot_e8 DESC, nid) AS rn FROM pairs)
+      |SELECT qid, bucket, rn, nid, dot_e8 FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  // ---------------------------------------------------------------- embed stats
+  private def p11(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelStats(emb(s, dir), nDims = 4).orderBy(col("label"))
+
+  private val p11Sql = {
+    val sums = (1 to 4).map(d =>
+      s"""CAST(sum(CAST(round(CAST(embedding[$d] AS DOUBLE) * 10000)
+         |    AS BIGINT)) AS BIGINT) AS s$d""".stripMargin).mkString(",\n  ")
+    s"""SELECT label, count(*) AS n,
+       |  $sums
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- multimodal (no SQL oracle)
+  private def p12(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(docs(s, dir)).orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_exact_dedup" -> (p01 _),
+    "p02_minhash_lsh" -> (p02 _),
+    "p03_simhash" -> (p03 _),
+    "p04_jaccard_pairs" -> (p04 _),
+    "p05_fingerprint" -> (p05 _),
+    "p06_text_stats" -> (p06 _),
+    "p07_quality" -> (p07 _),
+    "p08_lang_id" -> (p08 _),
+    "p09_knn_brute" -> (p09 _),
+    "p10_ann_lsh" -> (p10 _),
+    "p11_embed_stats" -> (p11 _),
+    "p12_multimodal" -> (p12 _))
+
+  /** p12 is deliberately absent: the fake-codec decode is not SQL —
+    * the driver records a rows-only check for it. */
+  val oracleSql: Map[String, String] = Map(
+    "p01_exact_dedup" -> p01Sql,
+    "p02_minhash_lsh" -> p02Sql,
+    "p03_simhash" -> p03Sql,
+    "p04_jaccard_pairs" -> p04Sql,
+    "p05_fingerprint" -> p05Sql,
+    "p06_text_stats" -> p06Sql,
+    "p07_quality" -> p07Sql,
+    "p08_lang_id" -> p08Sql,
+    "p09_knn_brute" -> p09Sql,
+    "p10_ann_lsh" -> p10Sql,
+    "p11_embed_stats" -> p11Sql)
 }

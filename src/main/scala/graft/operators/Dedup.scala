@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline extension
+  * (SURVEY.md §7.2.8): exact content dedup, MinHash-LSH near-dup,
+  * SimHash signatures, blocked n-gram Jaccard, and rolling-hash
+  * document fingerprints.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup shuffles only (digest, doc_id) — the text never moves;
+  *  - MinHash-LSH generates candidates via banded bucket join — the one
+  *    operator family where an all-pairs crossJoin is tempting and
+  *    fatal; candidates are O(collisions), not O(n²);
+  *  - Jaccard verification joins token postings only for candidate
+  *    pairs;
+  *  - blocked Jaccard restricts pairing to explicit blocking keys;
+  *  - per-doc windows (fingerprints) partition by doc_id — bounded by
+  *    document length, no skew.
+  */
+object Dedup {
+
+  import TextOps.HashP
+
+  /** Exact dedup via content digest: one row per distinct text with the
+    * kept (minimum) doc_id and the duplicate count. Project-then-group
+    * so the shuffle carries 64 hex chars + a long per row. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(sha2(col("text"), 256).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("fp"))
+
+  /** MinHash signatures: (doc_id, i, sig) for permutations
+    * h_i(x) = (a_i·x + b_i) mod P with a_i = 1+2i, b_i = 7+3i over the
+    * dense shingle ids in `dt` (doc_id, tid). */
+  def minhashSignatures(dt: DataFrame, spark: SparkSession, numPerms: Int): DataFrame = {
+    val perms = spark.range(0, numPerms).select(
+      col("id").as("i"), (lit(1) + lit(2) * col("id")).as("a"),
+      (lit(7) + lit(3) * col("id")).as("b"))
+    dt.crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("tid") + col("b")) % HashP).as("sig"))
+  }
+
+  /** LSH banding of minhash signatures → (doc_id, band, bkey). The band
+    * key is the comma-joined ordered signature slice, identical to the
+    * oracle's `string_agg(sig, ',' ORDER BY i)`. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs.groupBy(col("doc_id"), expr(s"i div $rowsPerBand").as("band"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(i, sig)))," +
+          " x -> cast(x.sig as string)), ',')").as("bkey"))
+
+  /** Candidate pairs (d1 < d2) sharing at least one LSH bucket. */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Exact Jaccard over the id-set table `dt` for the given candidate
+    * pairs; keeps pairs with similarity ≥ `threshold`. The division is
+    * a single IEEE op on exact integer counts — engine-deterministic. */
+  def jaccardVerify(candidates: DataFrame, dt: DataFrame, threshold: Double): DataFrame = {
+    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(dt.select(col("doc_id").as("d1"), col("tid")), Seq("d1"))
+      .join(dt.select(col("doc_id").as("d2"), col("tid")), Seq("d2", "tid"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union"))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline over a (doc_id, text) corpus:
+    * k-shingles → dense ids → signatures → bands → candidates → exact
+    * Jaccard ≥ threshold. */
+  def minhashNearDups(corpus: DataFrame, spark: SparkSession,
+      shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = TextOps.shingles(corpus, shingleK)
+    val v = TextOps.vocab(sh, "shingle")
+    val dt = sh.join(v, Seq("shingle")).select(col("doc_id"), col("tid"))
+    val sigs = minhashSignatures(dt, spark, numPerms)
+    val cands = lshCandidates(lshBands(sigs, rowsPerBand))
+    jaccardVerify(cands, dt, threshold)
+  }
+
+  /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a
+    * quadratic threshold hash ((a_j·t² + b_j·t + j) mod 8191 < 4096 →
+    * +1 else −1), weighted by token multiplicity; a linear-parity hash
+    * degenerates (every token votes identically on odd bits). */
+  def simhash(corpus: DataFrame, spark: SparkSession, bits: Int = 16): DataFrame = {
+    val tok = TextOps.tokens(corpus)
+    val cnt = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val v = TextOps.vocab(tok, "w")
+    val dt = cnt.join(v, Seq("w")).select(col("doc_id"), col("tid"), col("c"))
+    val bitsDf = spark.range(0, bits).select(
+      col("id").as("j"), (lit(1) + lit(2) * col("id")).as("a"),
+      (lit(17) + lit(5) * col("id")).as("b"))
+    dt.crossJoin(broadcast(bitsDf))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("c") *
+        when((col("a") * col("tid") * col("tid") + col("b") * col("tid")
+          + col("j")) % 8191 < 4096, 1).otherwise(-1)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(1L, cast(j as int))")).otherwise(0L))
+        .cast("long").as("simhash"))
+  }
+
+  /** Blocked n-gram (word-set) Jaccard: pairs within the same blocking
+    * key only — never all-pairs. `blockCols` must exist in `docs`. */
+  def blockedJaccard(docs: DataFrame, blockCols: Seq[String],
+      threshold: Double): DataFrame = {
+    val base = docs.select(
+      blockCols.map(col) :+ col("doc_id") :+
+        array_distinct(split(col("text"), " ")).as("ws"): _*)
+    val left = base.select(
+      blockCols.map(col) :+ col("doc_id").as("d1") :+ col("ws").as("w1"): _*)
+    val right = base.select(
+      blockCols.map(col) :+ col("doc_id").as("d2") :+ col("ws").as("w2"): _*)
+    left.join(right, blockCols).where(col("d1") < col("d2"))
+      .withColumn("n_inter", size(array_intersect(col("w1"), col("w2"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("w1"), col("w2"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .where(col("jaccard") >= threshold)
+      .select(blockCols.map(col) ++
+        Seq(col("d1"), col("d2"), col("n_inter"), col("n_union"),
+          col("jaccard")): _*)
+  }
+
+  /** Rolling-hash fingerprint: min over 4-gram polynomial hashes of the
+    * token-id sequence (winnowing with a single global window — the
+    * 1-fingerprint variant). Window partitioned per doc: bounded by doc
+    * length, no skew at scale. */
+  def fingerprint(corpus: DataFrame): DataFrame = {
+    val tok = TextOps.tokens(corpus)
+    val v = TextOps.vocab(tok, "w")
+    val seq = tok.join(v, Seq("w")).select(col("doc_id"), col("pos"), col("tid"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    seq
+      .withColumn("h",
+        ((col("tid") * 31 + lead(col("tid"), 1).over(w)) * 31
+          + lead(col("tid"), 2).over(w)) * 31 + lead(col("tid"), 3).over(w))
+      .where(col("h").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h") % HashP).as("fingerprint"),
+        count(lit(1)).as("n_grams"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `ArrayType(FloatType)` embedding column:
+  * brute-force quantized-cosine top-k (the correctness baseline) and a
+  * random-hyperplane-LSH bucketed variant (the scale path).
+  *
+  * Determinism: float dot products are NOT reproducible across engines
+  * (accumulation order), so similarity is computed on e4-quantized
+  * integer components — `round(x·10⁴)` per element, 64-bit integer
+  * products and sums, exact in any engine and order-independent. For
+  * unit-norm embeddings `dot_e8/1e8` IS the cosine to ~4 decimals; the
+  * ranking is what matters and it is total (tie-break on neighbor id).
+  *
+  * Scale design (100 TB): the query set is broadcast (top-k per query,
+  * k and |Q| small); the data side streams through one projection +
+  * aggregation — no shuffle of the corpus. The LSH variant prunes the
+  * corpus side to matching buckets before any dot product. The
+  * per-query top-k window partitions by query id — fine for |Q| ≫
+  * cores; for few-query/huge-corpus shapes swap the window for a
+  * per-partition heap (mapPartitions) merged on the driver.
+  */
+object Similarity {
+
+  /** Quantized dot product of two float-array columns as exact int64:
+    * Σ round(aᵢ·10⁴)·round(bᵢ·10⁴). */
+  def dotE8(a: String, b: String): Column =
+    expr(s"""aggregate(
+      zip_with($a, $b, (x, y) ->
+        cast(round(cast(x as double) * 10000) as bigint)
+          * cast(round(cast(y as double) * 10000) as bigint)),
+      0L, (acc, v) -> acc + v)""")
+
+  /** Brute-force top-k: for each query vector (`queries`: qid, qe) the
+    * k nearest corpus vectors (`emb`: vec_id, embedding) by quantized
+    * dot, descending, ties by vec_id. */
+  def knnBrute(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        dotE8("qe", "embedding").as("dot_e8"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dot_e8").desc, col("nid").asc)
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"), col("dot_e8"))
+  }
+
+  /** Deterministic integer "hyperplane" j over `dim` components:
+    * w_j[i] = ((37+13j)·i + (91+7j)) mod 1000 − 500, i 1-based. Shared
+    * with the oracle SQL formula — change both together. */
+  def planeWeights(j: Int, dim: Int): Seq[Long] =
+    (1 to dim).map(i => (((37L + 13 * j) * i + (91 + 7 * j)) % 1000) - 500)
+
+  /** Bucket id: 2^nPlanes sign-pattern of the quantized embedding
+    * against the integer hyperplanes. */
+  def lshBucket(embCol: String, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val lits = planeWeights(j, dim).mkString(", ")
+      val s = s"""aggregate(
+        zip_with($embCol, array($lits), (x, p) ->
+          cast(round(cast(x as double) * 10000) as bigint) * p),
+        0L, (acc, v) -> acc + v)"""
+      expr(s"case when ($s) > 0 then ${1L << j}L else 0L end")
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via hyperplane LSH: candidates = corpus vectors in the SAME
+    * bucket as the query, then exact quantized top-k within the bucket.
+    * Recall is bucket-bound (documented divergence from brute force —
+    * that is the point of the scale path). */
+  def annLsh(emb: DataFrame, queryFilter: Column, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val withBucket = emb.withColumn("bucket",
+      lshBucket("embedding", nPlanes, dim))
+    val queries = withBucket.where(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"))
+    val pairs = withBucket.join(broadcast(queries), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("bucket"), col("vec_id").as("nid"),
+        dotE8("qe", "embedding").as("dot_e8"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dot_e8").desc, col("nid").asc)
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("bucket"), col("rn"), col("nid"),
+        col("dot_e8"))
+  }
+
+  /** Per-label embedding stats on exact quantized components: count and
+    * Σ round(e[d]·10⁴) for the first `nDims` dimensions. */
+  def labelStats(emb: DataFrame, nDims: Int): DataFrame = {
+    val sums = (1 to nDims).map(d =>
+      sum(expr(s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
+        .as(s"s$d"))
+    val aggs = count(lit(1)).as("n") +: sums
+    emb.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+  }
+}

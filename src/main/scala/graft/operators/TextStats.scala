@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-pipeline extension: corpus
+  * stats, per-document quality signals, and a marker-word language-ID
+  * heuristic.
+  *
+  * All ratios are a single IEEE division of exact integer counts —
+  * engine-deterministic, no rounding needed for oracle parity.
+  */
+object TextStats {
+
+  /** Per-language corpus stats: doc/char/token totals and source
+    * breadth. One hash aggregate; token counts derive from the split
+    * length, so the text itself is never shuffled. */
+  def perLanguage(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        (sum(col("n_chars")).cast("double") / sum(col("n_tokens")))
+          .as("chars_per_token"))
+
+  /** Stopword set used by the quality score and its oracle. */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Per-document quality signals: token counts, type/token ratio,
+    * stopword ratio, mean word length (chars minus separators over
+    * tokens). Mirrors common pretraining-corpus quality filters
+    * (length, repetition, stopword density). */
+  def quality(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col("doc_id"), col("lang"),
+      col("n_chars"),
+      size(ws).cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_uniq"),
+      expr(s"cast(size(filter(split(text, ' '), w -> w in ($stopList))) as bigint)")
+        .as("n_stop"))
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("mean_word_len",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+  }
+
+  /** Marker vocabularies for the language-ID heuristic. The synthetic
+    * corpus shares one vocabulary across languages, so accuracy is
+    * meaningless by construction — the operator exercised here is the
+    * real shape (per-class marker counting + deterministic argmax),
+    * with markers over the corpus vocabulary so scores actually vary. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("join", "merge", "sort"),
+    "en" -> Seq("table", "row", "scan"),
+    "es" -> Seq("hash", "key", "value"),
+    "fr" -> Seq("group", "window", "filter"),
+    "zh" -> Seq("spark", "stream", "batch"))
+
+  private def markerCount(markers: Seq[String]): Column = {
+    val list = markers.map(w => s"'$w'").mkString(", ")
+    expr(s"cast(size(filter(split(text, ' '), w -> w in ($list))) as bigint)")
+  }
+
+  /** Language guess per doc: argmax of marker counts, ties broken by
+    * language-code order (the CASE chain encodes the tie-break; the
+    * oracle uses the identical chain). */
+  def langGuess: Column = {
+    val s = LangMarkers.map { case (l, m) => l -> markerCount(m) }.toMap
+    when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr")
+      && s("de") >= s("zh"), "de")
+      .when(s("en") >= s("es") && s("en") >= s("fr") && s("en") >= s("zh"), "en")
+      .when(s("es") >= s("fr") && s("es") >= s("zh"), "es")
+      .when(s("fr") >= s("zh"), "fr")
+      .otherwise("zh")
+  }
+
+  /** Confusion matrix of actual lang vs heuristic guess. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), langGuess.as("guess"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+}
