@@ -54,25 +54,54 @@ object Catalog {
 
   /** S6/O3 — point-in-time lookup: latest row per key strictly before a
     * cutoff (reference `hdbpp.py:167-177`: ORDER BY recv_time DESC
-    * LIMIT 1). Window + row_number, ties broken deterministically. */
+    * LIMIT 1), ties broken by `tieBreak` descending.
+    *
+    * Implemented as a `max_by` hash aggregate, NOT a row_number window:
+    * a window partitioned by a low-cardinality key (e.g. 5 event
+    * types) funnels the whole table through a few sort tasks, while
+    * max_by is a partial/final hash aggregate — constant state per key,
+    * map-side combined, skew-immune. */
   def latestBefore(df: DataFrame, keys: Seq[String], timeCol: String,
       cutoffUs: Long, tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).desc, col(tieBreak).desc)
-    df.where(col(timeCol) < cutoffUs)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
+    val before = df.where(col(timeCol) < cutoffUs)
+    // largest (t, tie) == smallest negated pair; TopK's UDAF plans as an
+    // ObjectHashAggregate (max_by over a struct degrades to SortAggregate)
+    val bounds = before
+      .groupBy(keys.map(col): _*)
+      .agg(TopK.smallestK(1, -col(timeCol).cast("long"),
+        -col(tieBreak).cast("long")).as("_top"))
+      .select(keys.map(col) :+ element_at(col("_top"), 1).as("_b"): _*)
+    before.join(broadcast(bounds), keys)
+      .where(col(timeCol).cast("long") === -col("_b._1")
+        && col(tieBreak).cast("long") === -col("_b._2"))
+      .drop("_b")
   }
 
   /** S7/O4 — first n events per key in a time window, ordered by time
-    * (reference `hdbpp.py:180-191`: ORDER BY time LIMIT 10). */
+    * (reference `hdbpp.py:180-191`: ORDER BY time LIMIT 10), with a
+    * 1-based `rn` rank column.
+    *
+    * Two skew-immune passes instead of one global row_number window:
+    * (1) a bounded top-k hash aggregate ([[TopK.smallestK]], ≤ n pairs
+    * of state per key, map-side combined) finds each key's n-th
+    * (time, tie) boundary; (2) rows at-or-under their key's boundary —
+    * exactly n per key since the tie-break is unique — get `rn` from a
+    * window over those ≤ n survivors. The expensive sort over the full
+    * table never happens; the residual window sorts n rows per key. */
   def firstEvents(df: DataFrame, keys: Seq[String], timeCol: String,
       t0Us: Long, t1Us: Long, n: Int, tieBreak: String): DataFrame = {
+    val inRange = df.where(col(timeCol) > t0Us && col(timeCol) < t1Us)
+    val bounds = inRange
+      .groupBy(keys.map(col): _*)
+      .agg(TopK.smallestK(n, col(timeCol).cast("long"),
+        col(tieBreak).cast("long")).as("_top"))
+      .select(keys.map(col) :+ element_at(col("_top"), -1).as("_kth"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(tieBreak).asc)
-    df.where(col(timeCol) > t0Us && col(timeCol) < t1Us)
+    inRange.join(broadcast(bounds), keys)
+      .where(struct(col(timeCol).cast("long"), col(tieBreak).cast("long"))
+        <= struct(col("_kth._1"), col("_kth._2")))
+      .drop("_kth")
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= n)
   }
 }

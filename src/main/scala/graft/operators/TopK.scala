@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k aggregate over (time, tieBreak) pairs — the partial
+  * top-k building block that replaces skew-prone `row_number()` windows
+  * (a window partitioned by a low-cardinality key sorts the WHOLE table
+  * in a handful of tasks; this aggregator's state never exceeds k pairs
+  * and merges map-side like any hash aggregate).
+  *
+  * Ordering is lexicographic on (t, tie) — ascending for first-k,
+  * flipped by negation for last-k (callers negate, keeping one code
+  * path). The buffer stays sorted; reduce is an insertion into ≤ k
+  * elements, merge is a bounded merge — O(k) state, O(log k)-ish work,
+  * no spill, no sort of the group.
+  */
+object TopK {
+
+  /** Sorted pair list capped at k. Pairs compare lexicographically. */
+  final case class Buf(items: Seq[(Long, Long)])
+
+  private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  final class SmallestK(k: Int)
+      extends Aggregator[(Long, Long), Buf, Seq[(Long, Long)]] {
+    require(k > 0)
+    def zero: Buf = Buf(Vector.empty)
+    def reduce(b: Buf, p: (Long, Long)): Buf =
+      if (b.items.size >= k && !lt(p, b.items.last)) b
+      else {
+        val (lo, hi) = b.items.span(lt(_, p))
+        Buf((lo ++ (p +: hi)).take(k))
+      }
+    def merge(a: Buf, b: Buf): Buf = {
+      val m = (a.items ++ b.items).sortWith(lt)
+      Buf(m.take(k))
+    }
+    def finish(b: Buf): Seq[(Long, Long)] = b.items
+    def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Column form: smallest k (t, tie) pairs of a group, sorted
+    * ascending, as array<struct<_1,_2>>. */
+  def smallestK(k: Int, timeCol: Column, tieCol: Column): Column =
+    udaf(new SmallestK(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .apply(timeCol, tieCol)
+}
