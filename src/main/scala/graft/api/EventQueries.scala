@@ -407,6 +407,52 @@ object EventQueries {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- A4 line raster
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Raster.binLines(pts(s, dir), Seq("event_type"), "point_id",
+      Epoch2024, TEnd, 0.0, VMax, W, H)
+      .orderBy(col("event_type"), col("px"), col("py"))
+
+  /** Bresenham as a recursive CTE: each working row is one line-walk
+    * state (x, y, err); a step emits the next covered cell, exactly
+    * mirroring [[Raster.bresenham]] (which emits every cell AFTER the
+    * start cell, endpoint included). Segments = consecutive points per
+    * event_type ordered by (t, point_id); NaN endpoints break the line. */
+  private val q21Sql =
+    s"""${PtsSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, proj AS (
+       |  SELECT event_type, point_id, t,
+       |    least(((t - $Epoch2024) * $W) // ${TEnd - Epoch2024}, ${W - 1}) AS px,
+       |    CASE WHEN isnan(value_r) THEN NULL
+       |         ELSE least(CAST(floor((value_r - 0.0) / $VMax * $H) AS BIGINT),
+       |                    ${H - 1}) END AS py
+       |  FROM pts WHERE t BETWEEN $Epoch2024 AND $TEnd),
+       |segs AS (
+       |  SELECT event_type,
+       |    lag(px) OVER win AS x0, lag(py) OVER win AS y0,
+       |    px AS x1, py AS y1
+       |  FROM proj WINDOW win AS (PARTITION BY event_type ORDER BY t, point_id)),
+       |walk AS (
+       |  SELECT event_type, x0 AS x, y0 AS y, x1, y1,
+       |    abs(x1 - x0) AS dx, -abs(y1 - y0) AS dy,
+       |    CASE WHEN x0 < x1 THEN 1 ELSE -1 END AS sx,
+       |    CASE WHEN y0 < y1 THEN 1 ELSE -1 END AS sy,
+       |    abs(x1 - x0) - abs(y1 - y0) AS err, FALSE AS emit
+       |  FROM segs WHERE x0 IS NOT NULL AND y0 IS NOT NULL AND y1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT event_type,
+       |    CASE WHEN 2*err >= dy THEN x + sx ELSE x END,
+       |    CASE WHEN 2*err <= dx THEN y + sy ELSE y END,
+       |    x1, y1, dx, dy, sx, sy,
+       |    err + CASE WHEN 2*err >= dy THEN dy ELSE 0 END
+       |        + CASE WHEN 2*err <= dx THEN dx ELSE 0 END,
+       |    TRUE
+       |  FROM walk WHERE NOT (x = x1 AND y = y1))
+       |SELECT event_type, x AS px, y AS py, count(*) AS cnt
+       |FROM walk WHERE emit AND x BETWEEN 0 AND ${W - 1}
+       |  AND y BETWEEN 0 AND ${H - 1}
+       |GROUP BY event_type, px, py
+       |ORDER BY event_type, px, py""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,7 +475,8 @@ object EventQueries {
     "q17_grafana_datapoints" -> (q17 _),
     "q18_csv_projection" -> (q18 _),
     "q19_broadcast_join" -> (q19 _),
-    "q20_pricing_summary" -> (q20 _))
+    "q20_pricing_summary" -> (q20 _),
+    "q21_raster_line" -> (q21 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" -> q01Sql,
@@ -451,5 +498,6 @@ object EventQueries {
     "q17_grafana_datapoints" -> q17Sql,
     "q18_csv_projection" -> q18Sql,
     "q19_broadcast_join" -> q19Sql,
-    "q20_pricing_summary" -> q20Sql)
+    "q20_pricing_summary" -> q20Sql,
+    "q21_raster_line" -> q21Sql)
 }

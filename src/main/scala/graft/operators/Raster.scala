@@ -80,33 +80,104 @@ object Raster {
         max(col("vmax")).as("col_max"),
         sum(col("cnt")).as("col_count"))
 
+  /** A line point after pixel projection; `k` is the NUL-joined series
+    * key, `py` is None for NaN values (line-break semantics). */
+  private[operators] final case class LP(k: String, px: Long,
+      py: Option[Long], t: Long, tie: Long)
+
+  private val KeySep = "\u0000"
+
+  /** Cells of the segment prev→cur, or none when the pair spans keys
+    * or touches a NaN (None) endpoint. Object-scoped so task closures
+    * capture nothing but this serializable object. */
+  private def segCells(a: LP, b: LP): Seq[(String, Long, Long)] =
+    if (a.k == b.k && a.py.isDefined && b.py.isDefined)
+      bresenham(a.px.toInt, a.py.get.toInt, b.px.toInt, b.py.get.toInt)
+        .toSeq.map { case (x, y) => (b.k, x.toLong, y.toLong) }
+    else Nil
+
   /** A4 — Canvas.line equivalent: per-cell count of pixels covered by
-    * the polyline connecting consecutive points of each series.
-    * NaN values break the line (datashader semantics: segments touching
-    * a NaN endpoint are skipped). */
-  def binLines(points: DataFrame, keys: Seq[String],
+    * the polyline connecting consecutive points of each series
+    * (consecutive = ordered by (t, tieCol) within the key). NaN values
+    * break the line (datashader semantics: segments touching a NaN
+    * endpoint are skipped); cells outside the canvas are clipped after
+    * rasterization.
+    *
+    * Scale design: the earlier implementation windowed over
+    * `partitionBy(keys).orderBy(t)`, which serializes a hot series'
+    * entire history through ONE sort task (a years-long 1 Hz attribute
+    * is ~10⁸ points). This version range-repartitions on
+    * (key, t, tie) — Spark splits each series across as many
+    * partitions as its size demands — sorts within partitions, emits
+    * Bresenham cells per consecutive pair inside each partition, and
+    * stitches the O(#partitions) cross-partition segment pairs on the
+    * driver. One pass over cached sorted data + one O(#partitions)
+    * collect; no per-key sort bottleneck. Output key columns are
+    * strings (keys are NUL-joined for the typed pass).
+    *
+    * Limitation (documented divergence from datashader): segments are
+    * rasterized from their true endpoints and clipped per-cell, not
+    * geometrically clipped at the canvas edge; callers should pass a
+    * [vmin, vmax] covering the data (imageQuery does — axis limits come
+    * from the extrema phase). */
+  def binLines(points: DataFrame, keys: Seq[String], tieCol: String,
       t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
       width: Int, height: Int, logScale: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("t"))
-    val withPx = points
-      .withColumn("px", pxCol(col("t"), t0Us, t1Us, width))
-      .withColumn("py",
+    val spark = points.sparkSession
+    import spark.implicits._
+    val prepared = points
+      .where(col("t").between(t0Us, t1Us))
+      .select(
+        concat_ws(KeySep, keys.map(col(_).cast("string")): _*).as("k"),
+        pxCol(col("t"), t0Us, t1Us, width).as("px"),
         when(isnan(col("value_r")), lit(null))
-          .otherwise(pyCol(col("value_r"), vmin, vmax, height, logScale)))
-      .withColumn("px0", lag(col("px"), 1).over(w))
-      .withColumn("py0", lag(col("py"), 1).over(w))
-      .where(col("px0").isNotNull && col("py0").isNotNull
-        && col("py").isNotNull)
-    val seg = udf(bresenham _)
-    withPx
-      .select(keys.map(col) :+
-        explode(seg(col("px0"), col("py0"), col("px"), col("py")))
-          .as("cell"): _*)
-      .select(keys.map(col) :+ col("cell._1").as("px")
-        :+ col("cell._2").as("py"): _*)
-      .where(col("px").between(0, width - 1) && col("py").between(0, height - 1))
-      .groupBy(keys.map(col) :+ col("px") :+ col("py"): _*)
+          .otherwise(pyCol(col("value_r"), vmin, vmax, height, logScale))
+          .cast("long").as("py"),
+        col("t").cast("long").as("t"),
+        col(tieCol).cast("long").as("tie"))
+      .as[LP]
+    // cached so the edge-collect job and the returned (lazy) cell frame
+    // share one shuffle+sort; evicted by Spark's LRU — the projection is
+    // 5 narrow columns, the same order of magnitude as the reference's
+    // per-day data cache entries (utils.py:174-236)
+    val sorted = prepared
+      .repartitionByRange(col("k"), col("t"), col("tie"))
+      .sortWithinPartitions(col("k"), col("t"), col("tie"))
+      .persist()
+    // within-partition consecutive pairs
+    val inner = sorted.mapPartitions { it =>
+      var prev: LP = null
+      it.flatMap { cur =>
+        val out = if (prev != null) segCells(prev, cur) else Nil
+        prev = cur
+        out
+      }
+    }
+    // cross-partition pairs: (last of partition i, first of the next
+    // non-empty partition) — O(#partitions) rows, stitched driver-side
+    val edges = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val first = it.next(); var last = first
+        while (it.hasNext) last = it.next()
+        Iterator.single((i, first, last))
+      }
+    }.collect().sortBy(_._1)
+    val boundary = edges.toSeq.sliding(2).flatMap {
+      case Seq((_, _, last), (_, first, _)) => segCells(last, first)
+      case _ => Nil
+    }.toSeq
+    val cells = inner.toDF("k", "px", "py")
+      .unionByName(spark.createDataFrame(boundary).toDF("k", "px", "py"))
+    val keyCols = keys.zipWithIndex.map { case (name, i) =>
+      split(col("k"), KeySep).getItem(i).as(name)
+    }
+    cells
+      .where(col("px").between(0, width - 1)
+        && col("py").between(0, height - 1))
+      .groupBy(col("k"), col("px"), col("py"))
       .agg(count(lit(1)).as("cnt"))
+      .select(keyCols ++ Seq(col("px"), col("py"), col("cnt")): _*)
   }
 
   /** Integer Bresenham line: all cells covered from (x0,y0) to (x1,y1),
