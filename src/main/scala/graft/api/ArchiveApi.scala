@@ -1,0 +1,156 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Catalog, Extrema, Raster, Resample}
+import graft.render.Render
+
+/** Query façade mirroring the reference server's routes (SURVEY §3):
+  * `search` / `controlSystems` (catalog), `rawQuery` (the Grafana
+  * `/query` endpoint: filter → resample → CSV or JSON), and
+  * `imageQuery` (the `/image` hot path: extrema → axis limits → pad →
+  * raster → shade → stack → PNG+base64).
+  *
+  * Execution shape at scale: `imageQuery` is exactly two aggregation
+  * passes over the points (extrema, then grids — the same two-phase
+  * structure as `server.py:114-138`, because y ranges feed the pixel
+  * transform), each collecting only O(#attributes) rows or O(pixels)
+  * cells; `rawQuery` collects the user-requested (resampled) rows like
+  * the reference's pandas renderers. No driver loop ever touches raw
+  * points.
+  */
+object ArchiveApi {
+
+  /** One requested attribute (reference request JSON:
+    * `{name, color, y_axis}`, `server.py:108-112`). */
+  final case class AttrSpec(name: String, color: Int = 0xff0000,
+      yAxis: Int = 0)
+
+  /** Per-axis config (`{scale, min, max}`, `server.py:101-107`). */
+  final case class AxisSpec(scale: Option[String] = None,
+      min: Option[Double] = None, max: Option[Double] = None) {
+    def isLog: Boolean = scale.contains("log")
+  }
+
+  final case class AxisImage(imageBase64: String,
+      yRange: (Double, Double), xRangeMs: (Double, Double))
+
+  /** Hover info per attribute (`plot.py:44-60`): non-empty pixel
+    * columns, per-column extrema/count, column-center timestamps. */
+  final case class HoverDesc(totalPoints: Long, indices: Seq[Int],
+      colMin: Seq[Double], colMax: Seq[Double], timestamps: Seq[Double],
+      counts: Seq[Long])
+
+  final case class ImageResult(images: Map[String, AxisImage],
+      descs: Map[String, HoverDesc])
+
+  /** F5+O1 — glob search over the catalog (route `GET /attributes`). */
+  def search(attNames: DataFrame, glob: String): DataFrame =
+    Catalog.search(attNames, glob)
+
+  /** O2 — route `GET /controlsystems`. */
+  def controlSystems(attConf: DataFrame): DataFrame =
+    Catalog.controlSystems(attConf)
+
+  /** §3.2 `POST /query` — inclusive time filter, optional resample,
+    * rendered as the reference's CSV block or Grafana JSON format.
+    * `points` needs att_name, t (µs), value_r. */
+  def rawQuery(points: DataFrame, attrNames: Seq[String],
+      t0Us: Long, t1Us: Long, interval: Option[String],
+      asCsv: Boolean): String = {
+    val filtered = points.where(col("att_name").isin(attrNames: _*))
+    val resampled = Resample
+      .rawQuery(filtered, t0Us, t1Us, interval, Seq("att_name"))
+    val rows = (interval match {
+      case Some(_) => resampled.select(col("att_name"), col("t"),
+        col("value_r")).orderBy(col("att_name"), col("t"))
+      case None => resampled.select(col("att_name"),
+        col("t").cast("double").as("t"), col("value_r"))
+        .orderBy(col("att_name"), col("t"))
+    }).collect()
+    val byAttr = rows.groupBy(_.getString(0))
+    val series = attrNames.flatMap { name =>
+      byAttr.get(name).map { rs =>
+        Render.Series(name, rs.toSeq.map { r =>
+          val v = r.getDouble(2)
+          (r.getDouble(1), if (v.isNaN) None else Some(v))
+        })
+      }
+    }
+    if (asCsv) Render.csv(series) else Render.grafanaJson(series)
+  }
+
+  /** §3.1 `POST /image` — the interactive plot query. `points` needs
+    * att_name, t (µs), value_r, and `tieCol` for deterministic segment
+    * pairing. Returns base64 PNGs per y-axis plus hover descs. */
+  def imageQuery(points: DataFrame, attrs: Seq[AttrSpec],
+      t0Us: Long, t1Us: Long, width: Int, height: Int,
+      axes: Map[Int, AxisSpec] = Map.empty,
+      tieCol: String = "point_id"): ImageResult = {
+    val byAxis = attrs.groupBy(_.yAxis)
+    val images = Map.newBuilder[String, AxisImage]
+    val descs = Map.newBuilder[String, HoverDesc]
+
+    byAxis.foreach { case (axis, axisAttrs) =>
+      val spec = axes.getOrElse(axis, AxisSpec())
+      val names = axisAttrs.map(_.name)
+      val axisPoints = points.where(col("att_name").isin(names: _*)
+        && col("t").between(t0Us, t1Us))
+
+      // phase 1 — extrema (A2/A7 + manual override, plot.py:74-109)
+      val ex = Extrema.perAttribute(axisPoints, Seq("att_name"), spec.isLog)
+        .collect().map { r =>
+          r.getString(0) -> (Option(r.get(1)).map(_.toString.toDouble),
+            Option(r.get(2)).map(_.toString.toDouble), r.getLong(3))
+        }.toMap
+      val totalPoints = ex.map { case (k, (_, _, n)) => k -> n }
+      val nodata = names.filter(n =>
+        ex.get(n).forall(e => e._1.isEmpty || e._2.isEmpty))
+      val present = names.filterNot(nodata.contains)
+      val vmins = present.flatMap(n => spec.min.orElse(ex(n)._1))
+      val vmaxs = present.flatMap(n => spec.max.orElse(ex(n)._2))
+      if (vmins.nonEmpty && vmaxs.nonEmpty) {
+        // A3 axis limits + 5%-pad / constant-range (plot.py:112-188)
+        val (yLo, yHi) = Extrema.padRange(vmins.min, vmaxs.max, spec.isLog)
+
+        // phase 2 — grids: lines for the image, points for hover
+        val lineCells = Raster.binLines(
+          axisPoints.where(col("att_name").isin(present: _*)),
+          Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
+          spec.isLog).collect()
+        val pointGrid = Raster.binPoints(
+          axisPoints.where(col("att_name").isin(present: _*)),
+          Seq("att_name"), t0Us, t1Us, yLo, yHi, width, height,
+          spec.isLog).collect()
+
+        val layers = axisAttrs.filter(a => present.contains(a.name)).map { a =>
+          val cells = lineCells.filter(_.getString(0) == a.name)
+            .map(r => (r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3)))
+          Render.shade(Render.Grid(a.name, a.color, width, height,
+            cells.toSeq))
+        }
+        val img = Render.stack(layers.toSeq, width, height)
+        images += axis.toString -> AxisImage(Render.pngBase64(img),
+          (yLo, yHi), (t0Us / 1000.0, t1Us / 1000.0))
+
+        // hover reductions (A6, plot.py:44-60) from the points grid
+        present.foreach { name =>
+          val cols = pointGrid.filter(_.getString(0) == name)
+            .groupBy(_.getLong(1).toInt)
+          val indices = cols.keys.toSeq.sorted
+          def colAgg[T](f: Iterable[org.apache.spark.sql.Row] => T): Seq[T] =
+            indices.map(i => f(cols(i)))
+          descs += name -> HoverDesc(
+            totalPoints.getOrElse(name, 0L),
+            indices,
+            colAgg(_.map(_.getDouble(5)).min), // vmin per column
+            colAgg(_.map(_.getDouble(6)).max), // vmax per column
+            indices.map(i =>
+              t0Us + (i + 0.5) * (t1Us - t0Us) / width), // column centers, µs
+            colAgg(_.map(_.getLong(3)).sum)) // summed count
+        }
+      }
+    }
+    ImageResult(images.result(), descs.result())
+  }
+}

@@ -67,23 +67,11 @@ object EventQueries {
        |ORDER BY t, point_id""".stripMargin
 
   // ---------------------------------------------------------------- A1 resample
-  private def resampleQ(freq: String)(s: SparkSession, dir: String): DataFrame = {
-    val d = TimeFns.intervalUs(freq)
-    pts(s, dir)
-      .where(TimeFns.inRangeInclusive(col("t"), T0, T1))
-      .withColumn("t_off", col("t") - lit(Epoch2024))
-      .groupBy(col("att_name"),
-        TimeFns.roundBucketUs(col("t"), d).as("bucket_us"))
-      .agg(
-        // exact long sum → one double cast → one IEEE division: identical
-        // bits in any engine (`avg` accumulates differently and drifts
-        // 1 ulp at ~1e12 µs offsets — seen vs DuckDB at sf0.01)
-        (sum(col("t_off")).cast("double") / count(lit(1)))
-          .as("t_mean_off_us"),
-        meanCents("value_r").as("value_mean"),
-        count(lit(1)).as("n"))
+  private def resampleQ(freq: String)(s: SparkSession, dir: String): DataFrame =
+    Resample.resampleExact(
+      pts(s, dir).where(TimeFns.inRangeInclusive(col("t"), T0, T1)),
+      freq, Seq("att_name"), Epoch2024)
       .orderBy(col("att_name"), col("bucket_us"))
-  }
 
   private def resampleSql(freq: String): String = {
     val d = TimeFns.intervalUs(freq)

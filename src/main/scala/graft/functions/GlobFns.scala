@@ -20,8 +20,11 @@ object GlobFns {
       if ("\\.[]{}()*+-?^$|/".indexOf(c) >= 0) s"\\$c" else c.toString)
 
   /** Translate a shell glob into an anchored regex. Supported: `*`, `?`,
-    * `[seq]`, `[!seq]`; everything else matched literally. Same effect
-    * as Python's fnmatch.translate for the patterns the UI sends. */
+    * `[seq]`, `[!seq]`; everything else matched literally. Mirrors
+    * Python's fnmatch.translate edge cases: a `]` immediately after `[`
+    * (or `[!`) is a literal class member, an unclosed `[` is a literal
+    * bracket, and `&&`/`[` inside a class are escaped so Java regex
+    * does not read class intersection or nesting into them. */
   def globToRegex(glob: String): String = {
     val sb = new StringBuilder("^")
     var i = 0
@@ -30,12 +33,24 @@ object GlobFns {
         case '*' => sb.append(".*")
         case '?' => sb.append('.')
         case '[' =>
-          val close = glob.indexOf(']', i + 1)
+          // fnmatch: the scan for the closing ] starts after an optional
+          // leading ! and an optional literal ] member
+          var j = i + 1
+          if (j < glob.length && glob.charAt(j) == '!') j += 1
+          if (j < glob.length && glob.charAt(j) == ']') j += 1
+          val close = glob.indexOf(']', j)
           if (close < 0) sb.append("\\[")
           else {
-            var inner = glob.substring(i + 1, close)
-            if (inner.startsWith("!")) inner = "^" + inner.substring(1)
-            sb.append('[').append(inner.replace("\\", "\\\\")).append(']')
+            val inner = glob.substring(i + 1, close)
+            val neg = inner.startsWith("!")
+            val safe = (if (neg) inner.substring(1) else inner)
+              .replace("\\", "\\\\")
+              .replace("[", "\\[")
+              .replace("]", "\\]")
+              .replace("&", "\\&")
+              .replace("^", "\\^")
+            sb.append('[').append(if (neg) "^" else "").append(safe)
+              .append(']')
             i = close
           }
         case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)

@@ -16,7 +16,15 @@ object Extrema {
 
   /** Per-series min/max/count of value_r. `logScale=true` applies the
     * positive-value filter first (F3, reference `plot.py:93-97`). NaNs
-    * are excluded from extrema like numpy's nanmin/nanmax. */
+    * are excluded from extrema like numpy's nanmin/nanmax.
+    *
+    * NaN note: Spark (and DuckDB) order NaN above all reals, so
+    * `value_r > 0` KEEPS NaN rows — they are then nulled out of the
+    * extrema but still counted. pandas' `where(v > 0)` masks NaN too;
+    * the reference's `points` count is `len(relevant)` before any
+    * filtering (`plot.py:106-108`), so neither engine-side choice
+    * matches it exactly — ours counts the log-filtered rows, documented
+    * divergence. */
   def perAttribute(points: DataFrame, keys: Seq[String],
       logScale: Boolean = false): DataFrame = {
     val base = if (logScale) points.where(col("value_r") > 0) else points
@@ -40,22 +48,23 @@ object Extrema {
         count(lit(1)).as("n_series"))
 
   /** Axis range padding + degenerate-range invention, reference
-    * `plot.py:160-188`: pad 5% each side (in log10 space for log axes);
-    * a constant-value series gets an invented ±0.5 (lin) / ×/÷2 (log)
-    * range. Driver-side scalar math (runs on collected limits). */
+    * `plot.py:160-188`: a constant-value axis gets an invented range —
+    * (v/2, 1.5v) for v>0, (−0.5, 0.5) for v=0, (1.5v, v/2) for v<0 —
+    * regardless of scale (the reference's constant branch runs before
+    * the log/linear split); otherwise pad 5% each side, in log10 space
+    * for log axes. Driver-side scalar math (runs on collected limits). */
   def padRange(vmin: Double, vmax: Double, logScale: Boolean): (Double, Double) =
-    if (logScale) {
+    if (vmin == vmax) {
+      val v = vmin
+      if (v > 0) (v / 2, 1.5 * v)
+      else if (v == 0) (-0.5, 0.5)
+      else (1.5 * v, v / 2)
+    } else if (logScale) {
       val (lo, hi) = (math.log10(vmin), math.log10(vmax))
-      if (lo == hi) (math.pow(10, lo - math.log10(2)), math.pow(10, hi + math.log10(2)))
-      else {
-        val pad = (hi - lo) * 0.05
-        (math.pow(10, lo - pad), math.pow(10, hi + pad))
-      }
+      val pad = 0.05 * (hi - lo)
+      (math.pow(10, lo - pad), math.pow(10, hi + pad))
     } else {
-      if (vmin == vmax) (vmin - 0.5, vmax + 0.5)
-      else {
-        val pad = (vmax - vmin) * 0.05
-        (vmin - pad, vmax + pad)
-      }
+      val pad = 0.05 * (vmax - vmin)
+      (vmin - pad, vmax + pad)
     }
 }

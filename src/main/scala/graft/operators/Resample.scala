@@ -37,7 +37,7 @@ object Resample {
     val bucket = TimeFns.roundBucketUs(col("t"), deltaUs).as("bucket_us")
     val aggs: Seq[Column] =
       avg(col("t")).as("t") +: valueCols.map(c => avg(col(c)).as(c))
-    df.groupBy(col("bucket_us") +: keys.map(col): _*)
+    df.groupBy(keys.map(col) :+ bucket: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select(keys.map(col) ++ Seq(col("bucket_us"), col("t")) ++
         valueCols.map(col): _*)
@@ -52,5 +52,24 @@ object Resample {
       case Some(f) => resample(filtered, f, keys, Seq("value_r"))
       case None => filtered
     }
+  }
+
+  /** Oracle-exact resample used by the correctness queries: the same
+    * round-to-nearest bucketing, but means computed as exact integer
+    * sums (µs offsets from `epochRefUs`; integer cents for values) with
+    * a single double division — bit-identical in any engine, unlike
+    * [[resample]]'s float `avg` whose accumulation order varies. */
+  def resampleExact(df: DataFrame, freq: String, keys: Seq[String],
+      epochRefUs: Long): DataFrame = {
+    val d = TimeFns.intervalUs(freq)
+    df.withColumn("t_off", col("t") - lit(epochRefUs))
+      .groupBy(keys.map(col) :+
+        TimeFns.roundBucketUs(col("t"), d).as("bucket_us"): _*)
+      .agg(
+        (sum(col("t_off")).cast("double") / count(lit(1)))
+          .as("t_mean_off_us"),
+        round(sum(round(col("value_r") * 100).cast("long")).cast("double")
+          / count(lit(1)) / lit(100.0), 6).as("value_mean"),
+        count(lit(1)).as("n"))
   }
 }

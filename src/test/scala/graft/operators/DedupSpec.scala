@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "spark shuffles data between stages when keys move around nodes"),
+    (3L, "completely different text with nothing shared at all here now"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val r = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(r.length == 3)
+    assert(r(0).getLong(0) == 0L && r(0).getLong(1) == 2L)
+    assert(r(1).getLong(1) == 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val corpus = docs.union(Seq(
+      (10L, "quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")) // doc 0 minus first word
+    val pairs = Dedup.minhashNearDups(corpus, spark, threshold = 0.5)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 10L && j > 0.7 })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
+  }
+
+  test("jaccardVerify computes exact set Jaccard for candidates") {
+    val dt = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
+      .toDF("doc_id", "tid")
+    val cand = Seq((1L, 2L)).toDF("d1", "d2")
+    val r = Dedup.jaccardVerify(cand, dt, 0.0).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(2) == 2L && r.head.getLong(3) == 4L
+      && r.head.getDouble(4) == 0.5)
+  }
+
+  test("simhash: identical texts share a signature, distinct texts differ") {
+    val sig = Dedup.simhash(docs, spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig.values.toSet.size >= 2)
+    assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
+  }
+
+  test("blockedJaccard only pairs within the same block") {
+    val d = Seq(
+      (0L, "en", "s1", "a b c d"), (1L, "en", "s1", "a b c e"),
+      (2L, "en", "s2", "a b c d"), (3L, "fr", "s1", "a b c d"))
+      .toDF("doc_id", "lang", "source", "text")
+    val pairs = Dedup.blockedJaccard(d, Seq("lang", "source"), 0.0)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(pairs.toSet == Set((0L, 1L))) // same (lang, source) only
+  }
+
+  test("fingerprint: equal token sequences agree, shifts differ") {
+    val d = Seq(
+      (0L, "a b c d e f g h"), (1L, "a b c d e f g h"),
+      (2L, "h g f e d c b a")).toDF("doc_id", "text")
+    val fp = Dedup.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L)._2 == 5L) // 8 tokens → 5 4-grams
+    assert(fp(0L)._1 != fp(2L)._1)
+  }
+}

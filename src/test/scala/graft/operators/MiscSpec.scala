@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.model.{AttributePath, TangoTypes}
+
+class MiscSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("TextStats.quality ratios are exact count divisions") {
+    val d = Seq((0L, "en", 11L, "the a the b")) // 4 tokens, 3 distinct words
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val r = TextStats.quality(d).collect().head
+    assert(r.getLong(3) == 4L) // n_tokens
+    assert(r.getLong(4) == 3L) // n_uniq
+    assert(r.getLong(5) == 3L) // stopwords: the, a, the
+    assert(r.getDouble(6) == 0.75) // uniq ratio
+    assert(r.getDouble(7) == 0.75) // stop ratio
+    assert(r.getDouble(8) == 2.0) // (11 - 4 + 1) / 4 mean word length
+  }
+
+  test("TextStats.langGuess argmax with alphabetical tie-break") {
+    val d = Seq(
+      (0L, "x", 1L, "join merge sort sort"), // de markers dominate
+      (1L, "x", 1L, "table row scan scan"), // en markers
+      (2L, "x", 1L, "nothing matches here")) // all-zero → first lang (de)
+      .toDF("doc_id", "lang", "n_chars", "text")
+    val r = d.select(TextStats.langGuess.as("g")).as[String].collect()
+    assert(r.toSeq == Seq("de", "en", "de"))
+  }
+
+  test("Multimodal: deterministic fake decode over binary payloads") {
+    val d = Seq((0L, "en", "src0", 5L, "hello"), (1L, "en", "src0", 5L, "hello"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val r = Multimodal.features(d).orderBy("doc_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(2) == 5L) // byte_len of utf-8 "hello"
+    assert(r(0).getLong(5) == r(1).getLong(5)) // checksum deterministic
+    assert(r(0).getSeq[Float](6).length == 8) // 8 histogram buckets
+    assert(math.abs(r(0).getSeq[Float](6).sum - 1.0f) < 1e-6)
+  }
+
+  test("Model path codec round-trips 5-part attribute paths (C1)") {
+    val full = "cs1:10000/r3/mag/dia-01/current"
+    val (cs, rest) = AttributePath.splitCs(full)
+    assert(cs == "cs1:10000")
+    val an = AttributePath.splitName(rest)
+    assert((an.domain, an.family, an.member, an.name)
+      == ("r3", "mag", "dia-01", "current"))
+    assert(AttributePath.format(cs, an.domain, an.family, an.member,
+      an.name) == full)
+  }
+
+  test("TangoTypes: 26 tables, type resolution") {
+    assert(TangoTypes.dataTables.size == 26)
+    assert(TangoTypes.dataTables.contains("att_scalar_devdouble_ro"))
+    assert(TangoTypes.dataTables.contains("att_scalar_devushort_rw"))
+    assert(TangoTypes.scalarTypes.size == 13)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class RasterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("bresenham: horizontal, vertical, diagonal; start cell excluded") {
+    assert(Raster.bresenham(0, 0, 3, 0).toSeq ==
+      Seq((1, 0), (2, 0), (3, 0)))
+    assert(Raster.bresenham(2, 1, 2, 4).toSeq ==
+      Seq((2, 2), (2, 3), (2, 4)))
+    assert(Raster.bresenham(0, 0, 3, 3).toSeq ==
+      Seq((1, 1), (2, 2), (3, 3)))
+    assert(Raster.bresenham(5, 5, 5, 5).toSeq == Seq.empty) // degenerate
+  }
+
+  test("bresenham: steep and reversed lines cover a connected path") {
+    val cells = Raster.bresenham(0, 0, 2, 7)
+    assert(cells.length == 7 && cells.last == ((2, 7)))
+    val back = Raster.bresenham(3, 2, 0, 0)
+    assert(back.last == ((0, 0)) && !back.contains((3, 2)))
+  }
+
+  test("pxCol bins µs timestamps, clamping the right edge") {
+    val r = Seq(0L, 499L, 500L, 999L, 1000L).toDF("t")
+      .select(Raster.pxCol(col("t"), 0L, 1000L, 2).as("px"))
+      .as[Long].collect()
+    assert(r.toSeq == Seq(0L, 0L, 1L, 1L, 1L)) // t=1000 (t1) clamps to last px
+  }
+
+  test("pyCol linear and log scales") {
+    val lin = Seq(0.0, 4.9, 5.0, 10.0).toDF("v")
+      .select(Raster.pyCol(col("v"), 0.0, 10.0, 2).as("py"))
+      .as[Long].collect()
+    assert(lin.toSeq == Seq(0L, 0L, 1L, 1L))
+    val log = Seq(1.0, 9.0, 10.0, 100.0).toDF("v")
+      .select(Raster.pyCol(col("v"), 1.0, 100.0, 2, logScale = true).as("py"))
+      .as[Long].collect()
+    assert(log.toSeq == Seq(0L, 0L, 1L, 1L))
+  }
+
+  test("binPoints: golden 4x2 grid with count/mean/min/max (A5)") {
+    val pts = Seq(
+      ("a", 0L, 1.0), ("a", 100L, 3.0), // cell (0,0) and (0,1)
+      ("a", 600L, 1.0), ("a", 650L, 1.5), // both cell (2,0)
+      ("a", 999L, 9.0), // out of value range [0,4]
+      ("a", 500L, Double.NaN)) // dropped
+      .toDF("att_name", "t", "value_r")
+    val grid = Raster.binPoints(pts, Seq("att_name"), 0L, 1000L, 0.0, 4.0, 4, 2)
+      .orderBy("px", "py").collect()
+    assert(grid.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq == Seq(
+      (0L, 0L, 1L, 1.0, 1.0, 1.0),
+      (0L, 1L, 1L, 3.0, 3.0, 3.0),
+      (2L, 0L, 2L, 1.25, 1.0, 1.5)))
+  }
+
+  test("hoverColumns collapses the grid along y (A6)") {
+    val pts = Seq(("a", 0L, 1.0), ("a", 100L, 3.0), ("a", 600L, 2.0))
+      .toDF("att_name", "t", "value_r")
+    val hov = Raster.hoverColumns(
+      Raster.binPoints(pts, Seq("att_name"), 0L, 1000L, 0.0, 4.0, 4, 2),
+      Seq("att_name")).orderBy("px").collect()
+    assert(hov.map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4))).toSeq == Seq((0L, 1.0, 3.0, 2L), (2L, 2.0, 2.0, 1L)))
+  }
+
+  test("binLines: connected polyline cells, NaN breaks the line (A4)") {
+    val pts = Seq(
+      ("a", 0L, 100L, 0.5), ("a", 1L, 300L, 2.5), // diagonal up
+      ("a", 2L, 500L, Double.NaN), // break
+      ("a", 3L, 700L, 0.5), ("a", 4L, 900L, 0.5)) // horizontal after break
+      .toDF("att_name", "point_id", "t", "value_r")
+    val cells = Raster.binLines(pts, Seq("att_name"), "point_id",
+      0L, 1000L, 0.0, 4.0, 8, 4).orderBy("px", "py").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // segment (0,0)->(2,2): bresenham gives (1,1),(2,2); NaN kills both
+    // adjacent segments; (5,0)->(7,0) gives (6,0),(7,0)
+    assert(cells.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (6L, 0L, 1L),
+      (7L, 0L, 1L)))
+  }
+
+  test("binLines matches the old single-window formulation on a fixture") {
+    // 40 points over two series — enough to span multiple range partitions
+    val rows = (0 until 40).map { i =>
+      (if (i % 2 == 0) "x" else "y", i.toLong, i.toLong * 25,
+        (i % 7).toDouble)
+    }
+    val pts = rows.toDF("att_name", "point_id", "t", "value_r")
+    val fast = Raster.binLines(pts, Seq("att_name"), "point_id",
+      0L, 1000L, 0.0, 7.0, 16, 8)
+      .orderBy("att_name", "px", "py").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference formulation: window lag over each whole series
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("att_name").orderBy("t", "point_id")
+    val proj = pts
+      .withColumn("px", Raster.pxCol(col("t"), 0L, 1000L, 16))
+      .withColumn("py", Raster.pyCol(col("value_r"), 0.0, 7.0, 8))
+      .withColumn("px0", lag("px", 1).over(w))
+      .withColumn("py0", lag("py", 1).over(w))
+      .where(col("px0").isNotNull)
+      .collect()
+    val slow = proj.flatMap { r =>
+      // columns: att_name(0) point_id(1) t(2) value_r(3) px(4) py(5) px0(6) py0(7)
+      Raster.bresenham(r.getLong(6).toInt, r.getLong(7).toInt,
+        r.getLong(4).toInt, r.getLong(5).toInt)
+        .map(c => (r.getString(0), c._1.toLong, c._2.toLong))
+    }.filter { case (_, x, y) => x >= 0 && x < 16 && y >= 0 && y < 8 }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, k._3, v.size.toLong) }
+      .toSeq.sorted
+    assert(fast.toSeq == slow)
+  }
+}

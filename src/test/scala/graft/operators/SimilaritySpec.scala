@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("dotE8 is the exact quantized integer dot product") {
+    val df = Seq((Array(1.0f, 0.5f), Array(0.5f, 1.0f)))
+      .toDF("qe", "embedding")
+      .select(Similarity.dotE8("qe", "embedding").as("d"))
+    // round(1*1e4)*round(.5*1e4)*2 = 10000*5000 + 5000*10000
+    assert(df.as[Long].head() == 100000000L)
+  }
+
+  test("knnBrute ranks by quantized dot desc with id tie-break") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val r = Similarity.knnBrute(emb, q, 3).orderBy("rn").collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    // ids 1 and 3 tie on dot; id asc breaks the tie
+    assert(r.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("planeWeights is deterministic and matches the oracle formula") {
+    val w = Similarity.planeWeights(0, 4)
+    assert(w == Seq((37 * 1 + 91) % 1000 - 500, (37 * 2 + 91) % 1000 - 500,
+      (37 * 3 + 91) % 1000 - 500, (37 * 4 + 91) % 1000 - 500))
+  }
+
+  test("annLsh returns neighbors only from the query's bucket") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.annLsh(emb, col("vec_id") < 3, k = 5,
+      nPlanes = 4, dim = 8).collect()
+    assert(r.nonEmpty)
+    val buckets = r.map(x => (x.getLong(0), x.getLong(1))).distinct
+    assert(buckets.map(_._1).distinct.length == buckets.length,
+      "one bucket per query")
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).distinct.length == rows.length)
+      assert(rows.length <= 5)
+    }
+  }
+
+  test("labelStats aggregates exact quantized sums per label") {
+    val emb = Seq((0L, Array(0.5f, -0.5f), 1), (1L, Array(0.25f, 0.75f), 1),
+      (2L, Array(1.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelStats(emb, 2).orderBy("label").collect()
+    assert(r(0).getInt(0) == 1 && r(0).getLong(1) == 2L
+      && r(0).getLong(2) == 7500L && r(0).getLong(3) == 2500L)
+    assert(r(1).getLong(2) == 10000L)
+  }
+
+  test("TopK.SmallestK keeps the k smallest pairs through reduce and merge") {
+    val agg = new TopK.SmallestK(2)
+    val b = Seq((5L, 1L), (3L, 1L), (9L, 0L), (3L, 0L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(b) == Seq((3L, 0L), (3L, 1L)))
+    val merged = agg.merge(b, agg.reduce(agg.zero, (1L, 9L)))
+    assert(agg.finish(merged) == Seq((1L, 9L), (3L, 0L)))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.render
+
+import java.io.ByteArrayInputStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.api.ArchiveApi
+
+class RenderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("CSV block format golden (K1, data.py:50-55)") {
+    val s = Seq(
+      Render.Series("r3/vac/p1/pressure",
+        Seq((100.0, Some(1.5)), (200.0, None))),
+      Render.Series("r3/mag/d1/current", Seq((150.5, Some(2.0)))))
+    assert(Render.csv(s) ==
+      "r3/vac/p1/pressure\nt[us],value_r\n100,1.5\n200,\n" +
+        "\nr3/mag/d1/current\nt[us],value_r\n150.5,2.0\n")
+  }
+
+  test("Grafana JSON golden: NaN→null, ms timestamps (K2, data.py:58-75)") {
+    val s = Seq(Render.Series("a/b/c/d",
+      Seq((1704067200000000.0, Some(1.5)), (1704067260000000.0, None))))
+    assert(Render.grafanaJson(s) ==
+      """[{"target": "a/b/c/d", "datapoints": """ +
+        """[[1.5, 1704067200000.0], [null, 1704067260000.0]]}]""")
+  }
+
+  test("shade maps counts to alpha, flipping y to PNG row order (K3)") {
+    val px = Render.shade(Render.Grid("a", 0xff0000, 2, 2,
+      Seq((0, 0, 2L), (1, 1, 1L))))
+    // py=0 → bottom row (PNG row 1); py=1 → top row (PNG row 0)
+    assert((px(2) >>> 24) == 255) // (0,0) full alpha at row1,col0
+    assert((px(1) >>> 24) > 0 && (px(1) & 0xffffff) == 0xff0000)
+    assert(px(0) == 0 && px(3) == 0)
+  }
+
+  test("stack composites layers src-over and encodes a decodable PNG (U4/C10)") {
+    val a = Render.shade(Render.Grid("a", 0xff0000, 2, 2, Seq((0, 0, 1L))))
+    val b = Render.shade(Render.Grid("b", 0x0000ff, 2, 2, Seq((0, 0, 1L))))
+    val img = Render.stack(Seq(a, b), 2, 2)
+    val b64 = Render.pngBase64(img)
+    val decoded = javax.imageio.ImageIO.read(new ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(b64)))
+    assert(decoded.getWidth == 2 && decoded.getHeight == 2)
+    val p = decoded.getRGB(0, 1) // py=0 → bottom row
+    assert(((p >>> 24) & 0xff) > 0)
+    assert((p & 0xff) > ((p >> 16) & 0xff)) // blue stacked over red
+  }
+
+  test("rawQuery renders CSV and Grafana JSON end-to-end (§3.2)") {
+    val pts = Seq(
+      ("u1/click", 1L, 100L, 1.0), ("u1/click", 2L, 200L, Double.NaN),
+      ("u2/view", 3L, 150L, 3.0), ("u1/click", 4L, 900L, 9.9))
+      .toDF("att_name", "point_id", "t", "value_r")
+    val csv = ArchiveApi.rawQuery(pts, Seq("u1/click", "u2/view"),
+      0L, 500L, None, asCsv = true)
+    assert(csv == "u1/click\nt[us],value_r\n100,1.0\n200,\n" +
+      "\nu2/view\nt[us],value_r\n150,3.0\n")
+    val json = ArchiveApi.rawQuery(pts, Seq("u2/view"), 0L, 500L, None,
+      asCsv = false)
+    assert(json ==
+      """[{"target": "u2/view", "datapoints": [[3.0, 0.15]]}]""")
+  }
+
+  test("rawQuery with interval resamples before rendering (A1 + K2)") {
+    val pts = Seq(("a", 1L, 400L, 2.0), ("a", 2L, 600L, 4.0),
+      ("a", 3L, 1400L, 6.0)).toDF("att_name", "point_id", "t", "value_r")
+    val json = ArchiveApi.rawQuery(pts, Seq("a"), 0L, 2000L, Some("1ms"),
+      asCsv = false)
+    // bucket 0 mean t=400; bucket 1000 mean t=1000, mean v=5.0
+    assert(json == """[{"target": "a", "datapoints": """ +
+      """[[2.0, 0.4], [5.0, 1.0]]}]""")
+  }
+
+  test("imageQuery produces per-axis PNGs and hover descs (§3.1)") {
+    val pts = (0 until 50).map { i =>
+      ("sensor/a", i.toLong, i.toLong * 20, 1.0 + (i % 10))
+    } ++ Seq(("sensor/b", 100L, 500L, 42.0))
+    val df = pts.toDF("att_name", "point_id", "t", "value_r")
+    val res = ArchiveApi.imageQuery(df,
+      Seq(ArchiveApi.AttrSpec("sensor/a", 0xff0000, 0),
+        ArchiveApi.AttrSpec("sensor/b", 0x00ff00, 1)),
+      0L, 1000L, 16, 8)
+    assert(res.images.keySet == Set("0", "1"))
+    val img0 = res.images("0")
+    val decoded = javax.imageio.ImageIO.read(new ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(img0.imageBase64)))
+    assert(decoded.getWidth == 16 && decoded.getHeight == 8)
+    // axis 0: values 1..10 → padded 5% → (0.55, 10.45)
+    assert(math.abs(img0.yRange._1 - 0.55) < 1e-9)
+    assert(math.abs(img0.yRange._2 - 10.45) < 1e-9)
+    // axis 1 is a constant 42 → invented range (21, 63)
+    assert(res.images("1").yRange == (21.0, 63.0))
+    val desc = res.descs("sensor/a")
+    assert(desc.totalPoints == 50)
+    assert(desc.indices.nonEmpty && desc.indices.forall(i => i >= 0 && i < 16))
+    assert(desc.counts.sum == 50)
+    // x range reported in ms
+    assert(img0.xRangeMs == (0.0, 1.0))
+  }
+
+  test("imageQuery skips all-NaN attributes (nodata, plot.py:118-121)") {
+    val df = Seq(("a", 1L, 100L, Double.NaN), ("a", 2L, 200L, Double.NaN),
+      ("b", 3L, 100L, 5.0), ("b", 4L, 200L, 6.0))
+      .toDF("att_name", "point_id", "t", "value_r")
+    val res = ArchiveApi.imageQuery(df,
+      Seq(ArchiveApi.AttrSpec("a", 0xff0000, 0),
+        ArchiveApi.AttrSpec("b", 0x00ff00, 0)), 0L, 1000L, 8, 4)
+    assert(res.images.contains("0"))
+    assert(!res.descs.contains("a") && res.descs.contains("b"))
+  }
+}
