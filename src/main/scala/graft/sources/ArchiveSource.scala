@@ -48,6 +48,38 @@ final class ParquetArchiveSource(val spark: SparkSession, root: String,
 
   def attConf: DataFrame = spark.read.parquet(s"$root/att_conf")
   def attNames: DataFrame = spark.read.parquet(s"$root/att_names")
+
+  /** Multi-type scan: resolve each requested attribute's data table
+    * from the catalog (`att_conf.data_type`, reference
+    * `hdbpp.py:404-410`), scan each table only for ITS attribute ids,
+    * and union with `value_r` widened to double (numeric Tango types
+    * only — string/encoded attributes need their own pipeline, as in
+    * the reference where they simply are not plottable).
+    *
+    * Scale: the catalog lookup is a driver-side collect of O(#requested
+    * attributes) rows — the same role as the reference's `configs`
+    * dict — and each per-table scan keeps its own partition pruning on
+    * (att_conf_id, period). */
+  def pointsResolved(attConfIds: Seq[Int], p0: String,
+      p1: String): DataFrame = {
+    val wanted = attConf
+      .where(col("att_conf_id").isin(attConfIds: _*))
+      .select(col("att_conf_id"), col("data_type"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    val byTable = wanted.groupBy { case (_, dt) => s"att_$dt" }
+    val frames = byTable.toSeq.sortBy(_._1).map { case (tbl, ids) =>
+      spark.read.parquet(s"$root/$tbl")
+        .where(col("att_conf_id").isin(ids.map(_._1): _*)
+          && col("period").between(p0, p1))
+        .withColumn("value_r", col("value_r").cast("double"))
+    }
+    frames.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.TangoTypes.pointSchema(
+          org.apache.spark.sql.types.DoubleType)))
+  }
 }
 
 /** Adapter exposing the driver's synthetic `events` table

@@ -1,0 +1,96 @@
+package graft.cache
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.ParquetArchiveSource
+
+class CacheSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("PeriodCache: closed days fetched once and persisted, open day refetched (R2)") {
+    var backing = Map(
+      "2024-01-01" -> Seq((1, 100L, 1.0)),
+      "2024-01-02" -> Seq((1, 200L, 2.0)),
+      "2024-01-03" -> Seq((1, 300L, 3.0)))
+    val cache = new ArchiveCache.PeriodCache(
+      p => backing(p).toDF("att_conf_id", "t", "value_r"),
+      () => "2024-01-03")
+    assert(cache.range("2024-01-01", "2024-01-03").count() == 3)
+    assert(cache.fetches == 3)
+    // closed days hit cache; the open day is fetched again
+    assert(cache.range("2024-01-01", "2024-01-03").count() == 3)
+    assert(cache.fetches == 4)
+    // open-day append is visible without invalidation
+    backing = backing.updated("2024-01-03",
+      Seq((1, 300L, 3.0), (1, 350L, 3.5)))
+    assert(cache.range("2024-01-01", "2024-01-03").count() == 4)
+    // a mutated CLOSED day is (correctly) not re-read — immutability contract
+    backing = backing.updated("2024-01-01", Seq.empty)
+    assert(cache.range("2024-01-01", "2024-01-02").count() == 2)
+    cache.invalidate()
+  }
+
+  test("refreshOpenDay: truncate to full second, union fresh rows (R1/F4/U3/O5)") {
+    // cached has rows up to t=2.7s; fresh source has a sub-second
+    // straggler at 2.4s (µs precision arrived late) plus new rows
+    val cached = Seq((1, 1500000L, 1.0), (2, 2400000L, 2.0),
+      (3, 2700000L, 3.0)).toDF("att_conf_id", "t", "value_r")
+    val source = Seq((2, 2400000L, 2.0), (4, 2450000L, 2.5),
+      (3, 2700000L, 3.0), (5, 3100000L, 4.0))
+    val (merged, bound) = ArchiveCache.refreshOpenDay(cached,
+      since => source.filter(_._2 >= since)
+        .toDF("att_conf_id", "t", "value_r"))
+    assert(bound == 2000000L) // floor(2.7s) = 2s
+    val ids = merged.select("att_conf_id").as[Int].collect().sorted
+    // kept: t<2s (id 1); fresh: everything ≥2s (ids 2,4,3,5) — no dupes
+    assert(ids.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("refreshOpenDay with empty cache fetches everything") {
+    val cached = Seq.empty[(Int, Long, Double)]
+      .toDF("att_conf_id", "t", "value_r")
+    val (merged, _) = ArchiveCache.refreshOpenDay(cached,
+      _ => Seq((1, 100L, 1.0)).toDF("att_conf_id", "t", "value_r"))
+    assert(merged.count() == 1)
+  }
+
+  test("TtlCache: memoizes within TTL, reloads after expiry (S5)") {
+    var now = 1000L
+    var loaded = 0
+    val c = new ArchiveCache.TtlCache[Int](60000L, () => { loaded += 1; loaded },
+      () => now)
+    assert(c.get() == 1 && c.get() == 1 && loaded == 1)
+    now += 59999L
+    assert(c.get() == 1 && loaded == 1)
+    now += 2L
+    assert(c.get() == 2 && loaded == 2)
+    c.invalidate()
+    assert(c.get() == 3)
+  }
+
+  test("pointsResolved unions typed tables with value_r widened (hdbpp.py:404-410)") {
+    val root = Files.createTempDirectory("graft-archive").toString
+    Seq(("cs:1", "a/b/c/d", 1, "scalar_devdouble_ro"),
+      ("cs:1", "a/b/c/e", 2, "scalar_devlong_ro"))
+      .toDF("cs_name", "att_name", "att_conf_id", "data_type")
+      .write.parquet(s"$root/att_conf")
+    Seq((1, "2024-01-01", 100L, 1.25))
+      .toDF("att_conf_id", "period", "t", "value_r")
+      .write.parquet(s"$root/att_scalar_devdouble_ro")
+    Seq((2, "2024-01-01", 200L, 42))
+      .toDF("att_conf_id", "period", "t", "value_r")
+      .write.parquet(s"$root/att_scalar_devlong_ro")
+    val src = new ParquetArchiveSource(spark, root)
+    val rows = src.pointsResolved(Seq(1, 2), "2024-01-01", "2024-01-01")
+      .orderBy("att_conf_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(3) == 1.25)
+    assert(rows(1).getDouble(3) == 42.0) // long widened to double
+    // resolution respects the requested subset
+    assert(src.pointsResolved(Seq(2), "2024-01-01", "2024-01-01")
+      .count() == 1)
+  }
+}
