@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Failures are recorded, not swallowed (round-1 post-mortem: a
   * catch-all turned a 100%-broken run into a plausible "8.68 s total").
-  * Execution is forced with `foreach(_ => ())` — `count()` lets Catalyst
-  * drop orderBys and under-measures the sorted queries.
+  * Execution is forced with a `noop`-sink write: unlike `count()` it
+  * cannot let Catalyst drop orderBys, and unlike `foreach` it keeps
+  * adaptive execution on and skips per-row deserialization.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,12 +19,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm codegen/classloading + page cache so the alphabetically-first
+    // query doesn't absorb one-time session cost in its measurement
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("events", "documents", "embeddings", "lineitem", "customer")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").limit(5)
+          .groupBy().count().foreach(_ => ())
+        catch { case _: Throwable => () }
+      }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).foreach(_ => ())
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         errors += name ->
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"

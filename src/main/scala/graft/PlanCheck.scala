@@ -1,17 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time and explain individual SparkEntry queries.
+  * Usage: runMain graft.PlanCheck <sfDir> <query>[,query…] [explain] */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args(1).split(",").toSeq
+      else Seq("q09_point_in_time", "q10_history_limit")
+    val doExplain = args.length > 2 && args(2) == "explain"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
-    println("=== q09 plan ===")
-    SparkEntry.queries("q09_point_in_time")(spark, dir).explain("formatted")
-    println("=== q10 plan ===")
-    SparkEntry.queries("q10_history_limit")(spark, dir).explain("formatted")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      if (doExplain) { println(s"=== $name plan ==="); df.explain("formatted") }
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val t1 = System.nanoTime()
+      df.foreach(_ => ())
+      val t2 = System.nanoTime()
+      println(f"=== $name rows=$n count=${(t1 - t0) / 1e9}%.2fs " +
+        f"foreach=${(t2 - t1) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }

@@ -67,4 +67,29 @@ object TimeFns {
   /** Inclusive-both-ends time filter (reference `data.py:104-105`). */
   def inRangeInclusive(tUs: Column, t0Us: Long, t1Us: Long): Column =
     tUs >= lit(t0Us) && tUs <= lit(t1Us)
+
+  /** C3 — naive-UTC timestamp parsing (reference `utils.py:14-19`): an
+    * ISO timestamp with no zone is ASSUMED UTC; an explicit offset is
+    * honored then normalized to UTC; date-only means midnight UTC.
+    * Returns epoch-µs. */
+  def parseNaiveUtc(s: String): Long = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val trimmed = s.trim
+    val asOffset =
+      try Some(OffsetDateTime.parse(trimmed,
+        DateTimeFormatter.ISO_OFFSET_DATE_TIME))
+      catch { case _: Exception => None }
+    val utc = asOffset match {
+      case Some(odt) => odt.atZoneSameInstant(ZoneOffset.UTC)
+      case None =>
+        val local =
+          try LocalDateTime.parse(trimmed.replace(' ', 'T'))
+          catch {
+            case _: Exception => LocalDate.parse(trimmed).atStartOfDay()
+          }
+        local.atZone(ZoneOffset.UTC)
+    }
+    utc.toInstant.getEpochSecond * 1000000L + utc.toInstant.getNano / 1000L
+  }
 }

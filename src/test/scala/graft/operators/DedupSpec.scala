@@ -56,7 +56,7 @@ class DedupSpec extends AnyFunSuite {
       (0L, "en", "s1", "a b c d"), (1L, "en", "s1", "a b c e"),
       (2L, "en", "s2", "a b c d"), (3L, "fr", "s1", "a b c d"))
       .toDF("doc_id", "lang", "source", "text")
-    val pairs = Dedup.blockedJaccard(d, Seq("lang", "source"), 0.0)
+    val pairs = Dedup.blockedJaccard(d, Seq("lang", "source"), 0.1)
       .collect().map(r => (r.getLong(2), r.getLong(3)))
     assert(pairs.toSet == Set((0L, 1L))) // same (lang, source) only
   }
