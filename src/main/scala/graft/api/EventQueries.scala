@@ -57,7 +57,7 @@ object EventQueries {
   private def q01(s: SparkSession, dir: String): DataFrame =
     pts(s, dir)
       .where(col("event_type") === "purchase"
-        && TimeFns.inRangeInclusive(col("t"), T0, T1))
+        && EventsArchiveAdapter.tsRangeUs(T0, T1))
       .select(col("att_name"), col("point_id"), col("t"), col("value_r"))
       .orderBy(col("t"), col("point_id"))
 
@@ -69,7 +69,7 @@ object EventQueries {
   // ---------------------------------------------------------------- A1 resample
   private def resampleQ(freq: String)(s: SparkSession, dir: String): DataFrame =
     Resample.resampleExact(
-      pts(s, dir).where(TimeFns.inRangeInclusive(col("t"), T0, T1)),
+      pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(T0, T1)),
       freq, Seq("att_name"), Epoch2024)
       .orderBy(col("att_name"), col("bucket_us"))
 
@@ -88,7 +88,7 @@ object EventQueries {
   // ---------------------------------------------------------------- A2/A7 extrema
   private def q04(s: SparkSession, dir: String): DataFrame =
     Extrema.perAttribute(
-      pts(s, dir).where(TimeFns.inRangeInclusive(col("t"), T0, T1)),
+      pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(T0, T1)),
       Seq("att_name"))
       .orderBy(col("att_name"))
 
@@ -108,7 +108,7 @@ object EventQueries {
     pts(s, dir)
       .withColumn("value_r", col("value_r") - 100) // synthesize negatives
       .where(col("value_r") > 0
-        && TimeFns.inRangeInclusive(col("t"), T0, T1))
+        && EventsArchiveAdapter.tsRangeUs(T0, T1))
       .groupBy(col("att_name"))
       .agg(min(col("value_r")).as("vmin"), max(col("value_r")).as("vmax"),
         count(lit(1)).as("points"))
@@ -124,7 +124,7 @@ object EventQueries {
   // ---------------------------------------------------------------- A3/J4 axis limits
   private def q06(s: SparkSession, dir: String): DataFrame = {
     val ex = pts(s, dir)
-      .where(TimeFns.inRangeInclusive(col("t"), T0, T1))
+      .where(EventsArchiveAdapter.tsRangeUs(T0, T1))
       .groupBy(col("att_name"), (col("user_id") % 3).as("y_axis"))
       .agg(min(col("value_r")).as("vmin"), max(col("value_r")).as("vmax"),
         count(lit(1)).as("points"))
@@ -146,8 +146,9 @@ object EventQueries {
   private val VMax = 330.0
 
   private def q07(s: SparkSession, dir: String): DataFrame =
-    Raster.binPoints(pts(s, dir), Seq("event_type"),
-      Epoch2024, TEnd, 0.0, VMax, W, H)
+    Raster.binPoints(
+      pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
+      Seq("event_type"), Epoch2024, TEnd, 0.0, VMax, W, H)
       .withColumn("vmean", round(col("vmean"), 6))
       .orderBy(col("event_type"), col("px"), col("py"))
 
@@ -171,8 +172,9 @@ object EventQueries {
   // ---------------------------------------------------------------- A6 hover
   private def q08(s: SparkSession, dir: String): DataFrame =
     Raster.hoverColumns(
-      Raster.binPoints(pts(s, dir), Seq("event_type"),
-        Epoch2024, TEnd, 0.0, VMax, W, H),
+      Raster.binPoints(
+        pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
+        Seq("event_type"), Epoch2024, TEnd, 0.0, VMax, W, H),
       Seq("event_type"))
       .orderBy(col("event_type"), col("px"))
 
@@ -196,7 +198,9 @@ object EventQueries {
 
   // ---------------------------------------------------------------- S6/O3 point-in-time
   private def q09(s: SparkSession, dir: String): DataFrame =
-    Catalog.latestBefore(pts(s, dir), Seq("user_id"), "t", T1, "point_id")
+    Catalog.latestBefore(pts(s, dir)
+      .where(EventsArchiveAdapter.tsLtUs(T1)),
+      Seq("user_id"), "t", T1, "point_id")
       .select(col("user_id"), col("point_id"), col("t"), col("value_r"))
       .orderBy(col("user_id"))
 
@@ -211,8 +215,9 @@ object EventQueries {
 
   // ---------------------------------------------------------------- S7/O4 history limit
   private def q10(s: SparkSession, dir: String): DataFrame =
-    Catalog.firstEvents(pts(s, dir), Seq("event_type"), "t", T0, T1, 10,
-      "point_id")
+    Catalog.firstEvents(pts(s, dir)
+      .where(EventsArchiveAdapter.tsGtLtUs(T0, T1)),
+      Seq("event_type"), "t", T0, T1, 10, "point_id")
       .select(col("event_type"), col("rn").cast("long").as("rn"),
         col("point_id"), col("t"), col("value_r"))
       .orderBy(col("event_type"), col("rn"))
@@ -276,8 +281,8 @@ object EventQueries {
   // ---------------------------------------------------------------- U1 union of partitions
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val p = pts(s, dir)
-    val a = p.where(col("t") >= Epoch2024 && col("t") < Jan10)
-    val b = p.where(col("t") >= Jan10 && col("t") < T1)
+    val a = p.where(EventsArchiveAdapter.tsGeLtUs(Epoch2024, Jan10))
+    val b = p.where(EventsArchiveAdapter.tsGeLtUs(Jan10, T1))
     a.unionByName(b)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sumCents("value_r").as("sum_cents"))
@@ -307,7 +312,7 @@ object EventQueries {
   private def q17(s: SparkSession, dir: String): DataFrame =
     pts(s, dir)
       .where(col("event_type") === "click"
-        && TimeFns.inRangeInclusive(col("t"), T0, T1))
+        && EventsArchiveAdapter.tsRangeUs(T0, T1))
       .select(col("att_name"), col("point_id"),
         when(isnan(col("value_r")), lit(null)).otherwise(col("value_r"))
           .as("value_r"),
@@ -354,10 +359,11 @@ object EventQueries {
   private val ShipCut = 904694400000000L // 1998-09-02 UTC epoch-µs
   private def q20(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
-      // l_shipdate loads as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
-      // unix_micros needs TIMESTAMP — session TZ is pinned UTC so the cast
-      // matches the oracle's epoch_us semantics exactly.
-      .where(unix_micros(col("l_shipdate").cast("timestamp")) <= ShipCut)
+      // direct TIMESTAMP_NTZ comparison (session TZ pinned UTC, so this
+      // instant equals the oracle's epoch_us(l_shipdate) <= ShipCut) — and
+      // unlike unix_micros(cast(...)) it pushes into the parquet scan
+      .where(col("l_shipdate") <= to_timestamp_ntz(
+        lit("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
@@ -397,8 +403,9 @@ object EventQueries {
 
   // ---------------------------------------------------------------- A4 line raster
   private def q21(s: SparkSession, dir: String): DataFrame =
-    Raster.binLines(pts(s, dir), Seq("event_type"), "point_id",
-      Epoch2024, TEnd, 0.0, VMax, W, H)
+    Raster.binLines(
+      pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
+      Seq("event_type"), "point_id", Epoch2024, TEnd, 0.0, VMax, W, H)
       .orderBy(col("event_type"), col("px"), col("py"))
 
   /** Bresenham as a recursive CTE: each working row is one line-walk

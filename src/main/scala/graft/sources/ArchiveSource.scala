@@ -135,6 +135,10 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
       date_format(timestamp_micros(tUs), "yyyy-MM-dd").as("period"),
       timestamp_micros(tUs).as("data_time"),
       tUs.as("t"),
+      // the RAW scan column rides along so time predicates built by
+      // [[EventsArchiveAdapter.tsRangeUs]] can reach the parquet footer
+      // (a range on the derived `t = ts div 1000` is opaque to pushdown)
+      col("ts").as("ts_raw"),
       col("value").as("value_r"),
       col("props").as("error_desc"))
   }
@@ -167,6 +171,31 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
 
 object EventsArchiveAdapter {
   import graft.cache.ArchiveCache.TtlCache
+
+  /** Pushdown-friendly µs-range predicates over [[EventsArchiveAdapter
+    * .pointsAll]]: each pairs the EXACT predicate on the derived µs `t`
+    * with the equivalent range on the raw nanosecond `ts_raw` column —
+    * only the latter reaches the parquet row-group statistics (at scale
+    * the difference is pruning vs a full-archive read). `ts div 1000 ∈
+    * [t0,t1] ⟺ ts ∈ [t0·1000, t1·1000+999]`, so the pair is a no-op on
+    * the result set and the oracle is unaffected. */
+  def tsRangeUs(t0Us: Long, t1Us: Long): org.apache.spark.sql.Column =
+    graft.functions.TimeFns.inRangeInclusive(col("t"), t0Us, t1Us) &&
+      col("ts_raw").between(t0Us * 1000L, t1Us * 1000L + 999L)
+
+  /** Half-open [t0, t1): `t >= t0 && t < t1` with pushable raw bounds. */
+  def tsGeLtUs(t0Us: Long, t1Us: Long): org.apache.spark.sql.Column =
+    col("t") >= t0Us && col("t") < t1Us &&
+      col("ts_raw") >= t0Us * 1000L && col("ts_raw") < t1Us * 1000L
+
+  /** Open (t0, t1): `t > t0 && t < t1` with pushable raw bounds. */
+  def tsGtLtUs(t0Us: Long, t1Us: Long): org.apache.spark.sql.Column =
+    col("t") > t0Us && col("t") < t1Us &&
+      col("ts_raw") > t0Us * 1000L + 999L && col("ts_raw") < t1Us * 1000L
+
+  /** Strictly-before cutoff with a pushable raw bound. */
+  def tsLtUs(t1Us: Long): org.apache.spark.sql.Column =
+    col("t") < t1Us && col("ts_raw") < t1Us * 1000L
 
   private val caches =
     new java.util.concurrent.ConcurrentHashMap[String, TtlCache[DataFrame]]()
