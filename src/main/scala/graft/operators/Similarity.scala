@@ -26,18 +26,20 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Quantized dot product of two float-array columns as exact int64:
-    * Σ round(aᵢ·10⁴)·round(bᵢ·10⁴). */
-  def dotE8(a: String, b: String): Column =
-    expr(s"""aggregate(
-      zip_with($a, $b, (x, y) ->
-        cast(round(cast(x as double) * 10000) as bigint)
-          * cast(round(cast(y as double) * 10000) as bigint)),
-      0L, (acc, v) -> acc + v)""")
+    * Σ round(aᵢ·10⁴)·round(bᵢ·10⁴) — the native codegen'd
+    * [[graft.functions.DotE8]] expression (callers register it via
+    * [[ensureDotE8]]; the interpreted `aggregate(zip_with(…))`
+    * formulation it replaces ran two lambdas per element). */
+  def dotE8(a: String, b: String): Column = expr(s"dot_e8($a, $b)")
+
+  private def ensureDotE8(df: DataFrame): Unit =
+    graft.functions.DotE8.register(df.sparkSession)
 
   /** Brute-force top-k: for each query vector (`queries`: qid, qe) the
     * k nearest corpus vectors (`emb`: vec_id, embedding) by quantized
     * dot, descending, ties by vec_id. */
   def knnBrute(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    ensureDotE8(emb)
     val pairs = emb.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -75,6 +77,7 @@ object Similarity {
     * that is the point of the scale path). */
   def annLsh(emb: DataFrame, queryFilter: Column, k: Int,
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    ensureDotE8(emb)
     val withBucket = emb.withColumn("bucket",
       lshBucket("embedding", nPlanes, dim))
     val queries = withBucket.where(queryFilter)

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TimeFns
+
+/** Structured Streaming extensions (SURVEY §2.9): the streaming
+  * counterparts of the batch-incremental open-day path (R1/R3).
+  *
+  * The reference has no push pipeline (websockets are a listed "Idea",
+  * `server.py:33`); these operators are the Spark-native way to stand
+  * one up: `readStream` on the archive directory → the SAME transforms
+  * the batch path uses → windowed aggregation with watermarks, plus a
+  * stateful change-detector mirroring what a Tango HDB++ archiver does
+  * upstream (only archive points that moved enough).
+  *
+  * Scale: both are standard Spark stateful operators — state is
+  * per-key bounded (window aggregates evicted by the watermark; one
+  * row of state per attribute for the change detector), partitioned by
+  * the shuffle like any aggregation.
+  */
+object StreamOps {
+
+  /** A1 as a streaming aggregation: tumbling mean of `value_r` per
+    * attribute with round-to-NEAREST bucket parity. Spark's `window()`
+    * floors, so event times are shifted by Δ/2 first — then
+    * `window.start` IS the reference's centered bucket label
+    * (`round(t/Δ)·Δ`, data.py:12-14). Late data beyond
+    * `watermarkDelay` is dropped (the batch path has no such loss —
+    * documented streaming divergence). Input needs `att_name`,
+    * `data_time` (timestamp), `value_r`. */
+  def streamingResample(points: DataFrame, freq: String,
+      watermarkDelay: String): DataFrame = {
+    val d = TimeFns.intervalUs(freq)
+    points
+      .withColumn("shifted",
+        expr(s"data_time + INTERVAL ${d / 2} MICROSECOND"))
+      .withWatermark("shifted", watermarkDelay)
+      .groupBy(col("att_name"),
+        window(col("shifted"), s"$d microseconds"))
+      .agg(avg(col("value_r")).as("value_mean"),
+        count(lit(1)).as("n"))
+      .select(col("att_name"),
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("value_mean"), col("n"))
+  }
+
+  final case class RawPoint(att_name: String, t: Long, value_r: Double)
+  final case class ArchivedPoint(att_name: String, t: Long,
+      value_r: Double, prev: Double)
+
+  /** Threshold archiver: per attribute, emit a point only when its
+    * value moved at least `delta` from the LAST EMITTED value (first
+    * point always emits) — the HDB++ "archive event" contract, kept as
+    * one double of state per attribute via flatMapGroupsWithState.
+    * Within a batch, points are processed in `t` order. */
+  def archiveEvents(points: Dataset[RawPoint],
+      delta: Double): Dataset[ArchivedPoint] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.att_name)
+      .flatMapGroupsWithState[Double, ArchivedPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[RawPoint], state: GroupState[Double]) =>
+          var last = state.getOption.getOrElse(Double.NaN)
+          val out = rows.toSeq.sortBy(p => (p.t, p.value_r)).flatMap { p =>
+            if (last.isNaN || math.abs(p.value_r - last) >= delta) {
+              val prev = last
+              last = p.value_r
+              Some(ArchivedPoint(key, p.t, p.value_r, prev))
+            } else None
+          }
+          if (!last.isNaN) state.update(last)
+          out.iterator
+      }
+  }
+}

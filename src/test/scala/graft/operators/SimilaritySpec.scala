@@ -9,11 +9,30 @@ class SimilaritySpec extends AnyFunSuite {
   import spark.implicits._
 
   test("dotE8 is the exact quantized integer dot product") {
+    graft.functions.DotE8.register(spark)
     val df = Seq((Array(1.0f, 0.5f), Array(0.5f, 1.0f)))
       .toDF("qe", "embedding")
       .select(Similarity.dotE8("qe", "embedding").as("d"))
     // round(1*1e4)*round(.5*1e4)*2 = 10000*5000 + 5000*10000
     assert(df.as[Long].head() == 100000000L)
+  }
+
+  test("DotE8 codegen and interpreted paths agree with the HOF formulation") {
+    graft.functions.DotE8.register(spark)
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "a", "b")
+    val native = df.select(col("id"), Similarity.dotE8("a", "b").as("d"))
+      .orderBy("id").as[(Long, Long)].collect()
+    val hof = df.select(col("id"), expr(
+      """aggregate(zip_with(a, b, (x, y) ->
+        |cast(round(cast(x as double) * 10000) as bigint)
+        |  * cast(round(cast(y as double) * 10000) as bigint)),
+        |0L, (acc, v) -> acc + v)""".stripMargin).as("d"))
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(native.toSeq == hof.toSeq)
   }
 
   test("knnBrute ranks by quantized dot desc with id tie-break") {

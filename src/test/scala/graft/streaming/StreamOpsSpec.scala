@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("streamingResample: centered buckets, watermark-complete results") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val points = in.toDF().toDF("att_name", "t_us", "value_r")
+      .withColumn("data_time", timestamp_micros(col("t_us")))
+    val agg = StreamOps.streamingResample(points, "1s", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("sr")
+      .outputMode("complete").start()
+    try {
+      // Δ=1s: t=400ms → bucket 0; t=600ms and 1400ms → bucket 1s
+      in.addData(("a", 400000L, 2.0), ("a", 600000L, 4.0),
+        ("a", 1400000L, 6.0))
+      q.processAllAvailable()
+      val rows = spark.table("sr").orderBy("bucket_us")
+        .as[(String, Long, Double, Long)].collect()
+      assert(rows.toSeq == Seq(("a", 0L, 2.0, 1L), ("a", 1000000L, 5.0, 2L)))
+      // a second batch merges into existing buckets
+      in.addData(("a", 900000L, 8.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("sr").orderBy("bucket_us")
+        .as[(String, Long, Double, Long)].collect()
+      assert(rows2.toSeq == Seq(("a", 0L, 2.0, 1L), ("a", 1000000L, 6.0, 3L)))
+    } finally q.stop()
+  }
+
+  test("archiveEvents: stateful change detector across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[StreamOps.RawPoint]
+    val out = StreamOps.archiveEvents(in.toDS(), delta = 1.0)
+    val q = out.writeStream.format("memory").queryName("ae")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamOps.RawPoint("a", 1L, 10.0), // first → emit
+        StreamOps.RawPoint("a", 2L, 10.5), // |Δ|=0.5 < 1 → suppressed
+        StreamOps.RawPoint("a", 3L, 11.2), // vs last EMITTED 10.0 → emit
+        StreamOps.RawPoint("b", 1L, 0.0)) // first of b → emit
+      q.processAllAvailable()
+      // state survives into the next batch: last archived a = 11.2
+      in.addData(StreamOps.RawPoint("a", 4L, 11.9), // 0.7 < 1 → suppressed
+        StreamOps.RawPoint("a", 5L, 13.0)) // 1.8 ≥ 1 → emit
+      q.processAllAvailable()
+      val rows = spark.table("ae")
+        .orderBy("att_name", "t")
+        .as[StreamOps.ArchivedPoint].collect()
+      assert(rows.map(r => (r.att_name, r.t, r.value_r)).toSeq ==
+        Seq(("a", 1L, 10.0), ("a", 3L, 11.2), ("a", 5L, 13.0),
+          ("b", 1L, 0.0)))
+    } finally q.stop()
+  }
+}
