@@ -86,6 +86,25 @@ object ArchiveCache {
     }
   }
 
+  /** R3 — stale-response fence (reference client `actions.js:125-189`:
+    * responses arriving out of order are dropped unless they belong to
+    * the LATEST issued fetch). Server-side analog for any async caller:
+    * tag each issued request per key with a monotonically increasing
+    * stamp; a completion is accepted only if its stamp is still the
+    * latest for its key. */
+  final class RequestFence[K] {
+    private val latest = new ConcurrentHashMap[K, Long]()
+
+    /** Register a new request for `key`; returns its stamp. */
+    def issue(key: K): Long =
+      latest.compute(key, (_, v) => v + 1) // missing key → 0 + 1
+
+    /** True iff `stamp` is still the newest issued for `key` — older
+      * (stale) completions must be dropped by the caller. */
+    def accept(key: K, stamp: Long): Boolean =
+      latest.getOrDefault(key, 0L) == stamp
+  }
+
   /** S5 — TTL memoization (`utils.py:29-50`). `clock` injectable. */
   final class TtlCache[T](ttlMs: Long, load: () => T,
       clock: () => Long = () => System.currentTimeMillis()) {

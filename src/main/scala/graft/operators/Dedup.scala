@@ -96,11 +96,21 @@ object Dedup {
     * subtree recomputes once per consumer. */
   def minhashNearDups(corpus: DataFrame, spark: SparkSession,
       shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, denseIds: Boolean = true): DataFrame = {
     val sh = TextOps.shingles(corpus, shingleK)
-    val v = TextOps.vocab(sh, "shingle")
-    val dt = sh.join(v, Seq("shingle")).select(col("doc_id"), col("tid"))
-      .persist()
+    // denseIds=true: sorted-vocabulary ids — oracle-reproducible, but
+    // the dense-rank window is one global sort task. denseIds=false is
+    // the 100 TB path: xxhash64(shingle) as the id — no vocabulary, no
+    // global window, same candidate pairs and identical verified
+    // Jaccard (any injective id works; 64-bit collisions are ~2^-64
+    // per pair), just not DuckDB-checkable (engine-specific hash).
+    val dt = (if (denseIds) {
+      val v = TextOps.vocab(sh, "shingle")
+      sh.join(v, Seq("shingle")).select(col("doc_id"), col("tid"))
+    } else {
+      sh.select(col("doc_id"),
+        pmod(xxhash64(col("shingle")), lit(TextOps.HashP)).as("tid"))
+    }).persist()
     val sigs = minhashSignatures(dt, numPerms)
     val cands = lshCandidates(lshBands(sigs, numPerms, rowsPerBand))
     jaccardVerify(cands, dt, threshold)

@@ -57,6 +57,17 @@ class CacheSpec extends AnyFunSuite {
     assert(merged.count() == 1)
   }
 
+  test("RequestFence drops stale completions, accepts the latest (R3)") {
+    val f = new ArchiveCache.RequestFence[String]
+    val s1 = f.issue("plot")
+    val s2 = f.issue("plot")
+    assert(!f.accept("plot", s1)) // superseded before completing
+    assert(f.accept("plot", s2))
+    assert(f.accept("plot", s2)) // idempotent until a newer issue
+    val other = f.issue("search")
+    assert(f.accept("search", other) && f.accept("plot", s2))
+  }
+
   test("TtlCache: memoizes within TTL, reloads after expiry (S5)") {
     var now = 1000L
     var loaded = 0

@@ -33,6 +33,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
   }
 
+  test("hashed-id minhash (the 100 TB path) finds the same verified pairs") {
+    val corpus = docs.union(Seq(
+      (10L, "quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text"))
+    def pairs(dense: Boolean) =
+      Dedup.minhashNearDups(corpus, spark, threshold = 0.5,
+        denseIds = dense)
+        .select("d1", "d2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // signatures differ (different id spaces) but the verified output —
+    // candidate pairs that pass exact Jaccard — must agree
+    assert(pairs(dense = false) == pairs(dense = true))
+  }
+
   test("jaccardVerify computes exact set Jaccard for candidates") {
     val dt = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
       .toDF("doc_id", "tid")
