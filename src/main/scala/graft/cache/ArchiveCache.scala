@@ -33,7 +33,7 @@ object ArchiveCache {
   final class PeriodCache(fetch: String => DataFrame,
       today: () => String) {
     private val closed = new ConcurrentHashMap[String, DataFrame]()
-    private[cache] var fetches = 0L // instrumentation for tests
+    private[graft] var fetches = 0L // instrumentation for tests
 
     /** Frame for one period: persisted+memoized if the period is
       * closed (strictly before today), fetched fresh otherwise. */

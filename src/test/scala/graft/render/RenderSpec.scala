@@ -101,6 +101,28 @@ class RenderSpec extends AnyFunSuite {
     assert(img0.xRangeMs == (0.0, 1.0))
   }
 
+  test("imageQuery honors manual axis min/max overrides (plot.py:102-104)") {
+    val df = (0 until 20).map(i => ("a", i.toLong, i.toLong * 50, 1.0 + i % 5))
+      .toDF("att_name", "point_id", "t", "value_r")
+    val res = ArchiveApi.imageQuery(df,
+      Seq(ArchiveApi.AttrSpec("a", 0xff0000, 0)), 0L, 1000L, 8, 4,
+      axes = Map(0 -> ArchiveApi.AxisSpec(min = Some(0.0), max = Some(10.0))))
+    // manual range 0..10 padded 5% → (-0.5, 10.5), not the data's 1..5
+    assert(res.images("0").yRange == (-0.5, 10.5))
+  }
+
+  test("imageQuery log axis: positive filter + log-space padding") {
+    val df = Seq(("a", 1L, 100L, 1.0), ("a", 2L, 300L, 100.0),
+      ("a", 3L, 500L, -5.0)) // negative dropped by the log filter
+      .toDF("att_name", "point_id", "t", "value_r")
+    val res = ArchiveApi.imageQuery(df,
+      Seq(ArchiveApi.AttrSpec("a", 0xff0000, 0)), 0L, 1000L, 8, 4,
+      axes = Map(0 -> ArchiveApi.AxisSpec(scale = Some("log"))))
+    val (lo, hi) = res.images("0").yRange
+    assert(math.abs(lo - math.pow(10, -0.1)) < 1e-9)
+    assert(math.abs(hi - math.pow(10, 2.1)) < 1e-9)
+  }
+
   test("imageQuery skips all-NaN attributes (nodata, plot.py:118-121)") {
     val df = Seq(("a", 1L, 100L, Double.NaN), ("a", 2L, 200L, Double.NaN),
       ("b", 3L, 100L, 5.0), ("b", 4L, 200L, 6.0))
