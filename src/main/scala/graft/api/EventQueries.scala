@@ -448,6 +448,54 @@ object EventQueries {
        |GROUP BY event_type, px, py
        |ORDER BY event_type, px, py""".stripMargin
 
+  // ---------------------------------------------------------------- star-schema joins
+  /** Multi-way broadcast join over the TPC-H-ish dimensions: revenue
+    * rollup orders ⋈ customer ⋈ nation (both dims broadcast — at 100 TB
+    * the fact side streams, no shuffle of orders). */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    orders
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumCents("o_totalprice").as("revenue_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q22Sql =
+    s"""SELECT n_name, count(*) AS n_orders,
+       |  ${sumCentsSql("o_totalprice")} AS revenue_cents
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Fact-to-dim join with selective dim filter: lineitem ⋈ part
+    * restricted to one brand — the dim filter prunes before broadcast,
+    * so the join probes a tiny hash table. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val part = s.read.parquet(s"$dir/part.parquet")
+      .where(col("p_brand") === "Brand#1")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sumCents("l_extendedprice").as("sum_price_cents"))
+      .orderBy(col("p_type"))
+  }
+
+  private val q23Sql =
+    s"""SELECT p_type, count(*) AS n_items,
+       |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  ${sumCentsSql("l_extendedprice")} AS sum_price_cents
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand = 'Brand#1'
+       |GROUP BY p_type ORDER BY p_type""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -471,7 +519,9 @@ object EventQueries {
     "q18_csv_projection" -> (q18 _),
     "q19_broadcast_join" -> (q19 _),
     "q20_pricing_summary" -> (q20 _),
-    "q21_raster_line" -> (q21 _))
+    "q21_raster_line" -> (q21 _),
+    "q22_revenue_by_nation" -> (q22 _),
+    "q23_parts_by_brand" -> (q23 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" -> q01Sql,
@@ -494,5 +544,7 @@ object EventQueries {
     "q18_csv_projection" -> q18Sql,
     "q19_broadcast_join" -> q19Sql,
     "q20_pricing_summary" -> q20Sql,
-    "q21_raster_line" -> q21Sql)
+    "q21_raster_line" -> q21Sql,
+    "q22_revenue_by_nation" -> q22Sql,
+    "q23_parts_by_brand" -> q23Sql)
 }

@@ -27,21 +27,20 @@ object TextOps {
     docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
 
-  /** Distinct k-word shingles per doc, via lead() so null propagation
-    * drops the ragged tail (concat is null if ANY operand is null —
-    * matching SQL `||`; concat_ws would silently skip nulls). */
+  /** Distinct k-word shingles per doc — computed with an array
+    * `transform` over the split tokens inside ONE narrow projection.
+    * (A lead()-window formulation needs a shuffle+sort per document
+    * before the first aggregation; this shape reaches the distinct
+    * directly from the scan. The oracle uses the window formulation —
+    * the shingle SETS are identical either way.) */
   def shingles(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2 && k <= 8, s"shingle size $k out of range")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val parts = (0 until k).map {
-      case 0 => col("w")
-      case i => lead(col("w"), i).over(w)
-    }
-    val glued = parts.reduce((a, b) => concat(a, lit(" "), b))
-    tokens(docs)
-      .withColumn("shingle", glued)
-      .where(col("shingle").isNotNull)
-      .select(col("doc_id"), col("shingle"))
+    docs
+      .select(col("doc_id"), explode(expr(
+        s"""case when size(split(text, ' ')) >= $k
+           |then transform(sequence(1, size(split(text, ' ')) - ${k - 1}),
+           |  i -> concat_ws(' ', slice(split(text, ' '), i, $k)))
+           |else array() end""".stripMargin)).as("shingle"))
       .distinct()
   }
 
