@@ -48,9 +48,32 @@ object ArchiveApi {
   def search(attNames: DataFrame, glob: String): DataFrame =
     Catalog.search(attNames, glob)
 
+  /** Route `GET /attributes?cs=…&search=…&max=…` — glob search with the
+    * result cap APPLIED (the reference parses `max` but never uses it,
+    * `server.py:77`; O6 fixes that as a documented divergence). */
+  def attributes(attNames: DataFrame, cs: String, glob: String,
+      max: Int = 100): DataFrame =
+    Catalog.search(attNames.where(col("cs_name") === cs), glob).limit(max)
+
   /** O2 — route `GET /controlsystems`. */
   def controlSystems(attConf: DataFrame): DataFrame =
     Catalog.controlSystems(attConf)
+
+  /** S6/O3 — latest parameter row at-or-before a point in time
+    * (reference `hdbpp.py:261-270`). */
+  def parameterAt(attParameter: DataFrame, attConfId: Int,
+      atUs: Long): DataFrame =
+    Catalog.latestBefore(
+      attParameter.where(col("att_conf_id") === attConfId),
+      Seq("att_conf_id"), "recv_time", atUs, "recv_time")
+
+  /** S7/O4 — first 10 archiving-history events in a window (reference
+    * `hdbpp.py:243-259`). */
+  def history(attHistory: DataFrame, attConfId: Int, t0Us: Long,
+      t1Us: Long): DataFrame =
+    Catalog.firstEvents(
+      attHistory.where(col("att_conf_id") === attConfId),
+      Seq("att_conf_id"), "time", t0Us, t1Us, 10, "time")
 
   /** §3.2 `POST /query` — inclusive time filter, optional resample,
     * rendered as the reference's CSV block or Grafana JSON format.

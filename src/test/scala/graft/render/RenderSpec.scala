@@ -49,6 +49,28 @@ class RenderSpec extends AnyFunSuite {
     assert((p & 0xff) > ((p >> 16) & 0xff)) // blue stacked over red
   }
 
+  test("attributes route filters by cs, globs, and applies the max cap") {
+    val names = Seq(
+      ("cs1", "r3", "vac", "p1", "pressure"),
+      ("cs1", "r3", "vac", "p2", "pressure"),
+      ("cs1", "r3", "vac", "p3", "pressure"),
+      ("cs2", "r3", "vac", "p4", "pressure"))
+      .toDF("cs_name", "domain", "family", "member", "name")
+    val r = ArchiveApi.attributes(names, "cs1", "*/vac/*", max = 2)
+    assert(r.count() == 2) // cs2 filtered out, cap applied to cs1's 3
+  }
+
+  test("parameterAt and history route through the catalog operators") {
+    val params = Seq((7, 100L, "label=a"), (7, 200L, "label=b"),
+      (8, 150L, "label=c")).toDF("att_conf_id", "recv_time", "value")
+    val p = ArchiveApi.parameterAt(params, 7, 250L).collect()
+    assert(p.length == 1 && p.head.getString(2) == "label=b")
+    val hist = Seq((7, 10L, "start"), (7, 20L, "pause"), (7, 30L, "start"),
+      (9, 15L, "start")).toDF("att_conf_id", "time", "event")
+    val h = ArchiveApi.history(hist, 7, 5L, 25L).collect()
+    assert(h.map(_.getString(2)).toSeq == Seq("start", "pause"))
+  }
+
   test("rawQuery renders CSV and Grafana JSON end-to-end (§3.2)") {
     val pts = Seq(
       ("u1/click", 1L, 100L, 1.0), ("u1/click", 2L, 200L, Double.NaN),
