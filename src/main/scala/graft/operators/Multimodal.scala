@@ -73,4 +73,45 @@ object Multimodal {
     extractFeatures(withPayload(docs)).toDF()
       .select(col("doc_id"), col("kind"), col("byte_len"), col("width"),
         col("height"), col("checksum"), col("feature"))
+
+  /** One sampled frame of a "video" payload. */
+  final case class Frame(doc_id: Long, frame_no: Int, frame_len: Long,
+      checksum: Long)
+
+  /** Frame sampling: each payload row fans out to `n` frames (byte
+    * slices in the stub; per-frame decode in a real codec) — the
+    * one-to-many mapPartitions shape a video pipeline needs, with the
+    * codec held once per task, not once per frame. */
+  def sampleFrames(media: DataFrame, n: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { row =>
+        val len = row.payload.length
+        (0 until n).iterator.map { i =>
+          val from = i * len / n
+          val until = (i + 1) * len / n
+          val slice = java.util.Arrays.copyOfRange(row.payload, from, until)
+          val d = FakeCodec.decode(MediaRow(row.doc_id, row.kind, slice))
+          Frame(row.doc_id, i, d.byte_len, d.checksum)
+        }
+      }
+    }
+  }
+
+  /** "Resize": re-encode the payload at a reduced byte budget (every
+    * k-th byte in the stub) and re-extract features — the
+    * transform-then-redecode shape of a thumbnail pipeline. */
+  def resized(media: DataFrame, keepEvery: Int): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { row =>
+        val small = row.payload.indices.collect {
+          case i if i % keepEvery == 0 => row.payload(i)
+        }.toArray
+        FakeCodec.decode(MediaRow(row.doc_id, s"${row.kind};thumb", small))
+      }
+    }
+  }
 }

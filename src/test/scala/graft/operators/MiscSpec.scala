@@ -41,6 +41,25 @@ class MiscSpec extends AnyFunSuite {
     assert(math.abs(r(0).getSeq[Float](6).sum - 1.0f) < 1e-6)
   }
 
+  test("Multimodal.sampleFrames fans one payload into n decoded frames") {
+    val d = Seq((0L, "en", "s", 10L, "abcdefghij"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.withPayload(d), 4)
+      .collect().sortBy(_.frame_no)
+    assert(frames.length == 4)
+    assert(frames.map(_.frame_len).sum == 10L) // slices cover the payload
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("Multimodal.resized shrinks the payload and re-decodes") {
+    val d = Seq((0L, "en", "s", 9L, "abcdefghi"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val r = Multimodal.resized(Multimodal.withPayload(d), keepEvery = 3)
+      .collect().head
+    assert(r.byte_len == 3L) // bytes 0,3,6
+    assert(r.kind == "image/fake;thumb")
+  }
+
   test("Model path codec round-trips 5-part attribute paths (C1)") {
     val full = "cs1:10000/r3/mag/dia-01/current"
     val (cs, rest) = AttributePath.splitCs(full)
