@@ -318,6 +318,59 @@ object PipelineQueries {
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------- IVF ANN
+  private def p13(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), col("vec_id") < 10, k = 5)
+      .orderBy(col("qid"), col("rn"))
+
+  private val p13Sql =
+    """WITH el AS (
+      |  SELECT vec_id, label,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+      |      AS qv,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS clab, i, CAST(sum(qv) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM el GROUP BY label, i),
+      |centq AS (
+      |  SELECT clab, i, (s - (((s % n) + n) % n)) / n AS c FROM cent),
+      |dots AS (
+      |  SELECT el.vec_id, centq.clab,
+      |    CAST(sum(el.qv * centq.c) AS BIGINT) AS d
+      |  FROM el JOIN centq ON el.i = centq.i
+      |  GROUP BY el.vec_id, centq.clab),
+      |assigned AS (
+      |  SELECT vec_id, clab FROM (
+      |    SELECT vec_id, clab,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY d DESC, clab) AS rn
+      |    FROM dots) WHERE rn = 1),
+      |q AS (SELECT a.vec_id AS qid, e.embedding AS qe, a.clab
+      |      FROM assigned a JOIN embeddings e USING (vec_id)
+      |      WHERE a.vec_id < 10),
+      |ml AS (SELECT a.clab, e.vec_id,
+      |    CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 10000) AS BIGINT)
+      |      AS v,
+      |    generate_subscripts(e.embedding, 1) AS i
+      |  FROM assigned a JOIN embeddings e USING (vec_id)),
+      |qel AS (SELECT qid, clab,
+      |    CAST(round(CAST(unnest(qe) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+      |    generate_subscripts(qe, 1) AS i
+      |  FROM q),
+      |pairs AS (
+      |  SELECT qel.qid, qel.clab, ml.vec_id AS nid,
+      |    CAST(sum(qel.qv * ml.v) AS BIGINT) AS dot_e8
+      |  FROM qel JOIN ml ON qel.i = ml.i AND qel.clab = ml.clab
+      |    AND ml.vec_id <> qel.qid
+      |  GROUP BY qel.qid, qel.clab, ml.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY dot_e8 DESC, nid) AS rn FROM pairs)
+      |SELECT qid, clab, rn, nid, dot_e8 FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
   // ---------------------------------------------------------------- multimodal (no SQL oracle)
   private def p12(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(docs(s, dir)).orderBy(col("doc_id"))
@@ -336,7 +389,8 @@ object PipelineQueries {
     "p09_knn_brute" -> (p09 _),
     "p10_ann_lsh" -> (p10 _),
     "p11_embed_stats" -> (p11 _),
-    "p12_multimodal" -> (p12 _))
+    "p12_multimodal" -> (p12 _),
+    "p13_ivf_topk" -> (p13 _))
 
   /** p12 is deliberately absent: the fake-codec decode is not SQL —
     * the driver records a rows-only check for it. */
@@ -351,5 +405,6 @@ object PipelineQueries {
     "p08_lang_id" -> p08Sql,
     "p09_knn_brute" -> p09Sql,
     "p10_ann_lsh" -> p10Sql,
-    "p11_embed_stats" -> p11Sql)
+    "p11_embed_stats" -> p11Sql,
+    "p13_ivf_topk" -> p13Sql)
 }

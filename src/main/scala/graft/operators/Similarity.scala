@@ -95,6 +95,53 @@ object Similarity {
         col("dot_e8"))
   }
 
+  /** IVF-style ANN: build integer centroids (exact-sum floor-div means
+    * of the e4-quantized components, seeded from the label groups —
+    * one Lloyd re-assignment step), assign EVERY vector to its nearest
+    * centroid by integer dot, then answer queries by exact top-k within
+    * the query's own cell (nprobe=1).
+    *
+    * The floor-div is `(s − pmod(s, n)) / n` — Spark's `div` and
+    * DuckDB's `//` both truncate toward zero, which diverges on
+    * negative sums; pmod gives true floor semantics in both engines.
+    * All arithmetic is exact integers → oracle-reproducible, unlike a
+    * float k-means. Recall is cell-bound, like [[annLsh]] — that is the
+    * scale path's contract. */
+  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    ensureDotE8(emb)
+    val el = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("i"),
+        expr("cast(round(cast(v as double) * 10000) as bigint)").as("qv"))
+    val cent = el.groupBy(col("label").as("clab"), col("i"))
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .select(col("clab"), col("i"),
+        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long")
+          .as("c"))
+    val dots = el.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("clab"))
+      .agg(sum(col("qv") * col("c")).as("d"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("d").desc, col("clab").asc)
+    val assigned = dots.withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1).select(col("vec_id"), col("clab"))
+    val withCell = emb.join(assigned, "vec_id")
+    val queries = withCell.where(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("clab"))
+    val pairs = withCell.join(broadcast(queries), Seq("clab"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("clab"), col("vec_id").as("nid"),
+        dotE8("qe", "embedding").as("dot_e8"))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("dot_e8").desc, col("nid").asc)
+    pairs.withColumn("rn", row_number().over(wRank).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("clab"), col("rn"), col("nid"),
+        col("dot_e8"))
+  }
+
   /** Per-label embedding stats on exact quantized components: count and
     * Σ round(e[d]·10⁴) for the first `nDims` dimensions. */
   def labelStats(emb: DataFrame, nDims: Int): DataFrame = {
