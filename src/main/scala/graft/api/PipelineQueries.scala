@@ -371,6 +371,17 @@ object PipelineQueries {
       |SELECT qid, clab, rn, nid, dot_e8 FROM ranked WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- token counts
+  private def p14(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))
+
+  private val p14Sql =
+    """SELECT doc_id, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    w -> (len(w) + 3) // 4)) AS BIGINT) AS n_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- multimodal (no SQL oracle)
   private def p12(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(docs(s, dir)).orderBy(col("doc_id"))
@@ -390,7 +401,8 @@ object PipelineQueries {
     "p10_ann_lsh" -> (p10 _),
     "p11_embed_stats" -> (p11 _),
     "p12_multimodal" -> (p12 _),
-    "p13_ivf_topk" -> (p13 _))
+    "p13_ivf_topk" -> (p13 _),
+    "p14_token_counts" -> (p14 _))
 
   /** p12 is deliberately absent: the fake-codec decode is not SQL —
     * the driver records a rows-only check for it. */
@@ -406,5 +418,6 @@ object PipelineQueries {
     "p09_knn_brute" -> p09Sql,
     "p10_ann_lsh" -> p10Sql,
     "p11_embed_stats" -> p11Sql,
-    "p13_ivf_topk" -> p13Sql)
+    "p13_ivf_topk" -> p13Sql,
+    "p14_token_counts" -> p14Sql)
 }

@@ -53,6 +53,21 @@ object TextStats {
         (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
   }
 
+  /** Token accounting per doc: whitespace tokens plus a BPE-ish
+    * subword estimate — Σ ceil(len(word)/4) — approximating a ~4
+    * chars/token subword tokenizer without a vocabulary (the shape a
+    * token-budget accounting job needs; swap the arithmetic for a real
+    * BPE via mapPartitions when the tokenizer ships). Integer-exact,
+    * so directly oracle-able. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      expr("""cast(aggregate(split(text, ' '), 0,
+        |(acc, w) -> acc + cast((length(w) + 3) div 4 as int))
+        |as bigint)""".stripMargin).as("n_subwords"))
+
   /** Marker vocabularies for the language-ID heuristic. The synthetic
     * corpus shares one vocabulary across languages, so accuracy is
     * meaningless by construction — the operator exercised here is the

@@ -46,6 +46,15 @@ object StreamOps {
         col("value_mean"), col("n"))
   }
 
+  /** Streaming exact dedup of a document stream: drop any doc whose
+    * content digest was already seen (state = one digest per distinct
+    * doc, partitioned by the aggregation shuffle). Input needs
+    * `doc_id`, `text`; the digest column is kept in the output so
+    * downstream stages can skip re-hashing. */
+  def streamingExactDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", sha2(col("text"), 256))
+      .dropDuplicates("fp")
+
   final case class RawPoint(att_name: String, t: Long, value_r: Double)
   final case class ArchivedPoint(att_name: String, t: Long,
       value_r: Double, prev: Double)

@@ -34,6 +34,25 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops repeated content across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingExactDedup(
+      in.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("sd")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      in.addData((4L, "beta"), (5L, "gamma")) // beta already seen
+      q.processAllAvailable()
+      val texts = spark.table("sd").select("text")
+        .as[String].collect().sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("archiveEvents: stateful change detector across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
