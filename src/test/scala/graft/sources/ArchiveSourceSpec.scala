@@ -4,6 +4,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 import graft.cache.ArchiveCache
+import org.apache.spark.sql.functions._
 
 class ArchiveSourceSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -37,6 +38,27 @@ class ArchiveSourceSpec extends AnyFunSuite {
     assert(scan.toString().contains("PartitionFilters"))
     val numFiles = scan.metrics("numFiles").value
     assert(numFiles > 0 && numFiles <= 4, s"numFiles=$numFiles")
+  }
+
+  test("ArchiveWriter round-trip: derived periods, append, pruned read") {
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val day1 = Seq((1, "2024-02-01 10:00:00", 1.0),
+      (2, "2024-02-01 11:00:00", 2.0))
+      .toDF("att_conf_id", "s", "value_r")
+      .select(col("att_conf_id"), to_timestamp(col("s")).as("data_time"),
+        col("value_r"))
+    ArchiveWriter.write(day1, root)
+    // append-only: a later batch for the next day
+    val day2 = Seq((1, "2024-02-02 09:00:00", 3.0))
+      .toDF("att_conf_id", "s", "value_r")
+      .select(col("att_conf_id"), to_timestamp(col("s")).as("data_time"),
+        col("value_r"))
+    ArchiveWriter.write(day2, root)
+    val src = new ParquetArchiveSource(spark, root)
+    assert(src.points(Seq(1), "2024-02-01", "2024-02-02").count() == 2)
+    val pruned = src.points(Seq(1), "2024-02-02", "2024-02-02")
+    assert(pruned.collect().map(_.getAs[Double]("value_r")).toSeq
+      == Seq(3.0))
   }
 
   test("PeriodCache over the parquet source serves closed days from cache") {
