@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to our stdout — sbt's default logger
+// prefixes every line with "[info] ", which breaks line-oriented JSON
+// parsing of Bench's metric line (round-1 post-mortem: the driver
+// recorded parsed:null despite a well-formed line in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
