@@ -9,8 +9,9 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextOps, TextStats}
   *
   * Oracle-parity rules (same as EventQueries): exact integer math
   * everywhere; ratios are ONE IEEE division of exact integers; token
-  * and shingle ids come from a sorted dense vocabulary rather than an
-  * engine hash; every query has a total ORDER BY. The synthetic corpus
+  * and shingle ids are never an engine hash — either a sorted dense
+  * vocabulary or the content-derived poly_hash31 recurrence, both
+  * reproducible in DuckDB; every query has a total ORDER BY. The synthetic corpus
   * is all-distinct, so dedup queries plant duplicates (exact copies at
   * doc_id+2000000, near-copies with the first 3 words dropped at
   * doc_id+1000000) — the oracle plants the identical rows.
@@ -19,12 +20,23 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** The synthetic documents file is ONE parquet row group, so every
+    * scan is one partition — fine for the shuffle-first queries, a
+    * serial bottleneck for the CPU-bound per-doc pipelines (shingling,
+    * hashing, tokenizing: the map work IS the query). Those spread the
+    * tiny text across the cluster first; a real 100 TB corpus arrives
+    * in thousands of splits and the exchange collapses to a no-op
+    * repartition of already-parallel data. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
   // ---------------------------------------------------------------- exact dedup
   private def p01(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(TextOps.withPlantedExactDups(docs(s, dir), every = 50))
+    Dedup.exact(TextOps.withPlantedExactDups(docsSpread(s, dir), every = 50))
       .orderBy(col("keep_id"))
 
   private val p01Sql =
@@ -39,7 +51,9 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- MinHash-LSH
   /** Shared oracle CTE: corpus with planted near-dups → distinct
-    * 3-shingles → dense ids (sorted vocabulary). */
+    * 3-shingles → content-hash ids (the same poly_hash31 byte
+    * recurrence the Spark side computes natively — ascii() ≡ the UTF-8
+    * byte on this pure-ASCII corpus). */
   private val NearDupCtes =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -58,15 +72,19 @@ object PipelineQueries {
       |        AS shingle
       |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
       |  WHERE shingle IS NOT NULL),
-      |vocab AS (
-      |  SELECT shingle, row_number() OVER (ORDER BY shingle) AS tid
-      |  FROM (SELECT DISTINCT shingle FROM sh)),
-      |dt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle))
+      |dt AS (
+      |  SELECT DISTINCT doc_id, list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      list_transform(string_split(shingle, ''),
+      |                     c -> ascii(c)::BIGINT)),
+      |    (acc, u) -> (acc * 131 + u) % 2147483647) AS tid
+      |  FROM sh)
       |""".stripMargin
 
   private def p02(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(
-      TextOps.withPlantedNearDups(docs(s, dir), every = 25, dropWords = 3),
+      TextOps.withPlantedNearDups(docsSpread(s, dir), every = 25,
+        dropWords = 3),
       s, shingleK = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("d1"), col("d2"))
 
@@ -100,7 +118,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- SimHash
   private def p03(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(docs(s, dir).select(col("doc_id"), col("text")), s)
+    Dedup.simhash(docsSpread(s, dir).select(col("doc_id"), col("text")), s)
       .orderBy(col("doc_id"))
 
   private val p03Sql =
@@ -122,7 +140,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- blocked Jaccard
   private def p04(s: SparkSession, dir: String): DataFrame =
-    Dedup.blockedJaccard(docs(s, dir), Seq("lang", "source"), 0.9)
+    Dedup.blockedJaccard(docsSpread(s, dir), Seq("lang", "source"), 0.9)
       .orderBy(col("lang"), col("source"), col("d1"), col("d2"))
 
   private val p04Sql =
@@ -144,7 +162,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- fingerprint
   private def p05(s: SparkSession, dir: String): DataFrame =
-    Dedup.fingerprint(docs(s, dir).select(col("doc_id"), col("text")))
+    Dedup.fingerprint(docsSpread(s, dir).select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"))
 
   private val p05Sql =
@@ -167,7 +185,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- text stats
   private def p06(s: SparkSession, dir: String): DataFrame =
-    TextStats.perLanguage(docs(s, dir)).orderBy(col("lang"))
+    TextStats.perLanguage(docsSpread(s, dir)).orderBy(col("lang"))
 
   private val p06Sql =
     """SELECT lang, count(*) AS n_docs,
@@ -182,7 +200,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- quality
   private def p07(s: SparkSession, dir: String): DataFrame =
-    TextStats.quality(docs(s, dir)).orderBy(col("doc_id"))
+    TextStats.quality(docsSpread(s, dir)).orderBy(col("doc_id"))
 
   private val p07Sql = {
     val stopList = TextStats.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -203,7 +221,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- lang-ID
   private def p08(s: SparkSession, dir: String): DataFrame =
-    TextStats.langConfusion(docs(s, dir))
+    TextStats.langConfusion(docsSpread(s, dir))
       .orderBy(col("lang"), col("guess"))
 
   private val p08Sql = {
@@ -373,7 +391,7 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- token counts
   private def p14(s: SparkSession, dir: String): DataFrame =
-    TextStats.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))
+    TextStats.tokenCounts(docsSpread(s, dir)).orderBy(col("doc_id"))
 
   private val p14Sql =
     """SELECT doc_id, n_chars,
@@ -382,9 +400,53 @@ object PipelineQueries {
       |    w -> (len(w) + 3) // 4)) AS BIGINT) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // ---------------------------------------------------------------- multimodal (no SQL oracle)
-  private def p12(s: SparkSession, dir: String): DataFrame =
-    Multimodal.features(docs(s, dir)).orderBy(col("doc_id"))
+  // ---------------------------------------------------------------- multimodal
+  /** Feature vector flattened to scalar f0…f7 columns: array columns
+    * are driver-comparator-hostile (pandas cannot sort/factorize an
+    * ndarray cell — the ONLY red row in CORRECTNESS_r02). The corpus
+    * text is pure ASCII, so the fake codec's byte loop is expressible
+    * over `ascii()` codes in DuckDB and p12 gets a real hash oracle. */
+  private def p12(s: SparkSession, dir: String): DataFrame = {
+    val flat = (0 until 8).map(i =>
+      element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
+    Multimodal.features(docsSpread(s, dir))
+      .select(Seq(col("doc_id"), col("kind"), col("byte_len"),
+        col("width"), col("height"), col("checksum")) ++ flat: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirrors [[Multimodal.FakeCodec.decode]] over UTF-8 bytes == ASCII
+    * codes: checksum = Σ byte·((i mod 31)+1) mod 2³¹−1 (iterative mod ≡
+    * mod of the sum — all terms positive), histogram buckets byte%8,
+    * f_b = FLOAT(h_b)/FLOAT(n) — single-precision division on both
+    * sides so the widened double is bit-identical. */
+  private val p12Sql = {
+    val hists = (0 until 8).map(b =>
+      s"CAST(sum(CASE WHEN c <> '' AND ascii(c) % 8 = $b THEN 1 ELSE 0 END) AS BIGINT) AS h$b")
+      .mkString(",\n  ")
+    val feats = (0 until 8).map(b =>
+      s"CAST(CAST(a.h$b AS FLOAT) / CAST(greatest(a.n, 1) AS FLOAT) AS DOUBLE) AS f$b")
+      .mkString(",\n  ")
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c,
+       |         generate_subscripts(string_split(text, ''), 1) AS s
+       |  FROM documents),
+       |agg AS (
+       |  SELECT doc_id,
+       |  CAST(sum(ascii(c) * (((s - 1) % 31) + 1)) % 2147483647 AS BIGINT)
+       |    AS checksum,
+       |  CAST(sum(CASE WHEN c = '' THEN 0 ELSE 1 END) AS BIGINT) AS n,
+       |  $hists
+       |  FROM ch GROUP BY doc_id)
+       |SELECT d.doc_id, 'image/fake' AS kind,
+       |  CAST(length(d.text) AS BIGINT) AS byte_len,
+       |  CAST(length(d.text) % 640 + 1 AS INT) AS width,
+       |  CAST(length(d.text) % 480 + 1 AS INT) AS height,
+       |  a.checksum,
+       |  $feats
+       |FROM documents d JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------------
 
@@ -404,9 +466,8 @@ object PipelineQueries {
     "p13_ivf_topk" -> (p13 _),
     "p14_token_counts" -> (p14 _))
 
-  /** p12 is deliberately absent: the fake-codec decode is not SQL —
-    * the driver records a rows-only check for it. */
   val oracleSql: Map[String, String] = Map(
+    "p12_multimodal" -> p12Sql,
     "p01_exact_dedup" -> p01Sql,
     "p02_minhash_lsh" -> p02Sql,
     "p03_simhash" -> p03Sql,

@@ -105,9 +105,14 @@ object ArchiveCache {
       latest.getOrDefault(key, 0L) == stamp
   }
 
-  /** S5 — TTL memoization (`utils.py:29-50`). `clock` injectable. */
+  /** S5 — TTL memoization (`utils.py:29-50`). `clock` injectable.
+    * `onEvict` runs on the value being replaced at TTL expiry (and on
+    * `invalidate()`) — cached-DataFrame users unpersist there, so a
+    * long-lived session does not accumulate one persisted block set
+    * per 60 s refresh. */
   final class TtlCache[T](ttlMs: Long, load: () => T,
-      clock: () => Long = () => System.currentTimeMillis()) {
+      clock: () => Long = () => System.currentTimeMillis(),
+      onEvict: T => Unit = (_: T) => ()) {
     private var value: Option[(Long, T)] = None
     private[cache] var loads = 0L
 
@@ -115,14 +120,18 @@ object ArchiveCache {
       val now = clock()
       value match {
         case Some((at, v)) if now - at < ttlMs => v
-        case _ =>
+        case prev =>
           loads += 1
           val v = load()
           value = Some((now, v))
+          prev.foreach { case (_, old) => onEvict(old) }
           v
       }
     }
 
-    def invalidate(): Unit = synchronized { value = None }
+    def invalidate(): Unit = synchronized {
+      value.foreach { case (_, old) => onEvict(old) }
+      value = None
+    }
   }
 }

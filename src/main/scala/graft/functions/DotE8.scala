@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   *
   * Determinism: integer products and sums only, so the result is
   * independent of accumulation order and bit-identical across engines.
-  * `Math.round` (half-up) differs from away-from-zero rounding only on
-  * exact .5 ties, which cannot occur here: a tie needs x = (2k+1)/2·10⁻⁴
-  * and no such value is a dyadic rational, so no float hits one.
+  * Rounding is half-AWAY-FROM-ZERO — matching Spark SQL's and DuckDB's
+  * `round()` — NOT `Math.round` (half-toward-+∞), which diverges by 1
+  * on negative exact ties. Ties DO occur: 10⁴ = 2⁴·5⁴, so any float
+  * that is an odd multiple of 2⁻⁵ (e.g. −0.03125 → −312.5) lands on
+  * one, and `Math.round` would give −312 where both engines give −313.
   */
 case class DotE8(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,8 +50,7 @@ case class DotE8(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += Math.round(x.getFloat(i).toDouble * 10000.0) *
-        Math.round(y.getFloat(i).toDouble * 10000.0)
+      acc += DotE8.roundE4(x.getFloat(i)) * DotE8.roundE4(y.getFloat(i))
       i += 1
     }
     acc
@@ -60,12 +61,13 @@ case class DotE8(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val cls = classOf[DotE8].getName.stripSuffix("$")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += java.lang.Math.round((double) $a.getFloat($i) * 10000.0)
-         |    * java.lang.Math.round((double) $b.getFloat($i) * 10000.0);
+         |  $acc += $cls$$.MODULE$$.roundE4($a.getFloat($i))
+         |    * $cls$$.MODULE$$.roundE4($b.getFloat($i));
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -76,6 +78,14 @@ case class DotE8(left: Expression, right: Expression)
 }
 
 object DotE8 {
+  /** `round(x·10⁴)` half-away-from-zero — the tie behavior of BOTH
+    * Spark SQL's and DuckDB's `round()`. Shared by the interpreted and
+    * codegen paths so they cannot drift. */
+  def roundE4(x: Float): Long = {
+    val v = x.toDouble * 10000.0
+    if (v >= 0) Math.round(v) else -Math.round(-v)
+  }
+
   private val info = new ExpressionInfo(classOf[DotE8].getName, "dot_e8")
   private val builder = (args: Seq[Expression]) => {
     require(args.length == 2, "dot_e8 takes exactly 2 arguments")
@@ -84,9 +94,71 @@ object DotE8 {
 
   /** Idempotent per-session registration, for sessions the engine did
     * not create (the driver owns ours). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_e8", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_e4c", DotE4C.builder, "built-in")
+  }
+}
+
+/** `dot_e4c(a, c)` — Σᵢ round(aᵢ·10⁴)·cᵢ of a float array against an
+  * int64 array (typically a literal — e.g. a collected IVF centroid in
+  * [[graft.operators.Similarity.ivfTopK]], where one projection with L
+  * of these replaces an n×dims×L explode-join). Same codegen shape and
+  * rounding contract as [[DotE8]], right side already integer. */
+case class DotE4C(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_e4c requires (array<float>, array<bigint>), got " +
+          s"${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_e4c"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += DotE8.roundE4(x.getFloat(i)) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val cls = classOf[DotE8].getName.stripSuffix("$")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $cls$$.MODULE$$.roundE4($a.getFloat($i)) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotE4C = copy(left = newLeft, right = newRight)
+}
+
+object DotE4C {
+  private[functions] val builder = (args: Seq[Expression]) => {
+    require(args.length == 2, "dot_e4c takes exactly 2 arguments")
+    DotE4C(args.head, args(1))
+  }
 }
 
 /** `SparkSessionExtensions` hook — the supported way to ship the
@@ -94,8 +166,15 @@ object DotE8 {
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_e8"),
       new ExpressionInfo(classOf[DotE8].getName, "dot_e8"),
       (args: Seq[Expression]) => DotE8(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("dot_e4c"),
+      new ExpressionInfo(classOf[DotE4C].getName, "dot_e4c"),
+      (args: Seq[Expression]) => DotE4C(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("poly_hash31"),
+      new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
+      (args: Seq[Expression]) => PolyHash31(args.head)))
+  }
 }

@@ -75,7 +75,9 @@ object TimeFns {
   def parseNaiveUtc(s: String): Long = {
     import java.time._
     import java.time.format.DateTimeFormatter
-    val trimmed = s.trim
+    // space-separated timestamps are normalized to 'T' on BOTH paths —
+    // the reference's parser accepts "2026-01-01 00:00:00+02:00" too
+    val trimmed = s.trim.replace(' ', 'T')
     val asOffset =
       try Some(OffsetDateTime.parse(trimmed,
         DateTimeFormatter.ISO_OFFSET_DATE_TIME))
@@ -84,7 +86,7 @@ object TimeFns {
       case Some(odt) => odt.atZoneSameInstant(ZoneOffset.UTC)
       case None =>
         val local =
-          try LocalDateTime.parse(trimmed.replace(' ', 'T'))
+          try LocalDateTime.parse(trimmed)
           catch {
             case _: Exception => LocalDate.parse(trimmed).atStartOfDay()
           }

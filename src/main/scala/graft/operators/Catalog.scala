@@ -56,6 +56,14 @@ object Catalog {
     * cutoff (reference `hdbpp.py:167-177`: ORDER BY recv_time DESC
     * LIMIT 1), ties broken by `tieBreak` descending.
     *
+    * PRECONDITION: `(keys, timeCol, tieBreak)` identifies at most one
+    * row — otherwise every row tied at the max comes back where the
+    * reference's LIMIT 1 returns one. This mirrors the reference's own
+    * invariant: `recv_time` is att_parameter's Cassandra CLUSTERING
+    * key, so duplicates per att_conf_id cannot exist there either;
+    * [[graft.sources.ArchiveWriter.writeParameters]] enforces the same
+    * last-write-wins uniqueness at ingest.
+    *
     * Implemented as a `max_by` hash aggregate, NOT a row_number window:
     * a window partitioned by a low-cardinality key (e.g. 5 event
     * types) funnels the whole table through a few sort tasks, while

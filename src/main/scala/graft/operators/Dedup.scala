@@ -59,22 +59,50 @@ object Dedup {
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
-  /** Candidate pairs (d1 < d2) sharing at least one LSH bucket. */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey")).where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-  }
+  /** Candidate pairs (d1 < d2) sharing at least one LSH bucket.
+    *
+    * Shaped as ONE groupBy + in-row pair expansion, not a bands⊳⊲bands
+    * self-join: the self-join shuffles the band table twice and replays
+    * its whole upstream (signature aggregation) once per side, where
+    * the groupBy shuffles it once and emits each bucket's C(n,2) pairs
+    * from a sorted in-memory doc list. Output is identical — a bucket
+    * of n docs yields the same n(n−1)/2 ordered pairs either way, and
+    * LSH buckets are small by construction (a bucket's size is its
+    * collision count; a bucket that grows degenerate means the band
+    * key stopped discriminating and upstream parameters are wrong —
+    * same quadratic risk the self-join had, just visible here). */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+          |  i -> transform(slice(ds, i + 1, size(ds) - i),
+          |    j -> struct(element_at(ds, i) as d1, j as d2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.d1"), col("p.d2")).distinct()
 
   /** Exact Jaccard over the id-set table `dt` for the given candidate
     * pairs; keeps pairs with similarity ≥ `threshold`. The division is
-    * a single IEEE op on exact integer counts — engine-deterministic. */
+    * a single IEEE op on exact integer counts — engine-deterministic.
+    *
+    * The full postings table never shuffles: `dt` is first semi-joined
+    * (broadcast) down to the docs that appear in SOME candidate pair —
+    * O(collisions) docs — and the intersection join + size aggregate
+    * run on that small slice. (Joining the raw `dt` re-shuffles every
+    * doc's postings to verify a handful of pairs; at 100 TB that is a
+    * full-corpus shuffle for a kilobyte of output. The broadcast is
+    * bounded by the LSH collision count, the same bound `candidates`
+    * itself already carries.) */
   def jaccardVerify(candidates: DataFrame, dt: DataFrame, threshold: Double): DataFrame = {
-    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairDocs = candidates.select(col("d1").as("doc_id"))
+      .unionByName(candidates.select(col("d2").as("doc_id")))
+      .distinct()
+    val dtC = dt.join(broadcast(pairDocs), Seq("doc_id"))
+    val sz = dtC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = candidates
-      .join(dt.select(col("doc_id").as("d1"), col("tid")), Seq("d1"))
-      .join(dt.select(col("doc_id").as("d2"), col("tid")), Seq("d2", "tid"))
+      .join(dtC.select(col("doc_id").as("d1"), col("tid")), Seq("d1"))
+      .join(dtC.select(col("doc_id").as("d2"), col("tid")), Seq("d2", "tid"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -89,31 +117,86 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline over a (doc_id, text) corpus:
-    * k-shingles → dense ids → signatures → bands → candidates → exact
-    * Jaccard ≥ threshold. The shingle-id table feeds four downstream
-    * consumers (signatures, sizes, both sides of the intersection
-    * join), so it is persisted — without it the shingle+vocabulary
-    * subtree recomputes once per consumer. */
+    * k-shingles → content-hash ids → signatures → bands → candidates →
+    * exact Jaccard ≥ threshold.
+    *
+    * Shingle-id strategies (`ids`):
+    *  - `"poly"` (default): `poly_hash31(shingle)` — a pure per-row
+    *    projection, no vocabulary, no distinct/sort/join, AND
+    *    oracle-reproducible (DuckDB computes the same byte recurrence;
+    *    see [[graft.functions.PolyHash31]]). The id assignment costs
+    *    nothing at any scale — this is both the bench path and the
+    *    100 TB path.
+    *  - `"dense"`: sorted-vocabulary ids via [[TextOps.vocab]] —
+    *    collision-free and oracle-reproducible, at the cost of a
+    *    distinct + range-sort + join over the shingle universe.
+    *  - `"hash64"`: `xxhash64 mod P` — engine-specific (NOT
+    *    DuckDB-checkable), for deployments that want Spark's native
+    *    hash.
+    * All three produce the same verified pairs (any injective-ish id
+    * works; parity is test-covered), so the choice is operational.
+    *
+    * The id table `dt` feeds signatures + both sides of the
+    * verification, so it is persisted; `sigs` likewise (the band
+    * self-join consumes it twice). Lifecycle: MEMORY_AND_DISK under
+    * Spark's LRU block manager — callers running many corpora through
+    * one session may clear via `cacheManager.clearCache()` or rely on
+    * LRU eviction (never OOM, worst case recompute). */
   def minhashNearDups(corpus: DataFrame, spark: SparkSession,
       shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, denseIds: Boolean = true): DataFrame = {
-    val sh = TextOps.shingles(corpus, shingleK)
-    // denseIds=true: sorted-vocabulary ids — oracle-reproducible, but
-    // the dense-rank window is one global sort task. denseIds=false is
-    // the 100 TB path: xxhash64(shingle) as the id — no vocabulary, no
-    // global window, same candidate pairs and identical verified
-    // Jaccard (any injective id works; 64-bit collisions are ~2^-64
-    // per pair), just not DuckDB-checkable (engine-specific hash).
-    val dt = (if (denseIds) {
-      val v = TextOps.vocab(sh, "shingle")
-      sh.join(v, Seq("shingle")).select(col("doc_id"), col("tid"))
-    } else {
-      sh.select(col("doc_id"),
-        pmod(xxhash64(col("shingle")), lit(TextOps.HashP)).as("tid"))
-    }).persist()
-    val sigs = minhashSignatures(dt, numPerms)
-    val cands = lshCandidates(lshBands(sigs, numPerms, rowsPerBand))
-    jaccardVerify(cands, dt, threshold)
+      threshold: Double = 0.5, ids: String = "poly"): DataFrame = {
+    graft.functions.PolyHash31.register(spark)
+    ids match {
+      case "poly" =>
+        // array-native pipeline: per-doc id SETS stay in-row end to end.
+        // Shuffles: band-bucket groupBy + pair distinct — nothing else.
+        // (Empty sets are filtered like the exploded form's absent rows.)
+        val ds = TextOps.shingleIdSets(corpus, shingleK)
+          .where(size(col("tids")) > 0).persist()
+        val sigs = ds.select(col("doc_id"),
+          expr(s"minhash_sigs(tids, $numPerms)").as("sig"))
+        val bandKeys = (0 until numPerms / rowsPerBand).map { b =>
+          concat_ws(",", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)
+              .cast("string")): _*)
+        }
+        val bands = sigs.select(col("doc_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+        val cands = lshCandidates(bands).persist()
+        // verify in-row: candidate pairs are FEW (LSH collisions), so a
+        // per-pair array_intersect of two ~doc-length sets beats any
+        // postings shuffle. (blockedJaccard documents the opposite
+        // choice — there every within-block pair is a candidate.)
+        cands
+          .join(ds.select(col("doc_id").as("d1"), col("tids").as("t1")),
+            Seq("d1"))
+          .join(ds.select(col("doc_id").as("d2"), col("tids").as("t2")),
+            Seq("d2"))
+          .withColumn("n_inter",
+            size(array_intersect(col("t1"), col("t2"))).cast("long"))
+          .withColumn("n_union",
+            size(col("t1")).cast("long") + size(col("t2")) - col("n_inter"))
+          .withColumn("jaccard",
+            col("n_inter").cast("double") / col("n_union"))
+          .where(col("jaccard") >= threshold)
+          .select(col("d1"), col("d2"), col("n_inter"), col("n_union"),
+            col("jaccard"))
+      case "dense" | "hash64" =>
+        val sh = TextOps.shingles(corpus, shingleK)
+        val dt = (if (ids == "dense") {
+          val v = TextOps.vocab(sh, "shingle")
+          sh.join(v, Seq("shingle")).select(col("doc_id"), col("tid"))
+        } else {
+          sh.select(col("doc_id"),
+            pmod(xxhash64(col("shingle")), lit(TextOps.HashP)).as("tid"))
+        }).persist()
+        val sigs = minhashSignatures(dt, numPerms)
+        val cands = lshCandidates(lshBands(sigs, numPerms, rowsPerBand))
+          .persist()
+        jaccardVerify(cands, dt, threshold)
+      case other => throw new IllegalArgumentException(
+        s"ids must be poly|dense|hash64, got '$other'")
+    }
   }
 
   /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a

@@ -101,32 +101,49 @@ object Similarity {
     * centroid by integer dot, then answer queries by exact top-k within
     * the query's own cell (nprobe=1).
     *
-    * The floor-div is `(s − pmod(s, n)) / n` — Spark's `div` and
-    * DuckDB's `//` both truncate toward zero, which diverges on
-    * negative sums; pmod gives true floor semantics in both engines.
-    * All arithmetic is exact integers → oracle-reproducible, unlike a
-    * float k-means. Recall is cell-bound, like [[annLsh]] — that is the
-    * scale path's contract. */
-  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    * Assignment shape (the 100 TB part): centroid sums come from ONE
+    * hash aggregate over per-dimension `element_at` projections — no
+    * posexplode — and the L finished centroids (L×dims longs, a few KB)
+    * are collected and re-emitted as LITERAL arrays. Each corpus row
+    * then computes its L cell dots via the codegen'd `dot_e4c` and
+    * takes the argmax in the same projection: zero joins, zero
+    * shuffles, nothing materialized per (row, dim, label) — round 2's
+    * explode-join built exactly that n×dims×L intermediate. The
+    * floor-div mean is `Math.floorDiv` ≡ the oracle's
+    * `(s − pmod(s, n)) / n` (both true floor; bare `/`|`//` truncate
+    * toward zero and diverge on negative sums). All arithmetic is exact
+    * integers → oracle-reproducible, unlike a float k-means. Recall is
+    * cell-bound, like [[annLsh]] — that is the scale path's contract. */
+  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
+      dims: Int = 64): DataFrame = {
     ensureDotE8(emb)
-    val el = emb
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("vec_id"), col("label"), (col("pos") + 1).as("i"),
-        expr("cast(round(cast(v as double) * 10000) as bigint)").as("qv"))
-    val cent = el.groupBy(col("label").as("clab"), col("i"))
-      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-      .select(col("clab"), col("i"),
-        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long")
-          .as("c"))
-    val dots = el.join(broadcast(cent), Seq("i"))
-      .groupBy(col("vec_id"), col("clab"))
-      .agg(sum(col("qv") * col("c")).as("d"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("d").desc, col("clab").asc)
-    val assigned = dots.withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1).select(col("vec_id"), col("clab"))
-    val withCell = emb.join(assigned, "vec_id")
+    val compSums = (1 to dims).map(d => sum(expr(
+      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
+      .as(s"s$d"))
+    val aggs = count(lit(1)).as("n") +: compSums
+    val centroids = emb.groupBy(col("label"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val c = (0 until dims).map(d => Math.floorDiv(r.getLong(2 + d), n))
+        (r.getInt(0), c)
+      }
+      .sortBy(_._1) // ascending labels → `>` fold keeps the SMALLEST on ties
+    // argmax over L literal-centroid dots, tie → smallest label (the
+    // oracle's ORDER BY d DESC, clab): array_max over (d, −label)
+    // structs — struct ordering gives max d then min label, and each
+    // dot appears ONCE in the expression tree. (A when-chained running
+    // best duplicates the accumulated tree in condition AND otherwise —
+    // exponential in L; it benchmarked 3× slower than the round-2 join
+    // it was meant to replace.)
+    val cells = centroids.map { case (lab, c) =>
+      struct(
+        expr(s"dot_e4c(embedding, array(${c.mkString("L,")}L))").as("d"),
+        lit(-lab).as("nl"))
+    }
+    val withCell = emb.withColumn("clab",
+      (-array_max(array(cells: _*)).getField("nl")).cast("int"))
     val queries = withCell.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("clab"))

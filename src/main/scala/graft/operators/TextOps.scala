@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tokenization / shingling primitives shared by the LLM-pipeline
@@ -9,13 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract: every derived value is exact integer math (or
   * a single IEEE division of exact integers) so the DuckDB oracle
-  * reproduces results bit-for-bit. Token/shingle IDs come from a
-  * sorted dense vocabulary (`row_number` over distinct tokens) — NOT an
-  * engine hash — because Spark's murmur3/xxhash64 and DuckDB's hash
-  * differ. At 100 TB you would skip the vocabulary join entirely and
-  * feed `xxhash64(token)` straight into the min-hash (one less shuffle,
-  * no global window); the vocabulary exists to keep results
-  * oracle-checkable, and the operator shape is identical either way.
+  * reproduces results bit-for-bit. Token/shingle ids are NEVER an
+  * engine hash (Spark's murmur3/xxhash64 and DuckDB's hash differ);
+  * the two oracle-reproducible strategies are a sorted dense
+  * [[vocab]] (collision-free, costs a distinct + range-sort + join)
+  * and the content-derived [[graft.functions.PolyHash31]] recurrence
+  * (a pure projection, zero coordination — what the MinHash pipeline
+  * uses). Operators whose id space must be dense (SimHash's quadratic
+  * threshold hash) keep the vocabulary.
   */
 object TextOps {
 
@@ -28,29 +28,88 @@ object TextOps {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
 
   /** Distinct k-word shingles per doc — computed with an array
-    * `transform` over the split tokens inside ONE narrow projection.
+    * `transform` over the split tokens inside narrow projections.
     * (A lead()-window formulation needs a shuffle+sort per document
     * before the first aggregation; this shape reaches the distinct
     * directly from the scan. The oracle uses the window formulation —
-    * the shingle SETS are identical either way.) */
+    * the shingle SETS are identical either way.)
+    *
+    * The split is HOISTED into its own projection and the lambda reads
+    * `element_at(ws, i+j)` — O(1) lookups, no per-position re-split or
+    * array copy. (A `split(text)` INSIDE the lambda re-evaluates per
+    * shingle position — O(tokens²) per doc, measured 4.6× slower at
+    * sf0.1 — and `slice` allocates a fresh array per shingle.
+    * CollapseProject keeps the hoist: `ws` is referenced k+2 times, so
+    * the optimizer does not inline it back.) */
   def shingles(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2 && k <= 8, s"shingle size $k out of range")
+    val terms = (0 until k).map(j => s"element_at(ws, i + $j)")
+      .mkString(", ")
     docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
-        s"""case when size(split(text, ' ')) >= $k
-           |then transform(sequence(1, size(split(text, ' ')) - ${k - 1}),
-           |  i -> concat_ws(' ', slice(split(text, ' '), i, $k)))
+        s"""case when size(ws) >= $k
+           |then transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> concat_ws(' ', $terms))
            |else array() end""".stripMargin)).as("shingle"))
       .distinct()
   }
 
-  /** Dense vocabulary: term → tid (1-based, sorted order). The global
-    * row_number window is a deliberate test-scale choice — see the
-    * object doc for the 100 TB variant (hash IDs, no vocab). */
-  def vocab(terms: DataFrame, termCol: String): DataFrame =
-    terms.select(col(termCol)).distinct()
-      .withColumn("tid",
-        row_number().over(Window.orderBy(col(termCol))).cast("long"))
+  /** Per-doc DISTINCT shingle-id SET as one array row: (doc_id, tids)
+    * with tids = array_distinct of [[graft.functions.PolyHash31]] over
+    * the k-shingles — the same id set [[shingles]]+hash yields after
+    * explode+distinct, built without EITHER: the distinct is in-row
+    * (`array_distinct`), the ids are content-derived, so the whole
+    * stage is a narrow projection with NO shuffle. This is the MinHash
+    * pipeline's 100 TB input shape: per-doc state is bounded by doc
+    * length, and nothing global exists until the band-bucket groupBy. */
+  def shingleIdSets(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 8, s"shingle size $k out of range")
+    val terms = (0 until k).map(j => s"element_at(ws, i + $j)")
+      .mkString(", ")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(case when size(ws) >= $k
+           |then transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> poly_hash31(concat_ws(' ', $terms)))
+           |else cast(array() as array<bigint>) end)""".stripMargin)
+        .as("tids"))
+  }
+
+  /** Dense vocabulary: term → tid (1-based, global sorted order —
+    * identical to DuckDB's `row_number() OVER (ORDER BY term)`).
+    *
+    * NOT a global `row_number` window (that funnels every distinct term
+    * through ONE sort task — round 2's 27 s p02 hotspot). Two parallel
+    * passes instead: range-repartition + sort-within-partitions puts
+    * the terms in global order across ordered partition ranges, then
+    * `zipWithIndex` (itself a count pass + a map pass) assigns the
+    * global rank without ever centralizing the data. Partition-boundary
+    * choice cannot affect ids: ranges are ordered, so the global rank
+    * of a term is the same wherever the cuts land. Precondition: no
+    * null terms (Spark sorts nulls first, DuckDB last — token/shingle
+    * sources never produce null). See the object doc for the true
+    * 100 TB variant (hash ids, no vocabulary at all). */
+  def vocab(terms: DataFrame, termCol: String): DataFrame = {
+    val spark = terms.sparkSession
+    val distinct = terms.select(col(termCol)).distinct()
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // zipWithIndex's eager count pass + the downstream map pass both
+    // consume `sorted`; persisting saves re-running the distinct
+    // aggregation (MEMORY_AND_DISK, LRU-evicted — worst case recompute)
+    val sorted = distinct
+      .repartitionByRange(parts, col(termCol))
+      .sortWithinPartitions(termCol)
+      .persist()
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "tid", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
 
   /** Corpus with planted near-duplicates: every doc_id % every`th doc
     * is re-emitted at doc_id + 1000000 with its first `dropWords` words

@@ -33,6 +33,17 @@ trait ArchiveSource {
 
   /** Catalog: att_names (cs_name, domain, family, member, name). */
   def attNames: DataFrame
+
+  /** Attribute-properties log (att_conf_id, recv_time µs, insert_time
+    * µs, label, unit, …) — the reference's att_parameter table
+    * (`hdbpp.py:167-177`), feeding
+    * [[graft.api.ArchiveApi.parameterAt]]. */
+  def attParameter: DataFrame
+
+  /** Archiving-event log (att_conf_id, time µs, event) — the
+    * reference's att_history table (`hdbpp.py:180-191`), feeding
+    * [[graft.api.ArchiveApi.history]]. */
+  def attHistory: DataFrame
 }
 
 /** Parquet-backed archive laid out as
@@ -48,6 +59,8 @@ final class ParquetArchiveSource(val spark: SparkSession, root: String,
 
   def attConf: DataFrame = spark.read.parquet(s"$root/att_conf")
   def attNames: DataFrame = spark.read.parquet(s"$root/att_names")
+  def attParameter: DataFrame = spark.read.parquet(s"$root/att_parameter")
+  def attHistory: DataFrame = spark.read.parquet(s"$root/att_history")
 
   /** Multi-type scan: resolve each requested attribute's data table
     * from the catalog (`att_conf.data_type`, reference
@@ -167,6 +180,89 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
           lit("stream").as("family"),
           concat(lit("u"), col("user_id")).as("member"),
           col("event_type").as("name")))
+
+  /** Synthesized att_parameter view: the events table has no property
+    * log, so each attribute gets ONE parameter row at its first point
+    * (label = attribute name, engine-native µs times). Real archives
+    * use the physical table ([[ArchiveWriter.writeParameters]]). */
+  def attParameter: DataFrame =
+    EventsArchiveAdapter.catalogCache(spark, sfDir, "attParameter", () =>
+      pointsAll.groupBy(col("att_conf_id"), col("att_name"))
+        .agg(min(col("t")).as("recv_time"))
+        .select(col("att_conf_id"), col("recv_time"),
+          col("recv_time").as("insert_time"), col("att_name").as("label"),
+          lit("au").as("unit"), lit("1").as("standard_unit"),
+          lit("%6.2f").as("format"), lit(null).cast("string")
+            .as("description")))
+
+  /** Synthesized att_history view: one "add" event per attribute at its
+    * first point — the adapter analog of the archiver's event log. */
+  def attHistory: DataFrame =
+    EventsArchiveAdapter.catalogCache(spark, sfDir, "attHistory", () =>
+      pointsAll.groupBy(col("att_conf_id"))
+        .agg(min(col("t")).as("time"))
+        .select(col("att_conf_id"), col("time"), lit("add").as("event")))
+}
+
+/** Cassandra-connector-backed [[ArchiveSource]] — the deployment the
+  * reference actually runs against (its whole `hdbpp.py` is hand-rolled
+  * CQL over `att_conf`/`att_names`/`att_parameter`/`att_history`/
+  * `att_scalar_*` tables, `hdbpp.py:95-208`) and BASELINE.json's stated
+  * Spark approach ("Spark SQL over Cassandra connector").
+  *
+  * The scan is declarative: `spark.read.format("org.apache.spark.sql
+  * .cassandra")` + a `where` the connector translates to CQL. The
+  * pushdown-critical part is [[CassandraArchiveSource.pointsPredicate]]:
+  * HDB++'s partition key is `((att_conf_id, period))`, and CQL cannot
+  * range-scan a partition key — a `period BETWEEN` would degrade to a
+  * full-table scan + Spark-side filter. Enumerating the days into an
+  * `IN` list instead maps every (id, day) to a direct partition read —
+  * the reference's per-day async fan-out (`hdbpp.py:274-321`) expressed
+  * as one predicate. Day fan-out count is bounded by the UI's range
+  * picker exactly as in the reference.
+  *
+  * OFFLINE SANDBOX NOTE: no connector jar and no cluster exist here, so
+  * `load()` is untestable in this environment; the class compiles
+  * against the stable `format(...)` string API and the predicate
+  * mapping is unit-tested (ArchiveSourceSpec). Deployments add
+  * `com.datastax.spark:spark-cassandra-connector_2.13` and
+  * `spark.cassandra.connection.host` — no code change. */
+final class CassandraArchiveSource(val spark: SparkSession,
+    keyspace: String = "hdbpp",
+    table: String = "att_scalar_devdouble_ro") extends ArchiveSource {
+
+  private def read(t: String): DataFrame =
+    spark.read.format(CassandraArchiveSource.Format)
+      .options(Map("keyspace" -> keyspace, "table" -> t))
+      .load()
+
+  def points(attConfIds: Seq[Int], p0: String, p1: String): DataFrame =
+    read(table)
+      .where(CassandraArchiveSource.pointsPredicate(attConfIds, p0, p1))
+
+  def attConf: DataFrame = read("att_conf")
+  def attNames: DataFrame = read("att_names")
+  def attParameter: DataFrame = read("att_parameter")
+  def attHistory: DataFrame = read("att_history")
+}
+
+object CassandraArchiveSource {
+  val Format = "org.apache.spark.sql.cassandra"
+
+  /** Inclusive day enumeration "YYYY-MM-DD" — the reference's
+    * `timestamp_to_period_range` (`hdbpp.py:16-21`). */
+  def periods(p0: String, p1: String): Seq[String] =
+    Iterator.iterate(java.time.LocalDate.parse(p0))(_.plusDays(1))
+      .takeWhile(!_.isAfter(java.time.LocalDate.parse(p1)))
+      .map(_.toString).toSeq
+
+  /** Partition-key predicate: `IN` on BOTH partition-key columns (the
+    * connector converts each to direct partition reads); never a range
+    * on `period` — see the class doc for why that would unpush. */
+  def pointsPredicate(attConfIds: Seq[Int], p0: String,
+      p1: String): org.apache.spark.sql.Column =
+    col("att_conf_id").isin(attConfIds: _*) &&
+      col("period").isin(periods(p0, p1): _*)
 }
 
 object EventsArchiveAdapter {
@@ -201,9 +297,12 @@ object EventsArchiveAdapter {
     new java.util.concurrent.ConcurrentHashMap[String, TtlCache[DataFrame]]()
 
   /** 60 s-TTL memoized, persisted catalog frame (reference
-    * `utils.py:29-50` memoization of `get_attributes`/`get_configs`). */
+    * `utils.py:29-50` memoization of `get_attributes`/`get_configs`).
+    * The expiring frame is unpersisted on refresh — without the evict
+    * hook a long-lived session accrues one dead block set per TTL. */
   private def catalogCache(spark: SparkSession, sfDir: String, kind: String,
       build: () => DataFrame): DataFrame =
     caches.computeIfAbsent(s"${spark.hashCode()}|$sfDir|$kind",
-      _ => new TtlCache[DataFrame](60000L, () => build().cache())).get()
+      _ => new TtlCache[DataFrame](60000L, () => build().cache(),
+        onEvict = df => { df.unpersist(); () })).get()
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ingest side of the archive: writes point rows into the
@@ -39,5 +40,47 @@ object ArchiveWriter {
       .partitionBy("att_conf_id", "period")
       .mode(mode)
       .parquet(s"$root/$table")
+  }
+
+  /** Write the attribute-properties log (`root/att_parameter`; reference
+    * reads it in `hdbpp.py:167-177`). Engine-native schema: µs-long
+    * `recv_time`/`insert_time` (the reference's split s+µs pair is
+    * combined at ingest — C5) plus the HDB++ property columns the
+    * caller supplies (label, unit, format, …).
+    *
+    * Enforces the Cassandra invariant [[graft.operators.Catalog
+    * .latestBefore]] depends on: `recv_time` is att_parameter's
+    * CLUSTERING key, so (att_conf_id, recv_time) is unique —
+    * last-write-wins by `insert_time` collapses re-sends exactly like a
+    * Cassandra upsert. The dedup window partitions by the pair — state
+    * is bounded by duplicate re-sends per key, no skew. Catalog tables
+    * are ~100k rows: written as ONE overwritten snapshot, not an
+    * append log (the mode default differs from [[write]] for that
+    * reason). */
+  def writeParameters(params: DataFrame, root: String,
+      mode: String = "overwrite"): Unit = {
+    val w = Window.partitionBy(col("att_conf_id"), col("recv_time"))
+      .orderBy(col("insert_time").desc)
+    params
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .drop("_rn")
+      .repartition(col("att_conf_id"))
+      .write.mode(mode).parquet(s"$root/att_parameter")
+  }
+
+  /** Write the archiving-event log (`root/att_history`; reference
+    * `hdbpp.py:180-191`): (att_conf_id, time µs, event). Uniqueness on
+    * (att_conf_id, time) — `time` is the clustering key — with the
+    * lexicographically first event kept on re-send ties so the write
+    * is deterministic. */
+  def writeHistory(history: DataFrame, root: String,
+      mode: String = "overwrite"): Unit = {
+    val w = Window.partitionBy(col("att_conf_id"), col("time"))
+      .orderBy(col("event").asc)
+    history
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .drop("_rn")
+      .repartition(col("att_conf_id"))
+      .write.mode(mode).parquet(s"$root/att_history")
   }
 }

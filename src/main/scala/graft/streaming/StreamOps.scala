@@ -50,10 +50,29 @@ object StreamOps {
     * content digest was already seen (state = one digest per distinct
     * doc, partitioned by the aggregation shuffle). Input needs
     * `doc_id`, `text`; the digest column is kept in the output so
-    * downstream stages can skip re-hashing. */
+    * downstream stages can skip re-hashing.
+    *
+    * CONTRACT: global-forever dedup — state grows one entry per
+    * distinct document for the life of the stream, which is the exact
+    * batch semantics but an eventual-OOM on an unbounded stream. Use it
+    * for bounded replays (backfill a day through the streaming path);
+    * long-running pipelines want [[streamingExactDedupWithinWatermark]],
+    * whose state is evicted once the watermark passes. */
   def streamingExactDedup(docs: DataFrame): DataFrame =
     docs.withColumn("fp", sha2(col("text"), 256))
       .dropDuplicates("fp")
+
+  /** Bounded-state streaming dedup: duplicates are dropped only within
+    * the watermark horizon on `eventTimeCol`; older digests are evicted
+    * from the state store, so state is O(docs per `delay` window), not
+    * O(all docs ever). The tradeoff is the contract: a duplicate
+    * arriving after the watermark passed its original re-emits — that
+    * re-admission IS the eviction observable (tested in StreamOpsSpec). */
+  def streamingExactDedupWithinWatermark(docs: DataFrame,
+      eventTimeCol: String, delay: String): DataFrame =
+    docs.withColumn("fp", sha2(col("text"), 256))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
 
   final case class RawPoint(att_name: String, t: Long, value_r: Double)
   final case class ArchivedPoint(att_name: String, t: Long,

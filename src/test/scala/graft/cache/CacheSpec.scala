@@ -82,6 +82,20 @@ class CacheSpec extends AnyFunSuite {
     assert(c.get() == 3)
   }
 
+  test("TtlCache evicts the replaced value on refresh and invalidate") {
+    var now = 0L
+    var loaded = 0
+    val evicted = scala.collection.mutable.Buffer[Int]()
+    val c = new ArchiveCache.TtlCache[Int](100L, () => { loaded += 1; loaded },
+      () => now, v => { evicted += v; () })
+    assert(c.get() == 1 && evicted.isEmpty)
+    now = 150L
+    assert(c.get() == 2 && evicted.toSeq == Seq(1)) // old value released
+    c.invalidate()
+    assert(evicted.toSeq == Seq(1, 2))
+    assert(c.get() == 3) // still usable after invalidate
+  }
+
   test("pointsResolved unions typed tables with value_r widened (hdbpp.py:404-410)") {
     val root = Files.createTempDirectory("graft-archive").toString
     Seq(("cs:1", "a/b/c/d", 1, "scalar_devdouble_ro"),

@@ -48,6 +48,9 @@ class TimeFnsSpec extends AnyFunSuite {
     assert(TimeFns.parseNaiveUtc("2017-06-16T17:00:00+02:00")
       == 1497625200000000L)
     assert(TimeFns.parseNaiveUtc("2017-06-16") == 1497571200000000L)
+    // offset WITH a space separator — normalized like the no-offset path
+    assert(TimeFns.parseNaiveUtc("2017-06-16 17:00:00+02:00")
+      == 1497625200000000L)
     assert(TimeFns.parseNaiveUtc("2017-06-16T15:00:00.250") % 1000000L
       == 250000L)
   }

@@ -33,18 +33,55 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
   }
 
-  test("hashed-id minhash (the 100 TB path) finds the same verified pairs") {
+  test("all three shingle-id strategies find the same verified pairs") {
     val corpus = docs.union(Seq(
       (10L, "quick brown fox jumps over the lazy dog again and again"))
       .toDF("doc_id", "text"))
-    def pairs(dense: Boolean) =
-      Dedup.minhashNearDups(corpus, spark, threshold = 0.5,
-        denseIds = dense)
+    def pairs(ids: String) =
+      Dedup.minhashNearDups(corpus, spark, threshold = 0.5, ids = ids)
         .select("d1", "d2", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // signatures differ (different id spaces) but the verified output —
     // candidate pairs that pass exact Jaccard — must agree
-    assert(pairs(dense = false) == pairs(dense = true))
+    val poly = pairs("poly")
+    assert(poly == pairs("dense") && poly == pairs("hash64"))
+  }
+
+  test("poly_hash31: codegen ≡ interpreted ≡ the DuckDB recurrence") {
+    graft.functions.PolyHash31.register(spark)
+    // golden value cross-checked against DuckDB:
+    //   list_reduce(list_prepend(0, list_transform(
+    //     string_split('abc xy z',''), c -> ascii(c))),
+    //     (acc,u) -> (acc*131+u) % 2147483647) = 1909285148
+    val viaSql = Seq("abc xy z").toDF("s")
+      .selectExpr("poly_hash31(s)").as[Long].head()
+    assert(viaSql == 1909285148L)
+    assert(graft.functions.PolyHash31.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc xy z"))
+      == 1909285148L)
+    // range + determinism over a sample
+    val rnd = new scala.util.Random(5)
+    val hs = (0 until 200).map(_ => rnd.alphanumeric.take(12).mkString)
+      .toDF("s").selectExpr("poly_hash31(s) as h").as[Long].collect()
+    assert(hs.forall(h => h >= 0 && h < 2147483647L))
+  }
+
+  test("vocab: parallel two-pass rank equals the sorted dense ids") {
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 500).map(_ => rnd.alphanumeric.take(6).mkString)
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "w")
+    val got = TextOps.vocab(df, "w").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val expected = words.distinct.sorted.zipWithIndex
+      .map { case (w, i) => (w, i + 1L) }
+    assert(got.toSeq == expected)
+    // no unpartitioned window in the plan — the round-2 hotspot
+    val ws = TextOps.vocab(df, "w").queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(ws.isEmpty)
   }
 
   test("jaccardVerify computes exact set Jaccard for candidates") {

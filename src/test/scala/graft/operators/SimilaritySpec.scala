@@ -35,6 +35,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(native.toSeq == hof.toSeq)
   }
 
+  test("roundE4 rounds negative exact ties away from zero like SQL round()") {
+    // -0.03125 is exactly representable; ·10⁴ = -312.5, an exact tie:
+    // Math.round gives -312, Spark/DuckDB round() give -313
+    assert(graft.functions.DotE8.roundE4(-0.03125f) == -313L)
+    assert(graft.functions.DotE8.roundE4(0.03125f) == 313L)
+    assert(Math.round(-0.03125 * 10000.0) == -312L, "tie exists")
+    // and through the expression (codegen path), against Spark's round()
+    graft.functions.DotE8.register(spark)
+    val df = Seq((Array(-0.03125f), Array(1.0f))).toDF("a", "b")
+    val viaExpr = df.select(Similarity.dotE8("a", "b")).as[Long].head()
+    val viaSqlRound = df.select(expr(
+      "cast(round(cast(a[0] as double) * 10000) as bigint) * " +
+        "cast(round(cast(b[0] as double) * 10000) as bigint)"))
+      .as[Long].head()
+    assert(viaExpr == -313L * 10000L && viaExpr == viaSqlRound)
+  }
+
+  test("dot_e4c multiplies quantized floats against an integer array") {
+    graft.functions.DotE8.register(spark)
+    val df = Seq((Array(1.0f, -0.5f, 0.25f), Seq(3L, 2L, -4L)))
+      .toDF("a", "c")
+      .select(expr("dot_e4c(a, c)").as("d"))
+    // 10000*3 + (-5000)*2 + 2500*(-4) = 30000 - 10000 - 10000
+    assert(df.as[Long].head() == 10000L)
+  }
+
+  test("ivfTopK: projection-only assignment, within-cell answers") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 1),
+      (2L, Array(0.8f, 0.0f, 0.1f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2),
+      (4L, Array(0.1f, 0.9f, 0.0f, 0.0f), 2),
+      (5L, Array(0.0f, 0.8f, 0.2f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.ivfTopK(emb,
+      col("vec_id") === 0 || col("vec_id") === 3, k = 2, dims = 4)
+    // the assignment path must be join-free: the only join in the plan
+    // is the broadcast of the query side
+    val joins = r.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.length == 1, s"expected 1 join (query broadcast), got $joins")
+    val byQ = r.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(3)).toSet).toMap
+    assert(byQ(0L) == Set(1L, 2L) && byQ(3L) == Set(4L, 5L))
+  }
+
   test("knnBrute ranks by quantized dot desc with id tie-break") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),

@@ -61,6 +61,69 @@ class ArchiveSourceSpec extends AnyFunSuite {
       == Seq(3.0))
   }
 
+  test("catalog tables round-trip: parameterAt/history over written parquet") {
+    val root = Files.createTempDirectory("graft-cat").toString
+    val params = Seq(
+      (7, 1000L, 1000L, "sec/dev/att/a", "mA"),
+      (7, 2000L, 2100L, "sec/dev/att/a", "A"), // re-send: latest insert wins
+      (7, 2000L, 2000L, "sec/dev/att/a", "STALE"),
+      (7, 9000L, 9000L, "sec/dev/att/a", "kA"), // after the cutoff below
+      (8, 1500L, 1500L, "sec/dev/att/b", "V"))
+      .toDF("att_conf_id", "recv_time", "insert_time", "label", "unit")
+    ArchiveWriter.writeParameters(params, root)
+    val src = new ParquetArchiveSource(spark, root)
+    // (7,2000) collapsed last-write-wins → 4 rows total
+    assert(src.attParameter.count() == 4)
+    val p = graft.api.ArchiveApi.parameterAt(src.attParameter, 7, 5000L)
+      .collect()
+    assert(p.length == 1)
+    assert(p(0).getAs[Long]("recv_time") == 2000L)
+    assert(p(0).getAs[String]("unit") == "A")
+
+    val hist = Seq(
+      (7, 100L, "add"), (7, 200L, "start"), (7, 200L, "start"), // dup ts
+      (7, 300L, "stop"), (8, 150L, "add"))
+      .toDF("att_conf_id", "time", "event")
+    ArchiveWriter.writeHistory(hist, root)
+    assert(src.attHistory.count() == 4)
+    val h = graft.api.ArchiveApi.history(src.attHistory, 7, 0L, 1000L)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[String]("event")))
+    assert(h.toSeq == Seq((100L, "add"), (200L, "start"), (300L, "stop")))
+  }
+
+  test("EventsArchiveAdapter synthesizes catalog-table views") {
+    val ad = new EventsArchiveAdapter(spark, "/root/testdata/sf0.001")
+    val param = ad.attParameter
+    assert(param.columns.contains("recv_time")
+      && param.columns.contains("label"))
+    val hist = ad.attHistory.collect()
+    assert(hist.nonEmpty && hist.forall(_.getString(2) == "add"))
+  }
+
+  test("CassandraArchiveSource: partition-key IN fan-out, never a period range") {
+    assert(CassandraArchiveSource.periods("2024-01-30", "2024-02-02")
+      == Seq("2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02"))
+    val pred = CassandraArchiveSource
+      .pointsPredicate(Seq(1, 2), "2024-01-01", "2024-01-02")
+    val probe = Seq((1, "2024-01-01"), (1, "2024-01-03"), (3, "2024-01-01"))
+      .toDF("att_conf_id", "period")
+    // shape: And(In(att_conf_id, …), In(period, …)) — both partition-key
+    // columns as CQL-pushable IN lists (a BETWEEN on period would unpush)
+    import org.apache.spark.sql.catalyst.expressions.{And, In}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val cond = probe.where(pred).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.get
+    cond match {
+      case And(In(_, ids), In(_, ps)) =>
+        assert(ids.length == 2 && ps.length == 2)
+      case other => fail(s"unexpected predicate shape: $other")
+    }
+    // semantic equivalence with the parquet source's between-filter
+    assert(probe.where(pred).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("PeriodCache over the parquet source serves closed days from cache") {
     val root = writeArchive()
     val src = new ParquetArchiveSource(spark, root)

@@ -53,6 +53,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedupWithinWatermark evicts state past the horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val out = StreamOps.streamingExactDedupWithinWatermark(
+      in.toDF().toDF("doc_id", "text", "t_us")
+        .withColumn("ts", timestamp_micros(col("t_us"))),
+      "ts", "1 second")
+    val q = out.writeStream.format("memory").queryName("sdw")
+      .outputMode("append").start()
+    try {
+      // duplicate within the horizon is dropped
+      in.addData((1L, "alpha", 1000000L), (2L, "alpha", 1500000L))
+      q.processAllAvailable()
+      // push the watermark far past alpha's state (100 s − 1 s delay)
+      in.addData((3L, "beta", 100000000L))
+      q.processAllAvailable()
+      // alpha's digest was EVICTED → it re-admits: that re-admission is
+      // the observable proof state is bounded, vs streamingExactDedup
+      // which would still be holding it
+      in.addData((4L, "alpha", 101000000L))
+      q.processAllAvailable()
+      val ids = spark.table("sdw").select("doc_id").as[Long]
+        .collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("archiveEvents: stateful change detector across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
