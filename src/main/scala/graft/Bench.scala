@@ -19,15 +19,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm codegen/classloading + page cache so the alphabetically-first
-    // query doesn't absorb one-time session cost in its measurement
+    // Warm-up: run EVERY query once at the smallest SF before timing.
+    // Each query's generated code (whole-stage codegen classes) is
+    // plan-specific, so scanning a few tables warms almost nothing —
+    // round-3 measurement: a cold JVM charges 10-14 s of Janino+JIT to
+    // a query whose steady-state run is 2 s, and run-to-run totals
+    // swung ±40%. The warm pass compiles every class and JITs the hot
+    // loops at sf0.001 cost (sub-second per query); the timed pass then
+    // measures execution, which is what a long-lived cluster session
+    // actually experiences.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Seq("events", "documents", "embeddings", "lineitem", "customer")
-      .foreach { t =>
-        try spark.read.parquet(s"$sfDir/$t.parquet").limit(5)
-          .groupBy().count().foreach(_ => ())
-        catch { case _: Throwable => () }
-      }
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    spark.sharedState.cacheManager.clearCache()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>

@@ -34,6 +34,14 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** DuckDB rendering of the [[graft.functions.PolyHash31]] recurrence
+    * over a string column — `ascii()` per char ≡ the UTF-8 byte on the
+    * pure-ASCII corpus. */
+  private def polyHashSql(c: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
+      s"(acc, u) -> (acc * 131 + u) % 2147483647)"
+
   // ---------------------------------------------------------------- exact dedup
   private def p01(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(TextOps.withPlantedExactDups(docsSpread(s, dir), every = 50))
@@ -55,7 +63,7 @@ object PipelineQueries {
     * recurrence the Spark side computes natively — ascii() ≡ the UTF-8
     * byte on this pure-ASCII corpus). */
   private val NearDupCtes =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
@@ -73,11 +81,7 @@ object PipelineQueries {
       |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
       |  WHERE shingle IS NOT NULL),
       |dt AS (
-      |  SELECT DISTINCT doc_id, list_reduce(
-      |    list_prepend(0::BIGINT,
-      |      list_transform(string_split(shingle, ''),
-      |                     c -> ascii(c)::BIGINT)),
-      |    (acc, u) -> (acc * 131 + u) % 2147483647) AS tid
+      |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid
       |  FROM sh)
       |""".stripMargin
 
@@ -122,12 +126,10 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   private val p03Sql =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
-      |vocab AS (SELECT w, row_number() OVER (ORDER BY w) AS tid
-      |          FROM (SELECT DISTINCT w FROM tok)),
-      |dt AS (SELECT doc_id, tid, c FROM cnt JOIN vocab USING (w)),
+      |dt AS (SELECT doc_id, ${polyHashSql("w")} % 8191 AS tid, c FROM cnt),
       |bits AS (SELECT j, 1 + 2*j AS a, 17 + 5*j AS b FROM range(0, 16) t(j)),
       |sj AS (
       |  SELECT doc_id, j,
@@ -166,13 +168,11 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   private val p05Sql =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents),
-      |vocab AS (SELECT w, row_number() OVER (ORDER BY w) AS tid
-      |          FROM (SELECT DISTINCT w FROM tok)),
-      |seq AS (SELECT doc_id, pos, tid FROM tok JOIN vocab USING (w)),
+      |seq AS (SELECT doc_id, pos, ${polyHashSql("w")} AS tid FROM tok),
       |grams AS (
       |  SELECT doc_id,
       |    ((tid * 31 + lead(tid, 1) OVER win) * 31

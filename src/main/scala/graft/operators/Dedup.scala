@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline extension
@@ -150,9 +149,9 @@ object Dedup {
       case "poly" =>
         // array-native pipeline: per-doc id SETS stay in-row end to end.
         // Shuffles: band-bucket groupBy + pair distinct — nothing else.
-        // (Empty sets are filtered like the exploded form's absent rows.)
-        val ds = TextOps.shingleIdSets(corpus, shingleK)
-          .where(size(col("tids")) > 0).persist()
+        // (shingleIdSets drops short docs, like the exploded form's
+        // absent rows, so no set here is ever empty.)
+        val ds = TextOps.shingleIdSets(corpus, shingleK).persist()
         val sigs = ds.select(col("doc_id"),
           expr(s"minhash_sigs(tids, $numPerms)").as("sig"))
         val bandKeys = (0 until numPerms / rowsPerBand).map { b =>
@@ -202,24 +201,39 @@ object Dedup {
   /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a
     * quadratic threshold hash ((a_j·t² + b_j·t + j) mod 8191 < 4096 →
     * +1 else −1), weighted by token multiplicity; a linear-parity hash
-    * degenerates (every token votes identically on odd bits). */
+    * degenerates (every token votes identically on odd bits).
+    *
+    * All `bits` signed sums are states of ONE hash aggregate (the bit
+    * index is a plan-time constant, like minhashSignatures' perms) —
+    * a bits-table crossJoin materializes tokens×bits rows and needs a
+    * second aggregation to re-pack them; at 100 TB that ×16 blowup is
+    * the difference between one map-side-combined pass and two full
+    * shuffles of a multiplied table. Bit-pack is a final projection.
+    *
+    * Token ids are `poly_hash31(w) mod 8191` — NO vocabulary: the
+    * threshold hash already works mod 8191, and x ≡ x' (mod m) makes
+    * every quadratic-hash vote identical whether ids are dense ranks
+    * or the reduced content hash, so the id table, its distinct, its
+    * sort, and its join all disappear (ids stay < 8191, so a·t² is
+    * nowhere near overflow). Colliding words vote together — the same
+    * measure-zero signature fuzz in both engines. */
   def simhash(corpus: DataFrame, spark: SparkSession, bits: Int = 16): DataFrame = {
+    graft.functions.PolyHash31.register(spark)
     val tok = TextOps.tokens(corpus)
     val cnt = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    val v = TextOps.vocab(tok, "w")
-    val dt = cnt.join(v, Seq("w")).select(col("doc_id"), col("tid"), col("c"))
-    val bitsDf = spark.range(0, bits).select(
-      col("id").as("j"), (lit(1) + lit(2) * col("id")).as("a"),
-      (lit(17) + lit(5) * col("id")).as("b"))
-    dt.crossJoin(broadcast(bitsDf))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("c") *
-        when((col("a") * col("tid") * col("tid") + col("b") * col("tid")
-          + col("j")) % 8191 < 4096, 1).otherwise(-1)).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(1L, cast(j as int))")).otherwise(0L))
-        .cast("long").as("simhash"))
+    val dt = cnt.select(col("doc_id"),
+      pmod(expr("poly_hash31(w)"), lit(8191L)).as("tid"), col("c"))
+    val sums = (0 until bits).map { j =>
+      sum(col("c") * when(
+        (lit(1 + 2 * j) * col("tid") * col("tid")
+          + lit(17 + 5 * j) * col("tid") + lit(j)) % 8191 < 4096,
+        1).otherwise(-1)).as(s"s$j")
+    }
+    dt.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** Blocked n-gram (word-set) Jaccard: pairs within the same blocking
@@ -258,21 +272,30 @@ object Dedup {
   }
 
   /** Rolling-hash fingerprint: min over 4-gram polynomial hashes of the
-    * token-id sequence (winnowing with a single global window — the
-    * 1-fingerprint variant). Window partitioned per doc: bounded by doc
-    * length, no skew at scale. */
+    * token-id sequence (winnowing, the 1-fingerprint variant). Token
+    * ids are content hashes ([[graft.functions.PolyHash31]]), so the
+    * whole operator is ONE narrow projection: ids, 4-gram hashes, and
+    * their min all happen in-row over the split array — no vocabulary,
+    * no per-doc window shuffle+sort, no aggregation. (The windowed
+    * formulation the oracle uses — explode, per-doc `lead` window,
+    * groupBy — is three shuffles of the token table for the same
+    * numbers.) Docs with < 4 tokens have no 4-grams and are dropped,
+    * exactly like the window form's all-null `lead` rows. */
   def fingerprint(corpus: DataFrame): DataFrame = {
-    val tok = TextOps.tokens(corpus)
-    val v = TextOps.vocab(tok, "w")
-    val seq = tok.join(v, Seq("w")).select(col("doc_id"), col("pos"), col("tid"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    seq
-      .withColumn("h",
-        ((col("tid") * 31 + lead(col("tid"), 1).over(w)) * 31
-          + lead(col("tid"), 2).over(w)) * 31 + lead(col("tid"), 3).over(w))
-      .where(col("h").isNotNull)
-      .groupBy(col("doc_id"))
-      .agg(min(col("h") % HashP).as("fingerprint"),
-        count(lit(1)).as("n_grams"))
+    graft.functions.PolyHash31.register(corpus.sparkSession)
+    corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 4)
+      .select(col("doc_id"),
+        expr("transform(ws, w -> poly_hash31(w))").as("tids"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(tids) - 3), i ->
+          |  ((element_at(tids, i) * 31 + element_at(tids, i + 1)) * 31
+          |    + element_at(tids, i + 2)) * 31
+          |    + element_at(tids, i + 3))""".stripMargin).as("hs"))
+      .select(col("doc_id"),
+        expr(s"array_min(transform(hs, h -> h % ${HashP}L))")
+          .as("fingerprint"),
+        size(col("hs")).cast("long").as("n_grams"))
   }
 }

