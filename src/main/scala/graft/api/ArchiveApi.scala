@@ -149,7 +149,9 @@ object ArchiveApi {
         val layers = axisAttrs.filter(a => present.contains(a.name)).map { a =>
           val cells = lineCells.filter(_.getString(0) == a.name)
             .map(r => (r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3)))
-          Render.shade(Render.Grid(a.name, a.color, width, height,
+          // eq-hist is datashader's default and therefore the
+          // reference's (plot.py:36); Render.shade is the linear option
+          Render.shadeEqHist(Render.Grid(a.name, a.color, width, height,
             cells.toSeq))
         }
         val img = Render.stack(layers.toSeq, width, height)

@@ -72,11 +72,34 @@ object Render {
   final case class Grid(name: String, color: Int,
       width: Int, height: Int, cells: Seq[(Int, Int, Long)])
 
-  /** K3 (partial) — shade one grid into ARGB pixels: the attribute
-    * color with alpha scaled linearly by cell count relative to the
-    * grid max (divergence: datashader's default shade uses eq-hist
-    * normalization; linear is deterministic and good enough for golden
-    * tests, which compare grids as tables anyway). */
+  /** K3 — datashader's DEFAULT shade normalization: histogram
+    * equalization (`tf.shade(how='eq_hist')`, the default the
+    * reference's `plot.py:36` gets). A cell's alpha is proportional to
+    * the RANK of its count among the grid's distinct non-zero counts —
+    * the count CDF — so a few very hot cells cannot wash every other
+    * cell down to the minimum alpha the way linear normalization does
+    * on heavy-tailed grids. Deterministic: ranks come from the sorted
+    * distinct counts, no sampling. */
+  def shadeEqHist(grid: Grid): Array[Int] = {
+    val px = new Array[Int](grid.width * grid.height)
+    val distinct = grid.cells.map(_._3).distinct.sorted
+    val rank = distinct.zipWithIndex.toMap
+    val n = math.max(distinct.size, 1)
+    grid.cells.foreach { case (x, y, c) =>
+      if (x >= 0 && x < grid.width && y >= 0 && y < grid.height) {
+        val row = grid.height - 1 - y
+        val alpha = (64 + (191 * (rank(c) + 1)) / n).min(255)
+        px(row * grid.width + x) = (alpha << 24) | (grid.color & 0xffffff)
+      }
+    }
+    px
+  }
+
+  /** K3 (alternative) — linear count-to-alpha shading (datashader's
+    * `how='linear'`): alpha scales with cell count relative to the
+    * grid max. Kept alongside [[shadeEqHist]] because it is the easier
+    * mapping to reason about in goldens and matches what thin/uniform
+    * grids render under eq-hist anyway. */
   def shade(grid: Grid): Array[Int] = {
     val px = new Array[Int](grid.width * grid.height)
     val maxCnt = if (grid.cells.isEmpty) 1L else grid.cells.map(_._3).max

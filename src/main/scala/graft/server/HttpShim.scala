@@ -1,0 +1,217 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.ArchiveApi
+import graft.functions.TimeFns
+import graft.operators.Catalog
+
+/** HTTP tier over the library façade, mirroring the reference server's
+  * route table (`server.py:260-296`): GET /health, GET /controlsystems,
+  * GET /attributes, POST /image, POST /query, POST /search,
+  * POST /httpquery. Built on the JDK's `com.sun.net.httpserver` — the
+  * engine ships zero extra dependencies, and the HTTP tier is a thin
+  * shim by design: every route body is one [[ArchiveApi]] call, so the
+  * serving layer adds parsing/encoding only (SURVEY scoped the server
+  * OUT of the engine; this closes the gap a reference user hits first).
+  *
+  * Execution model: requests run Spark actions on the driver; the
+  * cluster parallelism lives in the queries themselves, exactly as in
+  * library use. The handler pool is small and the shim is stateless —
+  * horizontal scale-out is N shims over one long-lived SparkSession
+  * each (the reference runs one aiohttp process with a thread pool,
+  * `server.py:283`).
+  *
+  * Documented divergences from the reference:
+  *  - target addressing: `att_name` carries no control-system prefix
+  *    here (the cs field filters the catalog, not the point data);
+  *  - /query content negotiation honors the Accept header for
+  *    text/csv vs application/json (the reference uses an aiohttp
+  *    negotiation middleware to the same effect, `server.py:287-291`);
+  *  - no static-file route (the reference serves its JS client).
+  */
+final class HttpShim(spark: SparkSession, points: DataFrame,
+    attConf: DataFrame, attNames: DataFrame, port: Int = 0) {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Ephemeral-port servers report the bound port here. */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------ plumbing
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    // the reference enables permissive CORS for Grafana (server.py:264-272)
+    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handle(path: String, method: String)(
+      f: HttpExchange => Unit): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != method)
+          respond(ex, 405, """{"error":"method not allowed"}""")
+        else f(ex)
+      } catch {
+        case e: Json.JsonError =>
+          respond(ex, 400, Json.write(Map("error" -> e.getMessage)))
+        case e: NoSuchElementException =>
+          respond(ex, 400, Json.write(Map("error" -> e.getMessage)))
+        case e: IllegalArgumentException =>
+          respond(ex, 400, Json.write(Map("error" -> e.getMessage)))
+        case e: Throwable =>
+          respond(ex, 500, Json.write(Map("error" -> e.toString)))
+      }
+    })
+
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split('&').filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  private def body(ex: HttpExchange): Any =
+    Json.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+
+  private def wantsCsv(ex: HttpExchange): Boolean = {
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    accept.contains("text/csv") || accept.contains("text/plain")
+  }
+
+  private def parseColor(v: Any): Int = v match {
+    case s: String => Integer.parseInt(s.stripPrefix("#"), 16)
+    case d: Double => d.toInt
+    case _ => 0xff0000
+  }
+
+  // ------------------------------------------------------------ routes
+
+  // GET /health — liveness probe (server.py:58-60)
+  handle("/health", "GET") { ex =>
+    respond(ex, 200, "OK", "text/plain")
+  }
+
+  // GET /controlsystems (server.py:63-70)
+  handle("/controlsystems", "GET") { ex =>
+    val cs = ArchiveApi.controlSystems(attConf)
+      .collect().map(_.getString(0)).toSeq
+    respond(ex, 200, Json.write(Map("controlsystems" -> cs)))
+  }
+
+  // GET /attributes?cs=…&search=…&max=… (server.py:73-89)
+  handle("/attributes", "GET") { ex =>
+    val p = queryParams(ex)
+    val cs = p.getOrElse("cs",
+      throw new IllegalArgumentException("missing 'cs'"))
+    val glob = p.getOrElse("search",
+      throw new IllegalArgumentException("missing 'search'"))
+    val max = p.get("max").map(_.toInt).getOrElse(100)
+    val attrs = ArchiveApi.attributes(attNames, cs, glob, max)
+      .collect().map(_.getString(0)).toSeq
+    respond(ex, 200, Json.write(Map("attributes" -> attrs)))
+  }
+
+  // POST /search — Grafana substring search, bare array out
+  // (server.py:253-276)
+  handle("/search", "POST") { ex =>
+    val b = Json.obj(body(ex))
+    val cs = Json.str(b("cs"))
+    val term = Json.str(b("target"))
+    val matches = Catalog.searchSubstring(
+      attNames.where(col("cs_name") === cs), term)
+      .collect().map(_.getString(0)).toSeq
+    respond(ex, 200, Json.write(matches))
+  }
+
+  // POST /query — Grafana data query: targets + range + optional
+  // interval; CSV or JSON by Accept (server.py:150-165)
+  handle("/query", "POST") { ex =>
+    val b = Json.obj(body(ex))
+    val targets = Json.arr(b("targets"))
+      .map(t => Json.str(Json.obj(t)("target")))
+    val range = Json.obj(b("range"))
+    val t0 = TimeFns.parseNaiveUtc(Json.str(range("from")))
+    val t1 = TimeFns.parseNaiveUtc(Json.str(range("to")))
+    val interval = b.get("interval").collect { case s: String => s }
+    val out = ArchiveApi.rawQuery(points, targets, t0, t1, interval,
+      asCsv = wantsCsv(ex))
+    respond(ex, 200, out,
+      if (wantsCsv(ex)) "text/csv" else "application/json")
+  }
+
+  // POST /httpquery — browser variant: attributes + time_range
+  // (server.py:167-181)
+  handle("/httpquery", "POST") { ex =>
+    val b = Json.obj(body(ex))
+    val attrs = Json.arr(b("attributes")).map(Json.str)
+    val tr = Json.arr(b("time_range"))
+    val t0 = TimeFns.parseNaiveUtc(Json.str(tr(0)))
+    val t1 = TimeFns.parseNaiveUtc(Json.str(tr(1)))
+    val out = ArchiveApi.rawQuery(points, attrs, t0, t1, None,
+      asCsv = wantsCsv(ex))
+    respond(ex, 200, out,
+      if (wantsCsv(ex)) "text/csv" else "application/json")
+  }
+
+  // POST /image — the interactive plot (server.py:92-148)
+  handle("/image", "POST") { ex =>
+    val b = Json.obj(body(ex))
+    val attrs = Json.arr(b("attributes")).map { a =>
+      val o = Json.obj(a)
+      ArchiveApi.AttrSpec(
+        Json.str(o("name")),
+        o.get("color").map(parseColor).getOrElse(0xff0000),
+        o.get("y_axis").map(v => Json.num(v).toInt).getOrElse(0))
+    }
+    val tr = Json.arr(b("time_range"))
+    val t0 = TimeFns.parseNaiveUtc(Json.str(tr(0)))
+    val t1 = TimeFns.parseNaiveUtc(Json.str(tr(1)))
+    val size = Json.arr(b("size"))
+    val (w, h) = (Json.num(size(0)).toInt, Json.num(size(1)).toInt)
+    val axes = b.get("axes").map(Json.obj).getOrElse(Map.empty)
+      .map { case (k, v) =>
+        val o = Json.obj(v)
+        k.toInt -> ArchiveApi.AxisSpec(
+          o.get("scale").collect { case s: String => s },
+          o.get("min").map(Json.num),
+          o.get("max").map(Json.num))
+      }
+    val result = ArchiveApi.imageQuery(points, attrs.toSeq, t0, t1, w, h,
+      axes)
+    val images = result.images.map { case (axis, img) =>
+      axis -> Map(
+        "image" -> img.imageBase64,
+        "y_range" -> Seq(img.yRange._1, img.yRange._2),
+        "x_range" -> Seq(img.xRangeMs._1, img.xRangeMs._2))
+    }
+    val descs = result.descs.map { case (name, d) =>
+      name -> Map(
+        "total_points" -> d.totalPoints.toDouble,
+        "indices" -> d.indices.map(_.toDouble),
+        "min" -> d.colMin,
+        "max" -> d.colMax,
+        "timestamps" -> d.timestamps,
+        "counts" -> d.counts.map(_.toDouble))
+    }
+    respond(ex, 200,
+      Json.write(Map("images" -> images, "descs" -> descs)))
+  }
+}

@@ -36,6 +36,23 @@ class RenderSpec extends AnyFunSuite {
     assert(px(0) == 0 && px(3) == 0)
   }
 
+  test("shadeEqHist ranks counts by CDF, immune to heavy-tailed grids") {
+    // counts 1,1,1000: linear washes the 1s to near-minimum alpha;
+    // eq-hist gives them rank 1 of 2 → mid alpha, hot cell top alpha
+    val g = Render.Grid("a", 0x00ff00, 4, 1,
+      Seq((0, 0, 1L), (1, 0, 1L), (2, 0, 1000L)))
+    val eq = Render.shadeEqHist(g)
+    val lin = Render.shade(g)
+    val aEq = (eq(0) >>> 24); val aHot = (eq(2) >>> 24)
+    assert(aEq == 64 + 191 / 2 && aHot == 255)
+    assert((lin(0) >>> 24) < aEq, "linear washes out the cold cells")
+    assert(eq(3) == 0) // untouched pixel stays transparent
+    // equal counts → identical mapping in both (single rank = max)
+    val uni = Render.Grid("a", 0xff0000, 2, 1, Seq((0, 0, 3L), (1, 0, 3L)))
+    assert(Render.shadeEqHist(uni).toSeq.take(2)
+      .forall(p => (p >>> 24) == 255))
+  }
+
   test("stack composites layers src-over and encodes a decodable PNG (U4/C10)") {
     val a = Render.shade(Render.Grid("a", 0xff0000, 2, 2, Seq((0, 0, 1L))))
     val b = Render.shade(Render.Grid("b", 0x0000ff, 2, 2, Seq((0, 0, 1L))))

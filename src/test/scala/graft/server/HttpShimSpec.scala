@@ -1,0 +1,119 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.sources.EventsArchiveAdapter
+
+/** End-to-end HTTP round-trips against the shim over the sf0.001
+  * events adapter — real sockets, real JSON, every route. */
+class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestBase.spark
+
+  private var shim: HttpShim = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    val ad = new EventsArchiveAdapter(spark, "/root/testdata/sf0.001")
+    shim = new HttpShim(spark, ad.pointsAll, ad.attConf, ad.attNames)
+    shim.start()
+    base = s"http://127.0.0.1:${shim.boundPort}"
+  }
+
+  override def afterAll(): Unit = if (shim != null) shim.stop()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, json: String,
+      accept: String = "application/json"): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Accept", accept)
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /health answers OK") {
+    val r = get("/health")
+    assert(r.statusCode() == 200 && r.body() == "OK")
+  }
+
+  test("GET /controlsystems lists the adapter's cs") {
+    val r = get("/controlsystems")
+    assert(r.statusCode() == 200)
+    val cs = Json.arr(Json.obj(Json.parse(r.body()))("controlsystems"))
+    assert(cs.contains("events.cs:10000"))
+  }
+
+  test("GET /attributes globs and caps results") {
+    val r = get("/attributes?cs=events.cs:10000&search=events/stream/*/click&max=3")
+    assert(r.statusCode() == 200)
+    val attrs = Json.arr(Json.obj(Json.parse(r.body()))("attributes"))
+      .map(Json.str)
+    assert(attrs.nonEmpty && attrs.length <= 3)
+    assert(attrs.forall(a =>
+      a.startsWith("events/stream/u") && a.endsWith("/click")))
+    // missing params → 400, not a stack trace
+    assert(get("/attributes?cs=events.cs:10000").statusCode() == 400)
+  }
+
+  test("POST /search does Grafana substring matching") {
+    val r = post("/search",
+      """{"cs": "events.cs:10000", "target": "click"}""")
+    assert(r.statusCode() == 200)
+    val matches = Json.arr(Json.parse(r.body())).map(Json.str)
+    assert(matches.nonEmpty && matches.forall(_.contains("click")))
+  }
+
+  test("POST /query returns Grafana JSON or CSV by Accept header") {
+    val req =
+      """{"targets": [{"cs": "events.cs:10000", "target": "u1/click"}],
+        |"range": {"from": "2024-01-05", "to": "2024-01-20"},
+        |"interval": "1d"}""".stripMargin
+    val asJson = post("/query", req)
+    assert(asJson.statusCode() == 200)
+    val series = Json.arr(Json.parse(asJson.body()))
+    assert(series.nonEmpty)
+    val first = Json.obj(series(0))
+    assert(Json.str(first("target")) == "u1/click")
+    assert(Json.arr(first("datapoints")).nonEmpty)
+    val asCsv = post("/query", req, accept = "text/csv")
+    assert(asCsv.statusCode() == 200)
+    assert(asCsv.body().contains("u1/click"))
+    assert(asCsv.headers().firstValue("Content-Type").orElse("")
+      .contains("text/csv"))
+  }
+
+  test("POST /httpquery takes the browser-style body") {
+    val r = post("/httpquery",
+      """{"attributes": ["u1/click"],
+        |"time_range": ["2024-01-05", "2024-01-20"]}""".stripMargin)
+    assert(r.statusCode() == 200)
+    assert(Json.arr(Json.parse(r.body())).nonEmpty)
+  }
+
+  test("POST /image renders per-axis PNGs with hover descs") {
+    val r = post("/image",
+      """{"attributes": [{"name": "u1/click", "color": "#00ff00",
+        |                 "y_axis": 0}],
+        |"time_range": ["2024-01-05", "2024-01-20"],
+        |"size": [100, 50]}""".stripMargin)
+    assert(r.statusCode() == 200)
+    val b = Json.obj(Json.parse(r.body()))
+    val img = Json.obj(Json.obj(b("images"))("0"))
+    val png = java.util.Base64.getDecoder.decode(Json.str(img("image")))
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P', 'N', 'G'))
+    assert(Json.arr(img("y_range")).length == 2)
+    val desc = Json.obj(Json.obj(b("descs"))("u1/click"))
+    assert(Json.num(desc("total_points")) > 0)
+  }
+
+  test("malformed JSON answers 400") {
+    val r = post("/query", """{"targets": [""")
+    assert(r.statusCode() == 400)
+    assert(Json.obj(Json.parse(r.body())).contains("error"))
+  }
+}
