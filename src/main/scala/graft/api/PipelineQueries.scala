@@ -389,6 +389,50 @@ object PipelineQueries {
       |SELECT qid, clab, rn, nid, dot_e8 FROM ranked WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- cosine near-dup
+  private def p15(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(emb(s, dir), threshold = 0.3)
+      .orderBy(col("d1"), col("d2"))
+
+  private val p15Sql =
+    """WITH el AS (
+      |  SELECT vec_id,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+      |      AS qv,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT j, i, ((37 + 13*j) * i + (91 + 7*j)) % 1000 - 500 AS w
+      |  FROM range(0, 8) tj(j), range(1, 65) ti(i)),
+      |sbits AS (SELECT vec_id, j, sum(w * qv) AS s
+      |          FROM el JOIN planes USING (i) GROUP BY vec_id, j),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+      |      AS bucket
+      |  FROM sbits GROUP BY vec_id),
+      |norms AS (SELECT vec_id, CAST(sum(qv*qv) AS BIGINT) AS nrm
+      |          FROM el GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket
+      |  FROM buckets a JOIN buckets b
+      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT p.d1, p.d2, p.bucket, CAST(sum(x.qv * y.qv) AS BIGINT)
+      |    AS dot_e8
+      |  FROM pairs p JOIN el x ON x.vec_id = p.d1
+      |    JOIN el y ON y.vec_id = p.d2 AND y.i = x.i
+      |  GROUP BY p.d1, p.d2, p.bucket)
+      |SELECT d.d1, d.d2, d.bucket, d.dot_e8,
+      |  CAST(d.dot_e8 AS DOUBLE)
+      |    / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE))
+      |    AS cosine
+      |FROM dots d JOIN norms n1 ON n1.vec_id = d.d1
+      |  JOIN norms n2 ON n2.vec_id = d.d2
+      |WHERE CAST(d.dot_e8 AS DOUBLE)
+      |    / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) >= 0.3
+      |ORDER BY d.d1, d.d2""".stripMargin
+
   // ---------------------------------------------------------------- token counts
   private def p14(s: SparkSession, dir: String): DataFrame =
     TextStats.tokenCounts(docsSpread(s, dir)).orderBy(col("doc_id"))
@@ -464,7 +508,8 @@ object PipelineQueries {
     "p11_embed_stats" -> (p11 _),
     "p12_multimodal" -> (p12 _),
     "p13_ivf_topk" -> (p13 _),
-    "p14_token_counts" -> (p14 _))
+    "p14_token_counts" -> (p14 _),
+    "p15_cosine_neardup" -> (p15 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -480,5 +525,6 @@ object PipelineQueries {
     "p10_ann_lsh" -> p10Sql,
     "p11_embed_stats" -> p11Sql,
     "p13_ivf_topk" -> p13Sql,
-    "p14_token_counts" -> p14Sql)
+    "p14_token_counts" -> p14Sql,
+    "p15_cosine_neardup" -> p15Sql)
 }

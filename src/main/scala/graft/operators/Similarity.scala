@@ -159,6 +159,38 @@ object Similarity {
         col("dot_e8"))
   }
 
+  /** Embedding-cosine NEAR-DUP pairs (the dedup-flavored sibling of
+    * [[annLsh]]): vectors sharing a hyperplane-LSH bucket whose true
+    * quantized cosine is ≥ `threshold`. Candidates are bucket
+    * collisions — never all-pairs — and the verification is one
+    * codegen'd `dot_e8` per candidate pair, so the operator follows
+    * the same candidates→verify shape as MinHash-LSH text dedup.
+    * Recall is bucket-bound, the documented LSH contract.
+    *
+    * Determinism: dot and squared norms are exact int64
+    * (`dot_e8(e, e)`), and the cosine is the IEEE sequence
+    * `dot / sqrt(double(n1) · double(n2))` — identical op order in the
+    * oracle, so the doubles are bit-equal (norms ≈ 6e9 ≪ 2⁵³, exact as
+    * doubles; sqrt/mul/div are correctly-rounded IEEE in any engine). */
+  def cosineNearDups(emb: DataFrame, threshold: Double,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    ensureDotE8(emb)
+    val withBucket = emb
+      .withColumn("bucket", lshBucket("embedding", nPlanes, dim))
+      .withColumn("nrm", expr("dot_e8(embedding, embedding)"))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, Seq("bucket")).where(col("d1") < col("d2"))
+      .withColumn("dot_e8", expr("dot_e8(e1, e2)"))
+      .withColumn("cosine", col("dot_e8").cast("double") /
+        sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .where(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), col("bucket"), col("dot_e8"),
+        col("cosine"))
+  }
+
   /** Per-label embedding stats on exact quantized components: count and
     * Σ round(e[d]·10⁴) for the first `nDims` dimensions. */
   def labelStats(emb: DataFrame, nDims: Int): DataFrame = {

@@ -118,6 +118,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosineNearDups pairs bucket collisions above the cosine threshold") {
+    // two near-parallel vectors (cos ≈ 1) plus an orthogonal one
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.45f)),
+      (2L, Array(0.5f, -0.5f, 0.5f, -0.5f, 0.5f, -0.5f, 0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cosineNearDups(emb, threshold = 0.9,
+      nPlanes = 4, dim = 8).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(r.head.getDouble(4) > 0.99 && r.head.getDouble(4) <= 1.0 + 1e-9)
+  }
+
   test("labelStats aggregates exact quantized sums per label") {
     val emb = Seq((0L, Array(0.5f, -0.5f), 1), (1L, Array(0.25f, 0.75f), 1),
       (2L, Array(1.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
