@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
 import graft.functions.TimeFns
 
 /** Structured Streaming extensions (SURVEY §2.9): the streaming
@@ -21,6 +22,23 @@ import graft.functions.TimeFns
   * the shuffle like any aggregation.
   */
 object StreamOps {
+
+  /** The archive as a LIVE source: tail the
+    * `(att_conf_id, period)`-partitioned parquet layout
+    * [[graft.sources.ArchiveWriter]] writes — every new file an
+    * archiver appends becomes a micro-batch, so the same directory
+    * serves the batch scans AND a push pipeline (the reference lists
+    * websocket push as an unimplemented Idea, `server.py:33`; in Spark
+    * it is `readStream` on the storage you already have). The schema
+    * must be supplied (streams cannot infer) and should include the
+    * partition columns; `maxFilesPerTrigger` bounds micro-batch size
+    * during backfill so a cold start does not build one giant batch. */
+  def archiveStream(spark: SparkSession, root: String, table: String,
+      schema: StructType, maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$root/$table")
 
   /** A1 as a streaming aggregation: tumbling mean of `value_r` per
     * attribute with round-to-NEAREST bucket parity. Spark's `window()`

@@ -19,6 +19,26 @@ class PlanGuardSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("time-filtered event queries push raw-ts bounds into the parquet scan") {
+    // the derived µs column `t = ts div 1000` is opaque to pushdown;
+    // every time predicate must carry the paired raw `ts` bound all the
+    // way to the footer (EventsArchiveAdapter.tsRangeUs & friends) —
+    // at archive scale this is row-group pruning vs a full read
+    val timeFiltered = Seq("q01_scan_project", "q09_point_in_time",
+      "q10_history_limit", "q17_grafana_datapoints")
+    timeFiltered.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val pushed = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }
+      assert(pushed.exists(s =>
+        (s.contains("GreaterThan") || s.contains("LessThan"))
+          && s.contains("ts")),
+        s"$name: no raw-ts bound reached the scan (pushed=$pushed)")
+    }
+  }
+
   test("no query plans an unpartitioned Window or a CartesianProduct") {
     val offenders = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

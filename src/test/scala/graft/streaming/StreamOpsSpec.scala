@@ -53,6 +53,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("archiveStream tails the writer's layout: appended days become batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-astream")
+      .toString
+    def day(d: String, ids: Seq[Int]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, s"$d 10:0$i:00", i * 1.0))
+        .toDF("att_conf_id", "s", "value_r")
+        .select(col("att_conf_id"), to_timestamp(col("s")).as("data_time"),
+          col("value_r"))
+    graft.sources.ArchiveWriter.write(day("2024-03-01", Seq(1, 2)), root)
+    val schema = StructType(Seq(
+      StructField("data_time", TimestampType),
+      StructField("value_r", DoubleType),
+      StructField("att_conf_id", IntegerType),
+      StructField("period", StringType)))
+    val stream = StreamOps.archiveStream(spark, root,
+      "att_scalar_devdouble_ro", schema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("astream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("astream").count() == 2)
+      // an archiver appends the next day → picked up incrementally
+      graft.sources.ArchiveWriter.write(day("2024-03-02", Seq(1)), root)
+      q.processAllAvailable()
+      val rows = spark.table("astream")
+      assert(rows.count() == 3)
+      assert(rows.select("period").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("streamingExactDedupWithinWatermark evicts state past the horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
