@@ -58,15 +58,17 @@ object Similarity {
     (1 to dim).map(i => (((37L + 13 * j) * i + (91 + 7 * j)) % 1000) - 500)
 
   /** Bucket id: 2^nPlanes sign-pattern of the quantized embedding
-    * against the integer hyperplanes. */
+    * against the integer hyperplanes. Each plane dot is the codegen'd
+    * `dot_e4c` against a literal weight array — the interpreted
+    * `aggregate(zip_with(…))` formulation it replaces ran two lambda
+    * invocations per element per plane (nPlanes·dim interpreted calls
+    * per row); same integer math, so bucket ids are unchanged. Callers
+    * must have registered the function ([[ensureDotE8]] does). */
   def lshBucket(embCol: String, nPlanes: Int, dim: Int): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val lits = planeWeights(j, dim).mkString(", ")
-      val s = s"""aggregate(
-        zip_with($embCol, array($lits), (x, p) ->
-          cast(round(cast(x as double) * 10000) as bigint) * p),
-        0L, (acc, v) -> acc + v)"""
-      expr(s"case when ($s) > 0 then ${1L << j}L else 0L end")
+      val lits = planeWeights(j, dim).mkString("L, ") + "L"
+      expr(s"case when dot_e4c($embCol, array($lits)) > 0" +
+        s" then ${1L << j}L else 0L end")
     }
     bits.reduce(_ + _)
   }
