@@ -244,6 +244,32 @@ final class CassandraArchiveSource(val spark: SparkSession,
   def attNames: DataFrame = read("att_names")
   def attParameter: DataFrame = read("att_parameter")
   def attHistory: DataFrame = read("att_history")
+
+  /** Multi-type scan with catalog-driven table resolution — the same
+    * shape as [[ParquetArchiveSource.pointsResolved]] (reference
+    * `hdbpp.py:404-410`): O(#requested attrs) catalog rows collected
+    * driver-side, one pruned per-type scan each, union with `value_r`
+    * widened. Partition-key pushdown per scan as in [[points]]. */
+  def pointsResolved(attConfIds: Seq[Int], p0: String,
+      p1: String): DataFrame = {
+    val wanted = attConf
+      .where(col("att_conf_id").isin(attConfIds: _*))
+      .select(col("att_conf_id"), col("data_type"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    val frames = wanted.groupBy { case (_, dt) => s"att_$dt" }
+      .toSeq.sortBy(_._1).map { case (tbl, ids) =>
+        read(tbl)
+          .where(CassandraArchiveSource.pointsPredicate(
+            ids.map(_._1).toSeq, p0, p1))
+          .withColumn("value_r", col("value_r").cast("double"))
+      }
+    frames.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.TangoTypes.pointSchema(
+          org.apache.spark.sql.types.DoubleType)))
+  }
 }
 
 object CassandraArchiveSource {

@@ -66,6 +66,23 @@ class DedupSpec extends AnyFunSuite {
     assert(hs.forall(h => h >= 0 && h < 2147483647L))
   }
 
+  test("minhash_sigs equals the exploded per-permutation min aggregation") {
+    graft.functions.PolyHash31.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 40L).map(d =>
+      (d, Seq.fill(rnd.nextInt(30) + 1)(rnd.nextLong(2147483647L))
+        .distinct))
+    val ds = rows.toDF("doc_id", "tids")
+    val viaExpr = ds.selectExpr("doc_id", "minhash_sigs(tids, 16) as sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val dt = rows.flatMap { case (d, ts) => ts.map(d -> _) }
+      .toDF("doc_id", "tid")
+    val viaAgg = Dedup.minhashSignatures(dt, 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    assert(viaExpr.keySet == viaAgg.keySet)
+    viaExpr.foreach { case (d, sig) => assert(sig == viaAgg(d), s"doc $d") }
+  }
+
   test("vocab: parallel two-pass rank equals the sorted dense ids") {
     val rnd = new scala.util.Random(7)
     val words = (0 until 500).map(_ => rnd.alphanumeric.take(6).mkString)
