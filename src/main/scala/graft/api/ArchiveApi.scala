@@ -67,6 +67,11 @@ object ArchiveApi {
       attParameter.where(col("att_conf_id") === attConfId),
       Seq("att_conf_id"), "recv_time", atUs, "recv_time")
 
+  /** S6 variant — latest parameter row with NO cutoff (reference's
+    * `latest_parameter` prepared statement, `hdbpp.py:173-177`). */
+  def latestParameter(attParameter: DataFrame, attConfId: Int): DataFrame =
+    parameterAt(attParameter, attConfId, Long.MaxValue)
+
   /** S7/O4 — first 10 archiving-history events in a window (reference
     * `hdbpp.py:243-259`). */
   def history(attHistory: DataFrame, attConfId: Int, t0Us: Long,
@@ -74,6 +79,15 @@ object ArchiveApi {
     Catalog.firstEvents(
       attHistory.where(col("att_conf_id") === attConfId),
       Seq("att_conf_id"), "time", t0Us, t1Us, 10, "time")
+
+  /** S7 variant — the FULL history, time-ascending, no window and no
+    * cap (reference's `all_history` statement, `hdbpp.py:186-191`).
+    * A plain pushable filter + sort: the per-attribute row count is
+    * archiver-event bounded (starts/stops/config changes), not
+    * point-data bounded, so no top-k machinery is warranted. */
+  def historyAll(attHistory: DataFrame, attConfId: Int): DataFrame =
+    attHistory.where(col("att_conf_id") === attConfId)
+      .orderBy(col("time").asc)
 
   /** §3.2 `POST /query` — inclusive time filter, optional resample,
     * rendered as the reference's CSV block or Grafana JSON format.

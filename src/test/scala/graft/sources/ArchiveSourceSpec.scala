@@ -90,6 +90,14 @@ class ArchiveSourceSpec extends AnyFunSuite {
       .orderBy("rn").collect()
       .map(r => (r.getAs[Long]("time"), r.getAs[String]("event")))
     assert(h.toSeq == Seq((100L, "add"), (200L, "start"), (300L, "stop")))
+
+    // reference's no-cutoff variants: latest_parameter / all_history
+    val lp = graft.api.ArchiveApi.latestParameter(src.attParameter, 7)
+      .collect()
+    assert(lp.length == 1 && lp(0).getAs[Long]("recv_time") == 9000L)
+    val all = graft.api.ArchiveApi.historyAll(src.attHistory, 7)
+      .collect().map(_.getAs[Long]("time"))
+    assert(all.toSeq == Seq(100L, 200L, 300L))
   }
 
   test("EventsArchiveAdapter synthesizes catalog-table views") {
