@@ -93,12 +93,19 @@ object DotE8 {
   }
 
   /** Idempotent per-session registration, for sessions the engine did
-    * not create (the driver owns ours). */
+    * not create (the driver owns ours). Skips names already present —
+    * re-registering works but WARN-logs "replaced a previously
+    * registered function" once per query construction. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_e8", builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_e4c", DotE4C.builder, "built-in")
+    registerOnce(spark, "dot_e8", builder)
+    registerOnce(spark, "dot_e4c", DotE4C.builder)
+  }
+
+  private[functions] def registerOnce(spark: SparkSession, name: String,
+      b: Seq[Expression] => Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, b, "built-in")
   }
 }
 

@@ -76,10 +76,8 @@ object PolyHash31 {
   /** Idempotent per-session registration (also registers the companion
     * [[MinHashSigs]] — the two are used together). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash31", builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", MinHashSigs.builder, "built-in")
+    DotE8.registerOnce(spark, "poly_hash31", builder)
+    DotE8.registerOnce(spark, "minhash_sigs", MinHashSigs.builder)
   }
 }
 
