@@ -145,7 +145,8 @@ object Similarity {
         lit(-lab).as("nl"))
     }
     val withCell = emb.withColumn("clab",
-      (-array_max(array(cells: _*)).getField("nl")).cast("int"))
+      (-array_max(array(cells.toIndexedSeq: _*)).getField("nl"))
+        .cast("int"))
     val queries = withCell.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("clab"))

@@ -83,7 +83,7 @@ final class ParquetArchiveSource(val spark: SparkSession, root: String,
     val byTable = wanted.groupBy { case (_, dt) => s"att_$dt" }
     val frames = byTable.toSeq.sortBy(_._1).map { case (tbl, ids) =>
       spark.read.parquet(s"$root/$tbl")
-        .where(col("att_conf_id").isin(ids.map(_._1): _*)
+        .where(col("att_conf_id").isin(ids.map(_._1).toIndexedSeq: _*)
           && col("period").between(p0, p1))
         .withColumn("value_r", col("value_r").cast("double"))
     }
