@@ -76,15 +76,33 @@ object Similarity {
   /** ANN via hyperplane LSH: candidates = corpus vectors in the SAME
     * bucket as the query, then exact quantized top-k within the bucket.
     * Recall is bucket-bound (documented divergence from brute force —
-    * that is the point of the scale path). */
+    * that is the point of the scale path).
+    *
+    * `nProbes` is multi-probe LSH (Lv et al., VLDB'07): beyond its own
+    * bucket, each query probes buckets at Hamming distance 1, flipping
+    * the LEAST-CONFIDENT plane bits first (smallest |plane dot| — the
+    * planes the query sits closest to, where its true neighbors most
+    * likely fell on the other side). The probe list is an in-row
+    * sorted-prefix + explode on the query side only — corpus vectors
+    * keep exactly one bucket, so candidate growth is |Q|·nProbes-bound,
+    * never corpus-bound. nProbes=1 is bit-identical to the
+    * oracle-checked default. */
   def annLsh(emb: DataFrame, queryFilter: Column, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64, nProbes: Int = 1): DataFrame = {
     ensureDotE8(emb)
     val withBucket = emb.withColumn("bucket",
       lshBucket("embedding", nPlanes, dim))
+    val flipOrder = (0 until nPlanes).map { j =>
+      val lits = planeWeights(j, dim).mkString("L, ") + "L"
+      s"struct(abs(dot_e4c(embedding, array($lits))) AS a, $j AS j)"
+    }.mkString("array(", ", ", ")")
+    val probeBuckets = expr(
+      s"concat(array(bucket), transform(" +
+        s"slice(array_sort($flipOrder), 1, ${nProbes - 1})," +
+        s" s -> bucket ^ shiftleft(1L, s.j)))")
     val queries = withBucket.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"))
+        explode(probeBuckets).as("bucket"))
     val pairs = withBucket.join(broadcast(queries), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("bucket"), col("vec_id").as("nid"),
@@ -115,9 +133,17 @@ object Similarity {
     * `(s − pmod(s, n)) / n` (both true floor; bare `/`|`//` truncate
     * toward zero and diverge on negative sums). All arithmetic is exact
     * integers → oracle-reproducible, unlike a float k-means. Recall is
-    * cell-bound, like [[annLsh]] — that is the scale path's contract. */
+    * cell-bound, like [[annLsh]] — that is the scale path's contract.
+    *
+    * `nprobe` is the standard IVF recall knob: each query searches its
+    * `nprobe` nearest cells (by the same centroid dots, same
+    * tie-break) instead of only its own. Corpus vectors still live in
+    * exactly ONE cell — only the query side fans out, as an in-row
+    * sorted-prefix + explode, so cost scales with |Q|·nprobe, never
+    * with the corpus. nprobe=1 is bit-identical to the oracle-checked
+    * default. */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, nprobe: Int = 1): DataFrame = {
     ensureDotE8(emb)
     val compSums = (1 to dims).map(d => sum(expr(
       s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
@@ -139,17 +165,22 @@ object Similarity {
     // best duplicates the accumulated tree in condition AND otherwise —
     // exponential in L; it benchmarked 3× slower than the round-2 join
     // it was meant to replace.)
-    val cells = centroids.map { case (lab, c) =>
-      struct(
-        expr(s"dot_e4c(embedding, array(${c.mkString("L,")}L))").as("d"),
-        lit(-lab).as("nl"))
-    }
+    val cellsArraySql = centroids.map { case (lab, c) =>
+      s"struct(dot_e4c(embedding, array(${c.mkString("L,")}L)) AS d, " +
+        s"${-lab} AS nl)"
+    }.mkString("array(", ", ", ")")
     val withCell = emb.withColumn("clab",
-      (-array_max(array(cells.toIndexedSeq: _*)).getField("nl"))
-        .cast("int"))
-    val queries = withCell.where(queryFilter)
+      expr(s"cast(-array_max($cellsArraySql).nl as int)"))
+    // query side: nprobe nearest cells via an in-row descending sort of
+    // the same (d, −label) structs — ascending struct sort reversed =
+    // d desc then label asc, the oracle's tie-break — then explode.
+    // Query rows only; the corpus never fans out.
+    val probeCells = expr(
+      s"transform(slice(reverse(array_sort($cellsArraySql)), 1, $nprobe)," +
+        s" s -> cast(-s.nl as int))")
+    val queries = emb.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("clab"))
+        explode(probeCells).as("clab"))
     val pairs = withCell.join(broadcast(queries), Seq("clab"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("clab"), col("vec_id").as("nid"),

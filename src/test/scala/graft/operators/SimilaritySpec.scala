@@ -118,6 +118,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("annLsh multi-probe reaches Hamming-1 buckets, superset of single") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 120L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    def nids(np: Int) = Similarity.annLsh(emb, col("vec_id") < 2, k = 50,
+      nPlanes = 4, dim = 8, nProbes = np).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).toSet).toMap
+    val one = nids(1)
+    val three = nids(3)
+    one.foreach { case (q, ns) => assert(ns.subsetOf(three(q))) }
+    // with 120 vectors over 16 buckets, the two flipped buckets are
+    // non-empty with overwhelming probability under this seed
+    assert(three.exists { case (q, ns) => ns.size > one.getOrElse(q, Set.empty[Long]).size })
+  }
+
+  test("ivfTopK nprobe widens the search to neighboring cells") {
+    val emb = Seq(
+      (0L, Array(0.6f, 0.4f, 0f, 0f), 1),
+      (1L, Array(1.0f, 0.0f, 0f, 0f), 1),
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (3L, Array(0.0f, 1.0f, 0f, 0f), 2),
+      (4L, Array(0.1f, 0.9f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    def nids(np: Int) = Similarity.ivfTopK(emb, col("vec_id") === 0,
+      k = 10, dims = 4, nprobe = np).collect().map(_.getLong(3)).toSet
+    val one = nids(1)
+    val two = nids(2)
+    assert(one == Set(1L, 2L), "nprobe=1 stays in the query's own cell")
+    assert(one.subsetOf(two) && two == Set(1L, 2L, 3L, 4L),
+      "nprobe=2 adds the second-nearest cell")
+  }
+
   test("cosineNearDups pairs bucket collisions above the cosine threshold") {
     // two near-parallel vectors (cos ≈ 1) plus an orthogonal one
     val emb = Seq(
