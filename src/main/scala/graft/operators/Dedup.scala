@@ -219,12 +219,16 @@ object Dedup {
     * measure-zero signature fuzz in both engines. */
   def simhash(corpus: DataFrame, spark: SparkSession, bits: Int = 16): DataFrame = {
     graft.functions.PolyHash31.register(spark)
-    val tok = TextOps.tokens(corpus)
-    val cnt = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    val dt = cnt.select(col("doc_id"),
-      pmod(expr("poly_hash31(w)"), lit(8191L)).as("tid"), col("c"))
+    // count weighting is IMPLICIT: summing each occurrence's ±1 vote
+    // equals Σ_distinct-words c·vote, so no (doc_id, word) pre-count —
+    // the only shuffle left is the per-doc signed-sum aggregate on
+    // narrow (long, long) rows (the count formulation shuffled the
+    // token STRINGS and aggregated twice; the oracle keeps it for
+    // readability — same numbers either way)
+    val dt = TextOps.tokens(corpus).select(col("doc_id"),
+      pmod(expr("poly_hash31(w)"), lit(8191L)).as("tid"))
     val sums = (0 until bits).map { j =>
-      sum(col("c") * when(
+      sum(when(
         (lit(1 + 2 * j) * col("tid") * col("tid")
           + lit(17 + 5 * j) * col("tid") + lit(j)) % 8191 < 4096,
         1).otherwise(-1)).as(s"s$j")
