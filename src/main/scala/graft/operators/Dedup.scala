@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline extension
@@ -57,6 +57,17 @@ object Dedup {
     sigs.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
+
+  /** Band-key columns over an in-row `sig` array<long> column: band b's
+    * key is the comma-joined slice sig[b·r+1 … b·r+r] — the same string
+    * the oracle's `string_agg(sig, ',' ORDER BY i)` builds. Shared by
+    * the batch and streaming MinHash pipelines. */
+  def sigBandKeys(numPerms: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until numPerms / rowsPerBand).map { b =>
+      concat_ws(",", (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1)
+          .cast("string")): _*)
+    }
 
   /** Candidate pairs (d1 < d2) sharing at least one LSH bucket.
     *
@@ -154,13 +165,9 @@ object Dedup {
         val ds = TextOps.shingleIdSets(corpus, shingleK).persist()
         val sigs = ds.select(col("doc_id"),
           expr(s"minhash_sigs(tids, $numPerms)").as("sig"))
-        val bandKeys = (0 until numPerms / rowsPerBand).map { b =>
-          concat_ws(",", (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)
-              .cast("string")): _*)
-        }
         val bands = sigs.select(col("doc_id"),
-          posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+          posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
+            .as(Seq("band", "bkey")))
         val cands = lshCandidates(bands).persist()
         // verify in-row: candidate pairs are FEW (LSH collisions), so a
         // per-pair array_intersect of two ~doc-length sets beats any

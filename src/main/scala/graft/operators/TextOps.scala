@@ -70,17 +70,19 @@ object TextOps {
     * after-the-fact `size(tids) > 0` is predicate-pushed through the
     * projection and re-evaluates the whole hash pipeline per row
     * (measured 12× slower). */
-  def shingleIdSets(docs: DataFrame, k: Int): DataFrame = {
+  def shingleIdSets(docs: DataFrame, k: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     require(k >= 2 && k <= 8, s"shingle size $k out of range")
     val terms = (0 until k).map(j => s"element_at(ws, i + $j)")
       .mkString(", ")
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id") +: keep.map(col) :+
+        split(col("text"), " ").as("ws"): _*)
       .where(size(col("ws")) >= k)
-      .select(col("doc_id"), expr(
+      .select(col("doc_id") +: keep.map(col) :+ expr(
         s"""array_distinct(transform(sequence(1, size(ws) - ${k - 1}),
            |  i -> poly_hash31(concat_ws(' ', $terms))))""".stripMargin)
-        .as("tids"))
+        .as("tids"): _*)
   }
 
   /** Dense vocabulary: term → tid (1-based, global sorted order —

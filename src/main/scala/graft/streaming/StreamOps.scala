@@ -92,6 +92,58 @@ object StreamOps {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming MinHash-LSH NEAR-dup detection with watermark-bounded
+    * state — the streaming form of
+    * [[graft.operators.Dedup.minhashNearDups]]'s array-native
+    * pipeline. Every per-doc step (shingle-id set, `minhash_sigs`
+    * signature, band keys) is an in-row projection over the stream —
+    * poly ids mean NO vocabulary, so nothing global blocks a stream.
+    * Candidates come from a watermarked stream-stream SELF-join on
+    * (band, bkey) restricted to docs whose event times lie within
+    * `horizon` of each other (the time-range predicate is what lets
+    * Spark evict join state); the exact Jaccard verify runs in-row on
+    * the carried id sets, and a final `dropDuplicatesWithinWatermark`
+    * collapses multi-band matches of the same pair.
+    *
+    * Contract: detects near-dup pairs whose members arrive within
+    * `horizon` of each other — the standard streaming-dedup tradeoff
+    * ([[streamingExactDedupWithinWatermark]] has the same one);
+    * cross-horizon duplicates need the batch pipeline over the archive.
+    * Input needs `doc_id`, `text`, and an event-time column. */
+  def streamingNearDups(docs: DataFrame, eventTimeCol: String,
+      horizon: String, shingleK: Int = 3, numPerms: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val bands = graft.operators.TextOps
+      .shingleIdSets(docs, shingleK, keep = Seq(eventTimeCol))
+      .withColumn("sig", expr(s"minhash_sigs(tids, $numPerms)"))
+      .select(col("doc_id"), col(eventTimeCol).as("ts"), col("tids"),
+        posexplode(array(
+          graft.operators.Dedup.sigBandKeys(numPerms, rowsPerBand): _*))
+          .as(Seq("band", "bkey")))
+    val a = bands.select(col("doc_id").as("d1"), col("ts").as("ts1"),
+      col("tids").as("t1"), col("band").as("band1"),
+      col("bkey").as("bkey1")).withWatermark("ts1", horizon)
+    val b = bands.select(col("doc_id").as("d2"), col("ts").as("ts2"),
+      col("tids").as("t2"), col("band").as("band2"),
+      col("bkey").as("bkey2")).withWatermark("ts2", horizon)
+    a.join(b, expr(
+      s"""band1 = band2 AND bkey1 = bkey2 AND d1 < d2
+         |AND ts2 >= ts1 - interval $horizon
+         |AND ts2 <= ts1 + interval $horizon""".stripMargin))
+      .withColumn("n_inter",
+        size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("n_union",
+        size(col("t1")).cast("long") + size(col("t2")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .where(col("jaccard") >= threshold)
+      .withColumn("pair_ts", greatest(col("ts1"), col("ts2")))
+      .withWatermark("pair_ts", horizon)
+      .dropDuplicatesWithinWatermark("d1", "d2")
+      .select(col("d1"), col("d2"), col("n_inter"), col("n_union"),
+        col("jaccard"), col("pair_ts"))
+  }
+
   final case class RawPoint(att_name: String, t: Long, value_r: Double)
   final case class ArchivedPoint(att_name: String, t: Long,
       value_r: Double, prev: Double)

@@ -53,6 +53,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingNearDups pairs near-dup docs within the horizon only") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val out = StreamOps.streamingNearDups(
+      in.toDF().toDF("doc_id", "text", "t_us")
+        .withColumn("ts", timestamp_micros(col("t_us"))),
+      "ts", "60 seconds", threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("snd")
+      .outputMode("append").start()
+    try {
+      // two near-dups 2 s apart, one unrelated doc
+      in.addData(
+        (1L, base, 10000000L),
+        (2L, "quick brown fox jumps over the lazy dog again and again today", 12000000L),
+        (3L, "completely different words with nothing shared at all in here", 15000000L))
+      q.processAllAvailable()
+      // the same text again FAR outside the horizon: no pair with 1/2
+      in.addData((4L, base, 10000000000L))
+      q.processAllAvailable()
+      val pairs = spark.table("snd")
+        .select("d1", "d2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSeq == Seq((1L, 2L)),
+        s"expected exactly (1,2), got ${pairs.toSeq}")
+    } finally q.stop()
+  }
+
   test("archiveStream tails the writer's layout: appended days become batches") {
     import spark.implicits._
     import org.apache.spark.sql.types._
