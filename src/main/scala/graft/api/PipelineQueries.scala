@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps, TextStats}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps, TextStats}
 
 /** LLM-data-pipeline operators (SURVEY.md §7.2.8) over the driver's
   * `documents` / `embeddings` tables, each with a DuckDB oracle.
@@ -492,6 +492,152 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- dedup clusters
+  /** The grouping step after p02: verified near-dup pairs → connected
+    * components → (doc, cluster, canonical-keep flag). Same pair graph
+    * as p02 (identical parameters), so the oracle extends p02's CTEs
+    * with a recursive transitive closure. */
+  private def p16(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(
+      TextOps.withPlantedNearDups(docsSpread(s, dir), every = 25,
+        dropWords = 3),
+      s, shingleK = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+    Dedup.connectedComponents(pairs.select(col("d1"), col("d2")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p16Sql =
+    s"""${NearDupCtes.replace("WITH corpus", "WITH RECURSIVE corpus")},
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_inter
+       |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+       |    JOIN dt y ON y.doc_id = c.d2 AND y.tid = x.tid
+       |  GROUP BY c.d1, c.d2),
+       |vp AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
+       |    JOIN sz s2 ON s2.doc_id = i.d2
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
+       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |reach(a, b) AS (
+       |  SELECT d1 AS a, d2 AS b FROM bi
+       |  UNION
+       |  SELECT r.a, e.d2 AS b FROM reach r JOIN bi e ON e.d1 = r.b)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
+       |  CAST(CASE WHEN a = least(a, min(b)) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS keep
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- quota sample
+  /** Deterministic stratified sampling: hash-bucket train split (80%),
+    * then the 40 smallest (quota-hash, doc_id) docs per language — the
+    * "pick k random-but-reproducible docs per stratum" mix step. */
+  private def p17(s: SparkSession, dir: String): DataFrame =
+    Sampling.quotaSample(
+      Sampling.assignSplits(docsSpread(s, dir))
+        .where(col("split") === "train"),
+      Seq("lang"), k = 40)
+      .orderBy(col("lang"), col("rn"))
+
+  private val p17Sql =
+    s"""WITH base AS (
+       |  SELECT lang, doc_id,
+       |    ${polyHashSql("'split:' || CAST(doc_id AS VARCHAR)")} AS h_split
+       |  FROM documents),
+       |tr AS (SELECT lang, doc_id FROM base WHERE h_split % 100 < 80),
+       |q AS (
+       |  SELECT lang, doc_id,
+       |    ${polyHashSql("'quota:' || CAST(doc_id AS VARCHAR)")} AS h_quota
+       |  FROM tr),
+       |ranked AS (
+       |  SELECT lang, doc_id, h_quota,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h_quota, doc_id)
+       |      AS rn
+       |  FROM q)
+       |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, h_quota
+       |FROM ranked WHERE rn <= 40 ORDER BY lang, rn""".stripMargin
+
+  // ---------------------------------------------------------------- PII scrub
+  /** Normalization + PII scrub with planted spans: the corpus has no
+    * emails/phones (verified), so doc_id-keyed planted spans fully
+    * determine the redaction counts; the scrubbed-text digest proves
+    * the replacement itself matches byte-for-byte. */
+  private def p18(s: SparkSession, dir: String): DataFrame = {
+    val planted = docsSpread(s, dir).select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example"))).otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" ph 555-0"), (col("doc_id") % 97).cast("string")))
+          .otherwise("")).as("text"))
+    TextStats.scrub(planted).orderBy(col("doc_id"))
+  }
+
+  private val p18Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 <> 0
+      |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN ' ph 555-0' || CAST(doc_id % 97 AS VARCHAR)
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]+', '<PHONE>', 'g'),
+      |      ' +', ' ', 'g')) AS clean
+      |  FROM corpus)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+      |    AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]+'))
+      |    AS BIGINT) AS n_phones,
+      |  CAST(length(clean) AS BIGINT) AS clean_chars,
+      |  sha256(clean) AS fp
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- token packing
+  /** Greedy token-budget packing into 4096-token shards per language:
+    * the per-bin manifest a shard writer consumes. */
+  private def p19(s: SparkSession, dir: String): DataFrame =
+    Sampling.packTokenBudget(docsSpread(s, dir), Seq("lang"), budget = 4096L)
+      .orderBy(col("lang"), col("bin"))
+
+  private val p19Sql =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT lang, (cum - n_tok) // 4096 AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY lang, (cum - n_tok) // 4096
+      |ORDER BY lang, bin""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -509,7 +655,11 @@ object PipelineQueries {
     "p12_multimodal" -> (p12 _),
     "p13_ivf_topk" -> (p13 _),
     "p14_token_counts" -> (p14 _),
-    "p15_cosine_neardup" -> (p15 _))
+    "p15_cosine_neardup" -> (p15 _),
+    "p16_dedup_clusters" -> (p16 _),
+    "p17_quota_sample" -> (p17 _),
+    "p18_pii_scrub" -> (p18 _),
+    "p19_token_packing" -> (p19 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -526,5 +676,9 @@ object PipelineQueries {
     "p11_embed_stats" -> p11Sql,
     "p13_ivf_topk" -> p13Sql,
     "p14_token_counts" -> p14Sql,
-    "p15_cosine_neardup" -> p15Sql)
+    "p15_cosine_neardup" -> p15Sql,
+    "p16_dedup_clusters" -> p16Sql,
+    "p17_quota_sample" -> p17Sql,
+    "p18_pii_scrub" -> p18Sql,
+    "p19_token_packing" -> p19Sql)
 }

@@ -205,6 +205,80 @@ object Dedup {
     }
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (`d1`, `d2` columns): the grouping step that turns pairwise
+    * "A≈B" verdicts into dedup CLUSTERS — every doc gets the minimum
+    * doc_id reachable from it as `cluster_id`, and `keep = 1` marks
+    * the canonical (minimum) member of each cluster.
+    *
+    * Min-label propagation, tuned so one round is ONE join + ONE
+    * min-aggregate and ONE tiny action (iterative loops live or die on
+    * per-round stage count — an earlier shape with a separate
+    * own-vs-neighbor merge join and a `changed`-count pass measured
+    * 1.8 s/round of pure overhead at any data size):
+    *  - SELF-loops are appended to the symmetric edge list, so
+    *    min-over-incoming-labels already includes the node's own label
+    *    — no second merge join;
+    *  - the edge table is hash-repartitioned on `src` ONCE and cached;
+    *    every round's join reuses that layout (the cached frame's
+    *    partitioning elides the probe-side exchange), so a round
+    *    shuffles only the label table — one row per pair-graph node;
+    *  - convergence is monotone: labels only decrease, so the label
+    *    SUM (exact, as decimal(38,0) — no overflow at any node count)
+    *    is strictly decreasing until fixpoint; comparing consecutive
+    *    sums replaces a join-against-previous `changed` count.
+    * Rounds are bounded by the largest component diameter;
+    * `localCheckpoint` every 5 rounds truncates the growing lineage.
+    *
+    * Scale contract: the input is the VERIFIED near-dup pair list —
+    * O(LSH collisions), orders of magnitude smaller than the corpus
+    * (the corpus itself never enters the loop). Driver-side control
+    * flow + cluster-side data is the standard Spark shape for
+    * iterative graph algorithms. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val edges = sym
+      .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("src")).persist()
+    var labels = nodes.select(col("node"), col("node").as("lbl")).persist()
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().get(0)
+    def propagate(l: DataFrame): DataFrame = edges
+      .join(l.select(col("node").as("src"), col("lbl")), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(min(col("lbl")).as("lbl"))
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    // The per-MATERIALIZATION cost (job scheduling, AQE planning, the
+    // convergence action) dwarfs the per-ROUND data work on any
+    // realistically-sparse dup graph, so rounds are COMPOSED: each
+    // materialization stacks `depth` propagation joins into one plan
+    // (2, then 4, then 8 per step — past-fixpoint rounds are no-ops,
+    // so overshooting is free), and convergence is checked per
+    // materialization, not per round. LSH dup-graph components are
+    // near-cliques (diameter ≲ 3): the common case is ONE materialized
+    // step + one confirming step.
+    var depth = 2
+    while (!converged && round < maxIter) {
+      var cur = labels
+      (1 to depth).foreach(_ => cur = propagate(cur))
+      val next = cur.localCheckpoint(true) // truncates iterative lineage
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum // monotone ⇒ equal sum ⇔ no label moved
+      prevSum = s
+      round += depth
+      depth = math.min(depth * 2, 8)
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+      when(col("node") === col("lbl"), 1L).otherwise(0L).as("keep"))
+  }
+
   /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a
     * quadratic threshold hash ((a_j·t² + b_j·t + j) mod 8191 < 4096 →
     * +1 else −1), weighted by token multiplicity; a linear-parity hash

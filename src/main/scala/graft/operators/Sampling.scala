@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / packing operators for
+  * training-data assembly (the step after dedup and quality filtering:
+  * decide WHICH docs go into WHICH split/mix, and how they pack into
+  * fixed-token-budget shards).
+  *
+  * Everything keys off a content-derived pseudo-random integer
+  * ([[graft.functions.PolyHash31]] over a salted rendering of the doc
+  * id) rather than an engine RNG: the assignment is reproducible across
+  * engines (the DuckDB oracle computes the identical hash), across
+  * runs, and across cluster sizes — the property a training-data
+  * lineage audit actually needs. No `rand()`, no seed-per-partition
+  * trap, no resampling drift when the corpus is re-partitioned.
+  */
+object Sampling {
+
+  /** Salted split hash: poly_hash31("<salt>:<doc_id>") — uniform-ish in
+    * [0, 2^31-1), reproducible in DuckDB via the ascii() recurrence. */
+  def splitHash(salt: String, idCol: Column): Column =
+    call_function("poly_hash31",
+      concat(lit(salt + ":"), idCol.cast("string")))
+
+  /** Train/val/test assignment by hash percentile: bucket = h mod 100,
+    * train < `trainPct` ≤ val < `trainPct`+`valPct` ≤ test. A pure
+    * per-row projection — no shuffle, no coordination, stable under
+    * corpus growth (a doc's split never changes when others arrive). */
+  def assignSplits(docs: DataFrame, salt: String = "split",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val h = splitHash(salt, col("doc_id"))
+    docs.withColumn("h_split", h)
+      .withColumn("bucket", col("h_split") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Per-stratum quota sample: the `k` docs with the smallest
+    * (split-hash, doc_id) per stratum — a deterministic "random k" that
+    * any engine reproduces. Runs on the bounded [[TopK]] aggregator:
+    * per-group state never exceeds k pairs and merges map-side, so a
+    * 100 TB stratum costs one hash aggregate — NOT a per-stratum window
+    * sort (rank-over-window sorts every stratum in full; with few
+    * strata that is a handful of giant single-key sort tasks). Output:
+    * one row per kept doc with its within-stratum rank `rn` (1-based,
+    * hash order). */
+  def quotaSample(docs: DataFrame, strataCols: Seq[String], k: Int,
+      salt: String = "quota"): DataFrame = {
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val h = splitHash(salt, col("doc_id"))
+    docs.select(strataCols.map(col) :+ h.as("h_quota") :+ col("doc_id"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(TopK.smallestK(k, col("h_quota"), col("doc_id")).as("ks"))
+      .select(strataCols.map(col) :+
+        posexplode(col("ks")).as(Seq("i", "p")): _*)
+      .select(strataCols.map(col) :+
+        (col("i") + 1).cast("long").as("rn") :+
+        col("p._2").as("doc_id") :+ col("p._1").as("h_quota"): _*)
+  }
+
+  /** Greedy token-budget packing: per stratum, walk docs in doc_id
+    * order accumulating token counts; a doc goes to the bin its
+    * RUNNING-START offset falls in (`floor(start / budget)`), i.e. docs
+    * fill shard 0 until `budget` tokens are reached, then shard 1, …
+    * The deterministic, restart-safe shape of "pack the corpus into
+    * fixed-size training shards".
+    *
+    * The running sum is a window ordered by doc_id within each stratum:
+    * strata sort independently (one range-sorted shuffle keyed by the
+    * stratum — the partitioned-window shape PlanGuard allows), and at
+    * 100 TB each stratum's sort distributes across tasks via
+    * range partitioning on the (stratum, doc_id) prefix. Output is the
+    * per-bin manifest: doc list boundaries summarized as n_docs /
+    * sum_tokens / first/last doc ids — the shard index a pack-writer
+    * consumes. */
+  def packTokenBudget(docs: DataFrame, strataCols: Seq[String],
+      budget: Long): DataFrame = {
+    require(budget > 0)
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(strataCols.map(col) :+ col("doc_id") :+ nTok.as("n_tok"): _*)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      // integer `div`, not `/`: float division + cast can round a
+      // boundary value up across the bin edge for non-power-of-2 budgets
+      .withColumn("bin", expr(s"(cum - n_tok) div ${budget}L"))
+      .groupBy(strataCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+}

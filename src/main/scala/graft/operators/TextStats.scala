@@ -68,6 +68,38 @@ object TextStats {
         |(acc, w) -> acc + cast((length(w) + 3) div 4 as int))
         |as bigint)""".stripMargin).as("n_subwords"))
 
+  /** Default PII patterns for [[scrub]]. Kept to constructs whose
+    * semantics agree between Java regex (Spark) and RE2 (DuckDB):
+    * character classes + greedy quantifiers, no backtracking-dependent
+    * alternation, no lookaround (RE2 has none). */
+  val EmailPattern = "[a-z0-9.]+@[a-z0-9.]+"
+  val PhonePattern = "[0-9]{3}-[0-9]+"
+
+  /** Normalization + PII scrub: collapse whitespace runs, trim, redact
+    * email-/phone-shaped spans, and account for what was redacted —
+    * the lineage record a compliance pass needs (how many spans, how
+    * much text survived, a digest to dedup/verify the scrubbed form).
+    * One narrow projection per row: no shuffle, no UDF — `regexp_*`
+    * are codegen'd expressions, so the scrub rides whole-stage codegen
+    * across a 100 TB scan. */
+  def scrub(docs: DataFrame,
+      emailPattern: String = EmailPattern,
+      phonePattern: String = PhonePattern): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailPattern)).cast("long")
+        .as("n_emails"),
+      regexp_count(col("text"), lit(phonePattern)).cast("long")
+        .as("n_phones"),
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"),
+        " +", " ")).as("clean"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        sha2(col("clean"), 256).as("fp"))
+
   /** Marker vocabularies for the language-ID heuristic. The synthetic
     * corpus shares one vocabulary across languages, so accuracy is
     * meaningless by construction — the operator exercised here is the

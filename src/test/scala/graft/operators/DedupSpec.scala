@@ -139,4 +139,31 @@ class DedupSpec extends AnyFunSuite {
     assert(fp(0L)._2 == 5L) // 8 tokens → 5 4-grams
     assert(fp(0L)._1 != fp(2L)._1)
   }
+
+  test("connectedComponents: chains merge, components stay separate") {
+    // component {1,2,3,9} via a chain (needs >1 propagation round),
+    // component {5,7}, pair order within an edge irrelevant
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 7L))
+      .toDF("d1", "d2")
+    val r = Dedup.connectedComponents(pairs).orderBy("doc_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L), (5L, 5L, 1L),
+      (7L, 5L, 0L), (9L, 1L, 0L)))
+  }
+
+  test("connectedComponents: long path converges past checkpoint rounds") {
+    // a 16-node path: min label must walk the full diameter (>5 rounds,
+    // crossing the every-5-rounds localCheckpoint boundary)
+    val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val r = Dedup.connectedComponents(pairs).collect()
+    assert(r.length == 16)
+    assert(r.forall(_.getLong(1) == 1L))
+    assert(r.map(row => row.getLong(2)).sum == 1L) // exactly one keeper
+  }
+
+  test("connectedComponents: empty pair list yields empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "en", "a b c d e f g h"),
+    (1L, "en", "i j k l"),
+    (2L, "en", "m n o p q r"),
+    (3L, "de", "s t u"),
+    (4L, "de", "v w x y z a b c d e"),
+    (5L, "en", "f g h i j"))
+    .toDF("doc_id", "lang", "text")
+
+  test("assignSplits: pure projection, stable buckets, full coverage") {
+    val r = Sampling.assignSplits(docs)
+    assert(r.count() == 6)
+    // buckets in range, split consistent with bucket
+    val rows = r.select("bucket", "split").collect()
+    rows.foreach { row =>
+      val (b, s) = (row.getLong(0), row.getString(1))
+      assert(b >= 0 && b < 100)
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == expect)
+    }
+    // deterministic across invocations
+    val a = Sampling.assignSplits(docs).select("doc_id", "split").collect().toSet
+    val b = Sampling.assignSplits(docs).select("doc_id", "split").collect().toSet
+    assert(a == b)
+  }
+
+  test("quotaSample: k smallest hashes per stratum, rank order, no window") {
+    val r = Sampling.quotaSample(docs, Seq("lang"), k = 2)
+    val rows = r.orderBy("lang", "rn").collect()
+    // at most k per stratum
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang("en").length == 2 && byLang("de").length == 2)
+    // rn is 1..k and hashes ascend within a stratum
+    byLang.values.foreach { g =>
+      assert(g.map(_.getLong(1)).toSeq == (1L to g.length))
+      val hs = g.map(_.getLong(3)).toSeq
+      assert(hs == hs.sorted)
+    }
+    // equals the brute-force window formulation
+    graft.functions.PolyHash31.register(spark)
+    val brute = docs
+      .select(col("lang"), col("doc_id"),
+        Sampling.splitHash("quota", col("doc_id")).as("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy("h", "doc_id")))
+      .where(col("rn") <= 2)
+      .select(col("lang"), col("rn").cast("long"), col("doc_id"), col("h"))
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == brute)
+  }
+
+  test("packTokenBudget: greedy fill, bins chain by start offset") {
+    // en docs in id order: 8, 4, 6, 5 tokens; budget 10 →
+    // starts 0,8,12,18 → bins 0,0,1,1
+    val r = Sampling.packTokenBudget(docs, Seq("lang"), budget = 10L)
+      .orderBy("lang", "bin").collect()
+    val en = r.filter(_.getString(0) == "en")
+    assert(en.map(row => (row.getLong(1), row.getLong(2), row.getLong(3)))
+      .toSeq == Seq((0L, 2L, 12L), (1L, 2L, 11L)))
+    // first/last doc ids per bin
+    assert(en.map(row => (row.getLong(4), row.getLong(5))).toSeq ==
+      Seq((0L, 1L), (2L, 5L)))
+    // de: 3 + 10 tokens → starts 0,3 → both bin 0
+    val de = r.filter(_.getString(0) == "de")
+    assert(de.map(row => (row.getLong(1), row.getLong(2), row.getLong(3)))
+      .toSeq == Seq((0L, 2L, 13L)))
+  }
+
+  test("scrub: redacts planted spans, counts them, normalizes whitespace") {
+    val d = Seq(
+      (0L, "hello  bob@mail.example  call 555-1234 now "),
+      (1L, "no pii here at all"),
+      (2L, "two mails a@b.c and d@e.f plus 999-00 and 123-456"))
+      .toDF("doc_id", "text")
+    val r = TextStats.scrub(d).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 1 && r(0).getLong(2) == 1) // email, phone
+    assert(r(1).getLong(1) == 0 && r(1).getLong(2) == 0)
+    assert(r(2).getLong(1) == 2 && r(2).getLong(2) == 2)
+    // clean text of doc 0: collapsed + trimmed + redacted
+    val clean0 = "hello <EMAIL> call <PHONE> now"
+    val fp0 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(clean0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0).getLong(3) == clean0.length)
+    assert(r(0).getString(4) == fp0)
+  }
+}
