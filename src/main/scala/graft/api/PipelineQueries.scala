@@ -638,6 +638,94 @@ object PipelineQueries {
       |FROM c GROUP BY lang, (cum - n_tok) // 4096
       |ORDER BY lang, bin""".stripMargin
 
+  // ---------------------------------------------------------------- dedup apply
+  /** The end-to-end deliverable: corpus (with planted exact copies at
+    * +2000000 AND planted near-copies at +1000000) → exact dedup →
+    * near-dup clustering → surviving doc ids. Exactly the pipeline a
+    * training-data job runs; the oracle replays each stage in SQL. */
+  private def p20(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val corpus = TextOps.withPlantedNearDups(base, every = 25, dropWords = 3)
+      .unionByName(base.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Dedup.dedupedCorpus(corpus, s).orderBy(col("doc_id"))
+  }
+
+  private val p20Sql =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         array_to_string(string_split(text, ' ')[4:], ' ') AS text
+       |  FROM documents WHERE doc_id % 25 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+       |kept AS (
+       |  SELECT c.doc_id, c.text FROM corpus c JOIN ek USING (doc_id)),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM kept),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+       |        AS shingle
+       |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE shingle IS NOT NULL),
+       |dt AS (
+       |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid
+       |  FROM sh),
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_inter
+       |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+       |    JOIN dt y ON y.doc_id = c.d2 AND y.tid = x.tid
+       |  GROUP BY c.d1, c.d2),
+       |vp AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
+       |    JOIN sz s2 ON s2.doc_id = i.d2
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
+       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |reach(a, b) AS (
+       |  SELECT d1 AS a, d2 AS b FROM bi
+       |  UNION
+       |  SELECT r.a, e.d2 AS b FROM reach r JOIN bi e ON e.d1 = r.b),
+       |nonkeep AS (
+       |  SELECT a AS doc_id FROM reach GROUP BY a
+       |  HAVING a <> least(a, min(b)))
+       |SELECT k.doc_id FROM kept k
+       |LEFT JOIN nonkeep n USING (doc_id)
+       |WHERE n.doc_id IS NULL
+       |ORDER BY k.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- global sample
+  /** Deterministic global n-sample: smallest n (hash, id) corpus-wide,
+    * planned as a distributed bounded top-n (TakeOrderedAndProject). */
+  private def p21(s: SparkSession, dir: String): DataFrame =
+    Sampling.globalSample(docsSpread(s, dir), n = 200)
+
+  private val p21Sql =
+    s"""SELECT doc_id,
+       |  ${polyHashSql("'sample:' || CAST(doc_id AS VARCHAR)")} AS h_sample
+       |FROM documents
+       |ORDER BY h_sample, doc_id LIMIT 200""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -659,7 +747,9 @@ object PipelineQueries {
     "p16_dedup_clusters" -> (p16 _),
     "p17_quota_sample" -> (p17 _),
     "p18_pii_scrub" -> (p18 _),
-    "p19_token_packing" -> (p19 _))
+    "p19_token_packing" -> (p19 _),
+    "p20_dedup_apply" -> (p20 _),
+    "p21_global_sample" -> (p21 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -680,5 +770,7 @@ object PipelineQueries {
     "p16_dedup_clusters" -> p16Sql,
     "p17_quota_sample" -> p17Sql,
     "p18_pii_scrub" -> p18Sql,
-    "p19_token_packing" -> p19Sql)
+    "p19_token_packing" -> p19Sql,
+    "p20_dedup_apply" -> p20Sql,
+    "p21_global_sample" -> p21Sql)
 }

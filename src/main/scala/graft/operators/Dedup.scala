@@ -249,7 +249,11 @@ object Dedup {
       .join(l.select(col("node").as("src"), col("lbl")), Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(min(col("lbl")).as("lbl"))
-    var prevSum = labelSum(labels)
+    // prevSum seeds to a sentinel: the first materialization can never
+    // be skipped (labels start self-referential), so spending an action
+    // on the initial sum buys nothing — the first real sum replaces it.
+    var prevSum: Any = null
+    var first = true
     var converged = false
     var round = 0
     // The per-MATERIALIZATION cost (job scheduling, AQE planning, the
@@ -269,14 +273,43 @@ object Dedup {
       val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = s == prevSum // monotone ⇒ equal sum ⇔ no label moved
+      // monotone ⇒ equal sum ⇔ no label moved (first pass never stops:
+      // prevSum is still the sentinel)
+      converged = !first && s == prevSum
       prevSum = s
+      first = false
       round += depth
       depth = math.min(depth * 2, 8)
     }
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
       when(col("node") === col("lbl"), 1L).otherwise(0L).as("keep"))
+  }
+
+  /** End-to-end dedup APPLICATION — the step that actually produces a
+    * training corpus: exact dedup first (cheap, digest group-by), then
+    * MinHash-LSH near-dup detection on the exact survivors, clusters
+    * via [[connectedComponents]], and only each cluster's canonical
+    * (minimum-id) member survives. Returns the surviving doc ids.
+    *
+    * Scale shape: the corpus text flows through exactly the operators'
+    * own paths (digest shuffle for exact, in-row shingling for near);
+    * the final elimination is a LEFT ANTI join against the
+    * non-canonical cluster members — O(LSH collisions) rows, always
+    * broadcast-able. `kept` is persisted: it feeds both the near-dup
+    * detector and the final anti-join. */
+  def dedupedCorpus(corpus: DataFrame, spark: SparkSession,
+      shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val keepers = exact(corpus).select(col("keep_id").as("doc_id"))
+    val kept = corpus.join(keepers, Seq("doc_id"), "left_semi").persist()
+    val pairs = minhashNearDups(kept, spark, shingleK, numPerms,
+      rowsPerBand, threshold)
+    val nonCanonical = connectedComponents(
+      pairs.select(col("d1"), col("d2")))
+      .where(col("keep") === 0).select(col("doc_id"))
+    kept.join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
   }
 
   /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a

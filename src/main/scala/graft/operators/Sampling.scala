@@ -65,6 +65,20 @@ object Sampling {
         col("p._2").as("doc_id") :+ col("p._1").as("h_quota"): _*)
   }
 
+  /** Global deterministic sample of exactly `n` docs: the n smallest
+    * (split-hash, doc_id) over the whole corpus. Plans as
+    * `TakeOrderedAndProject` — every partition keeps its local top-n
+    * and only those reach the driver-side merge, so the "global sort"
+    * never materializes; the same reproducibility contract as
+    * [[quotaSample]], without strata. */
+  def globalSample(docs: DataFrame, n: Int,
+      salt: String = "sample"): DataFrame = {
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    docs.select(col("doc_id"), splitHash(salt, col("doc_id")).as("h_sample"))
+      .orderBy(col("h_sample"), col("doc_id"))
+      .limit(n)
+  }
+
   /** Greedy token-budget packing: per stratum, walk docs in doc_id
     * order accumulating token counts; a doc goes to the bin its
     * RUNNING-START offset falls in (`floor(start / budget)`), i.e. docs

@@ -166,4 +166,15 @@ class DedupSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
+
+  test("dedupedCorpus: exact copies and near-dup satellites both die") {
+    // 0≡1 exact (min 0 survives); 10 is a near-copy of 0 (first word
+    // dropped → clusters with 0, 0 canonical); 2 and 3 unique
+    val corpus = docs.union(Seq(
+      (10L, "quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text"))
+    val kept = Dedup.dedupedCorpus(corpus, spark, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
 }

@@ -77,6 +77,24 @@ class SamplingSpec extends AnyFunSuite {
       .toSeq == Seq((0L, 2L, 13L)))
   }
 
+  test("globalSample: n smallest hashes, bounded top-n plan") {
+    val r = Sampling.globalSample(docs, n = 3)
+    val rows = r.collect()
+    assert(rows.length == 3)
+    val hs = rows.map(_.getLong(1)).toSeq
+    assert(hs == hs.sorted)
+    // matches a brute-force full sort
+    graft.functions.PolyHash31.register(spark)
+    val brute = docs
+      .select(col("doc_id"), Sampling.splitHash("sample", col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(3)
+      .map(_._2).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == brute)
+    // the plan is a bounded top-n, not a global sort
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("scrub: redacts planted spans, counts them, normalizes whitespace") {
     val d = Seq(
       (0L, "hello  bob@mail.example  call 555-1234 now "),
