@@ -496,6 +496,81 @@ object EventQueries {
        |WHERE p_brand = 'Brand#1'
        |GROUP BY p_type ORDER BY p_type""".stripMargin
 
+  // ---------------------------------------------------------------- as-of join
+  /** As-of join (beyond the reference's surface, SURVEY §5 extension):
+    * every purchase event picks up the same user's most recent click
+    * value at-or-before it — the "state at event time" lookup an
+    * archive viewer needs to correlate a reading with the last
+    * configuration/calibration row. Union-merge plan: one shuffle per
+    * key, no per-row probe (operators/TimeJoins.scala). */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val purchases = p.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("point_id"), col("t"), col("value_r"))
+    val clicks = p.where(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("ct"),
+        col("point_id").as("click_id"), col("value_r").as("click_value"))
+    graft.operators.TimeJoins.asofJoin(
+      purchases, clicks, Seq("user_id"),
+      leftTime = "t", rightTime = "ct",
+      valueCols = Seq("click_id", "click_value"), rightTie = "click_id")
+      .orderBy(col("user_id"), col("t"), col("point_id"))
+  }
+
+  private val q24Sql =
+    s"""${PtsSql}, purchases AS (
+       |  SELECT user_id, point_id, t, value_r FROM pts
+       |  WHERE event_type = 'purchase'),
+       |clicks AS (
+       |  SELECT user_id, t AS ct, point_id AS click_id,
+       |         value_r AS click_value
+       |  FROM pts WHERE event_type = 'click')
+       |SELECT p.user_id, p.point_id, p.t, p.value_r,
+       |  (SELECT c.click_id FROM clicks c
+       |   WHERE c.user_id = p.user_id AND c.ct <= p.t
+       |   ORDER BY c.ct DESC, c.click_id DESC LIMIT 1) AS click_id,
+       |  (SELECT c.click_value FROM clicks c
+       |   WHERE c.user_id = p.user_id AND c.ct <= p.t
+       |   ORDER BY c.ct DESC, c.click_id DESC LIMIT 1) AS click_value
+       |FROM purchases p
+       |ORDER BY p.user_id, p.t, p.point_id""".stripMargin
+
+  // ---------------------------------------------------------------- range join
+  /** Range join: every error event opens a 1-hour incident window;
+    * count and sum the same user's purchases inside each window.
+    * Interval-bucketed equi-join — never a nested-loop theta join
+    * (operators/TimeJoins.scala). Windows may overlap; a purchase can
+    * legitimately land in several. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val p = pts(s, dir)
+    val purchases = p.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t"), col("value_r"))
+    val incidents = p.where(col("event_type") === "error")
+      .select(col("user_id"), col("point_id").as("err_id"),
+        col("t").as("lo"), (col("t") + hourUs).as("hi"))
+    graft.operators.TimeJoins.rangeJoin(
+      purchases, incidents, Seq("user_id"),
+      pointTime = "t", loCol = "lo", hiCol = "hi", bucketUs = hourUs)
+      .groupBy(col("user_id"), col("err_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sumCents("value_r").as("sum_cents"))
+      .orderBy(col("user_id"), col("err_id"))
+  }
+
+  private val q25Sql =
+    s"""${PtsSql}, purchases AS (
+       |  SELECT user_id, t, value_r FROM pts WHERE event_type = 'purchase'),
+       |incidents AS (
+       |  SELECT user_id, point_id AS err_id, t AS lo, t + 3600000000 AS hi
+       |  FROM pts WHERE event_type = 'error')
+       |SELECT p.user_id, i.err_id, count(*) AS n_purchases,
+       |  ${sumCentsSql("p.value_r")} AS sum_cents
+       |FROM purchases p JOIN incidents i
+       |  ON p.user_id = i.user_id AND p.t >= i.lo AND p.t <= i.hi
+       |GROUP BY p.user_id, i.err_id
+       |ORDER BY p.user_id, i.err_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,7 +596,9 @@ object EventQueries {
     "q20_pricing_summary" -> (q20 _),
     "q21_raster_line" -> (q21 _),
     "q22_revenue_by_nation" -> (q22 _),
-    "q23_parts_by_brand" -> (q23 _))
+    "q23_parts_by_brand" -> (q23 _),
+    "q24_asof_join" -> (q24 _),
+    "q25_range_join" -> (q25 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" -> q01Sql,
@@ -546,5 +623,7 @@ object EventQueries {
     "q20_pricing_summary" -> q20Sql,
     "q21_raster_line" -> q21Sql,
     "q22_revenue_by_nation" -> q22Sql,
-    "q23_parts_by_brand" -> q23Sql)
+    "q23_parts_by_brand" -> q23Sql,
+    "q24_asof_join" -> q24Sql,
+    "q25_range_join" -> q25Sql)
 }

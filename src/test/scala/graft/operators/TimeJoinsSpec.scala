@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TimeJoinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def left = Seq(
+    // (key, t, lbl)
+    ("a", 10L, "a10"), ("a", 20L, "a20"), ("a", 25L, "a25"),
+    ("b", 5L, "b5"), ("c", 50L, "c50"))
+    .toDF("k", "t", "lbl")
+
+  private def right = Seq(
+    // (key, rt, rid, v)
+    ("a", 10L, 1L, 1.0), ("a", 15L, 2L, 2.0), ("a", 22L, 3L, 3.0),
+    ("b", 7L, 4L, 4.0)) // b's only row is AFTER b's left row; c has none
+    .toDF("k", "rt", "rid", "v")
+
+  test("asofJoin inclusive: latest right at-or-before, null when none") {
+    val r = TimeJoins.asofJoin(left, right, Seq("k"),
+      leftTime = "t", rightTime = "rt", valueCols = Seq("rid", "v"),
+      rightTie = "rid")
+      .orderBy("k", "t").collect()
+      .map(row => (row.getString(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3)))
+    assert(r.toSeq == Seq(
+      ("a10", 1L), // equal time visible (inclusive)
+      ("a20", 2L), ("a25", 3L),
+      ("b5", -1L), // right row is later → null
+      ("c50", -1L))) // no right rows for key
+  }
+
+  test("asofJoin exclusive: equal-time right row is not visible") {
+    val r = TimeJoins.asofJoin(left, right, Seq("k"),
+      leftTime = "t", rightTime = "rt", valueCols = Seq("rid", "v"),
+      rightTie = "rid", inclusive = false)
+      .orderBy("k", "t").collect()
+      .map(row => (row.getString(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3)))
+    assert(r.head == (("a10", -1L))) // rt=10 == t=10 now excluded
+  }
+
+  test("asofJoin: equal right times resolve to the largest tie id") {
+    val dupRight = Seq(("a", 5L, 1L, 1.0), ("a", 5L, 9L, 9.0))
+      .toDF("k", "rt", "rid", "v")
+    val r = TimeJoins.asofJoin(
+      Seq(("a", 6L, "x")).toDF("k", "t", "lbl"), dupRight, Seq("k"),
+      "t", "rt", Seq("rid", "v"), rightTie = "rid").collect()
+    assert(r.head.getLong(3) == 9L && r.head.getDouble(4) == 9.0)
+  }
+
+  test("rangeJoin: containment matches, each pair exactly once") {
+    val pointsDf = Seq(("a", 10L), ("a", 25L), ("a", 31L), ("b", 10L))
+      .toDF("k", "t")
+    // [5,25] spans 3 buckets at W=10 — t=10 and t=25 match once each;
+    // [30,31] exercises an interval inside one bucket
+    val iv = Seq(("a", 1L, 5L, 25L), ("a", 2L, 30L, 31L), ("b", 3L, 20L, 30L))
+      .toDF("k", "iid", "lo", "hi")
+    val r = TimeJoins.rangeJoin(pointsDf, iv, Seq("k"), "t", "lo", "hi", 10L)
+      .select("k", "t", "iid").collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2)))
+    assert(r.toSet == Set(("a", 10L, 1L), ("a", 25L, 1L), ("a", 31L, 2L)))
+    assert(r.length == 3) // no duplicate pairs from multi-bucket spans
+  }
+
+  test("rangeJoin plans an equi-join, not a nested loop") {
+    val pointsDf = Seq(("a", 10L)).toDF("k", "t")
+    val iv = Seq(("a", 1L, 5L, 25L)).toDF("k", "iid", "lo", "hi")
+    val plan = TimeJoins.rangeJoin(pointsDf, iv, Seq("k"), "t", "lo", "hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"))
+  }
+}
