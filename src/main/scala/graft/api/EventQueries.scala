@@ -571,6 +571,36 @@ object EventQueries {
        |GROUP BY p.user_id, i.err_id
        |ORDER BY p.user_id, i.err_id""".stripMargin
 
+  // ---------------------------------------------------------------- sessionize
+  /** Gap-based sessionization (30-min gap): per-user activity bursts
+    * with count/start/end/duration — one per-key window + rollup
+    * (operators/Sessions.scala). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.sessionStats(
+      pts(s, dir).select(col("user_id"), col("point_id"), col("t")),
+      Seq("user_id"), timeCol = "t", tieCol = "point_id",
+      gapUs = 1800000000L)
+      .orderBy(col("user_id"), col("session_seq"))
+
+  private val q26Sql =
+    s"""${PtsSql}, s AS (
+       |  SELECT user_id, point_id, t,
+       |    CASE WHEN lag(t) OVER win IS NULL
+       |           OR t - lag(t) OVER win > 1800000000
+       |         THEN 1 ELSE 0 END AS starts
+       |  FROM pts WINDOW win AS (PARTITION BY user_id ORDER BY t, point_id)),
+       |g AS (
+       |  SELECT user_id, t,
+       |    CAST(sum(starts) OVER (PARTITION BY user_id ORDER BY t, point_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_seq
+       |  FROM s)
+       |SELECT user_id, session_seq, count(*) AS n_events,
+       |  min(t) AS t_start, max(t) AS t_end,
+       |  max(t) - min(t) AS duration_us
+       |FROM g GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -598,7 +628,8 @@ object EventQueries {
     "q22_revenue_by_nation" -> (q22 _),
     "q23_parts_by_brand" -> (q23 _),
     "q24_asof_join" -> (q24 _),
-    "q25_range_join" -> (q25 _))
+    "q25_range_join" -> (q25 _),
+    "q26_sessionize" -> (q26 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_scan_project" -> q01Sql,
@@ -625,5 +656,6 @@ object EventQueries {
     "q22_revenue_by_nation" -> q22Sql,
     "q23_parts_by_brand" -> q23Sql,
     "q24_asof_join" -> q24Sql,
-    "q25_range_join" -> q25Sql)
+    "q25_range_join" -> q25Sql,
+    "q26_sessionize" -> q26Sql)
 }

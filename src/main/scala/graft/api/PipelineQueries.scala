@@ -726,6 +726,52 @@ object PipelineQueries {
        |FROM documents
        |ORDER BY h_sample, doc_id LIMIT 200""".stripMargin
 
+  // ---------------------------------------------------------------- top terms
+  /** Top-5 tokens per language by count — bounded top-k aggregation,
+    * not a per-stratum rank window (5 strata would mean 5 whole-vocab
+    * sort tasks). */
+  private def p22(s: SparkSession, dir: String): DataFrame =
+    TextStats.topTerms(docsSpread(s, dir), Seq("lang"), k = 5)
+      .orderBy(col("lang"), col("rn"))
+
+  private val p22Sql =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT lang, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+      |ranked AS (
+      |  SELECT lang, w, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rn
+      |  FROM cnt)
+      |SELECT lang, CAST(rn AS BIGINT) AS rn, w, cnt
+      |FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
+  // ---------------------------------------------------------------- quantiles
+  /** Exact median/p90 token counts per language via the histogram
+    * running-sum — the window runs over the tiny (lang, count)
+    * histogram, never the corpus. */
+  private def p23(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenQuantiles(docsSpread(s, dir), Seq("lang"))
+      .orderBy(col("lang"))
+
+  private val p23Sql =
+    """WITH t AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |  FROM documents),
+      |hist AS (SELECT lang, v, count(*) AS cnt FROM t GROUP BY lang, v),
+      |cum AS (
+      |  SELECT lang, v,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang)
+      |SELECT c.lang, n.n,
+      |  min(CASE WHEN c.cum >= (n.n - 1) // 2 + 1 THEN c.v END)
+      |    AS median_tokens,
+      |  min(CASE WHEN c.cum >= ((n.n - 1) * 9) // 10 + 1 THEN c.v END)
+      |    AS p90_tokens
+      |FROM cum c JOIN n USING (lang)
+      |GROUP BY c.lang, n.n ORDER BY c.lang""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -749,7 +795,9 @@ object PipelineQueries {
     "p18_pii_scrub" -> (p18 _),
     "p19_token_packing" -> (p19 _),
     "p20_dedup_apply" -> (p20 _),
-    "p21_global_sample" -> (p21 _))
+    "p21_global_sample" -> (p21 _),
+    "p22_top_terms" -> (p22 _),
+    "p23_token_quantiles" -> (p23 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -772,5 +820,7 @@ object PipelineQueries {
     "p18_pii_scrub" -> p18Sql,
     "p19_token_packing" -> p19Sql,
     "p20_dedup_apply" -> p20Sql,
-    "p21_global_sample" -> p21Sql)
+    "p21_global_sample" -> p21Sql,
+    "p22_top_terms" -> p22Sql,
+    "p23_token_quantiles" -> p23Sql)
 }

@@ -100,6 +100,55 @@ object TextStats {
         length(col("clean")).cast("long").as("clean_chars"),
         sha2(col("clean"), 256).as("fp"))
 
+  /** Top-`k` tokens per stratum by count (ties broken alphabetically).
+    * The count is one hash aggregate on (stratum, token); the top-k is
+    * the bounded [[TopK]] aggregator over (−count, token) pairs — per
+    * group state never exceeds k, merging map-side — NOT a rank window,
+    * which would sort every stratum's whole vocabulary in one task per
+    * stratum (few strata = a handful of giant sort tasks; the round-1
+    * lesson behind [[TopK]]). */
+  def topTerms(docs: DataFrame, strataCols: Seq[String], k: Int): DataFrame = {
+    val tok = docs.select(
+      strataCols.map(col) :+ explode(split(col("text"), " ")).as("w"): _*)
+    val cnt = tok.groupBy(strataCols.map(col) :+ col("w"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    cnt.groupBy(strataCols.map(col): _*)
+      .agg(TopK.smallestKStr(k, -col("cnt"), col("w")).as("ks"))
+      .select(strataCols.map(col) :+
+        posexplode(col("ks")).as(Seq("i", "p")): _*)
+      .select(strataCols.map(col) :+
+        (col("i") + 1).cast("long").as("rn") :+
+        col("p._2").as("w") :+ (-col("p._1")).as("cnt"): _*)
+  }
+
+  /** Exact per-stratum token-count quantiles (median + p90, "lower"
+    * interpolation: the value at 1-based rank ⌊(n−1)·q⌋+1 in (value,
+    * …) order). NOT a per-stratum sort: token counts are small
+    * integers, so the distribution is a (stratum, value) histogram —
+    * one hash aggregate over the corpus — and the quantile is read off
+    * the histogram's running sum (a window over the TINY histogram,
+    * thousands of rows, not the corpus). The scalable shape for exact
+    * quantiles of any low-cardinality measure. */
+  def tokenQuantiles(docs: DataFrame, strataCols: Seq[String]): DataFrame = {
+    val t = docs.select(strataCols.map(col) :+
+      size(split(col("text"), " ")).cast("long").as("v"): _*)
+    val hist = t.groupBy(strataCols.map(col) :+ col("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val n = t.groupBy(strataCols.map(col): _*).agg(count(lit(1)).as("n"))
+    cum.join(broadcast(n), strataCols)
+      .groupBy(strataCols.map(col) :+ col("n"): _*)
+      .agg(
+        min(when(col("cum") >= expr("(n - 1) div 2 + 1"), col("v")))
+          .as("median_tokens"),
+        min(when(col("cum") >= expr("((n - 1) * 9) div 10 + 1"), col("v")))
+          .as("p90_tokens"))
+  }
+
   /** Marker vocabularies for the language-ID heuristic. The synthetic
     * corpus shares one vocabulary across languages, so accuracy is
     * meaningless by construction — the operator exercised here is the

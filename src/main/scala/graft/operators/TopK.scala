@@ -49,4 +49,37 @@ object TopK {
   def smallestK(k: Int, timeCol: Column, tieCol: Column): Column =
     udaf(new SmallestK(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .apply(timeCol, tieCol)
+
+  /** Sorted (long, string) pair list capped at k — the same bounded
+    * top-k state for a string payload (e.g. top terms by negated
+    * count). Pairs compare lexicographically: sort key first, then the
+    * string ascending. */
+  final case class BufS(items: Seq[(Long, String)])
+
+  private def ltS(a: (Long, String), b: (Long, String)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  final class SmallestKStr(k: Int)
+      extends Aggregator[(Long, String), BufS, Seq[(Long, String)]] {
+    require(k > 0)
+    def zero: BufS = BufS(Vector.empty)
+    def reduce(b: BufS, p: (Long, String)): BufS =
+      if (b.items.size >= k && !ltS(p, b.items.last)) b
+      else {
+        val (lo, hi) = b.items.span(ltS(_, p))
+        BufS((lo ++ (p +: hi)).take(k))
+      }
+    def merge(a: BufS, b: BufS): BufS =
+      BufS((a.items ++ b.items).sortWith(ltS).take(k))
+    def finish(b: BufS): Seq[(Long, String)] = b.items
+    def bufferEncoder: Encoder[BufS] = Encoders.product[BufS]
+    def outputEncoder: Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, String)]]()
+  }
+
+  /** Column form: smallest k (sortKey, str) pairs of a group, sorted
+    * ascending, as array<struct<_1,_2>>. */
+  def smallestKStr(k: Int, sortCol: Column, strCol: Column): Column =
+    udaf(new SmallestKStr(k), Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .apply(sortCol, strCol)
 }
