@@ -64,6 +64,28 @@ object StreamOps {
         col("value_mean"), col("n"))
   }
 
+  /** Gap-based sessionization as a streaming aggregation — the
+    * streaming twin of [[graft.operators.Sessions.sessionStats]],
+    * built on Spark's native `session_window` (merging session state,
+    * watermark-driven finalization: a session EMITS once the watermark
+    * passes its close, i.e. once no event could extend it). Per-key
+    * session ordinals don't exist in a stream (they'd require total
+    * order over an unbounded past), so sessions are identified by
+    * their start time instead — the contract an incremental consumer
+    * actually wants. Input needs a key column, an event-time column,
+    * and rides the same shuffle a batch sessionize needs. */
+  def streamingSessions(events: DataFrame, keyCol: String,
+      eventTimeCol: String, gap: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("t_start"),
+        unix_micros(col("session_window.end")).as("t_end"),
+        col("n_events"))
+
   /** Streaming exact dedup of a document stream: drop any doc whose
     * content digest was already seen (state = one digest per distinct
     * doc, partitioned by the aggregation shuffle). Input needs

@@ -34,6 +34,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSessions: gap-merged windows, cross-batch extension") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val events = in.toDF().toDF("k", "t_us")
+      .withColumn("et", timestamp_micros(col("t_us")))
+    val agg = StreamOps.streamingSessions(events, "k", "et",
+      gap = "10 seconds", watermarkDelay = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("ss")
+      .outputMode("complete").start()
+    try {
+      // 0s and 5s chain into one session [0, 15s); 30s starts another
+      in.addData(("a", 0L), ("a", 5000000L), ("a", 30000000L))
+      q.processAllAvailable()
+      val rows = spark.table("ss").orderBy("t_start")
+        .as[(String, Long, Long, Long)].collect()
+      assert(rows.toSeq == Seq(
+        ("a", 0L, 15000000L, 2L),
+        ("a", 30000000L, 40000000L, 1L)))
+      // a second batch: t=20s is 15s after the first session's last
+      // event (no merge) but its [20s,30s) window touches the 30s
+      // session, so those two merge into [20s,40s)
+      in.addData(("a", 20000000L))
+      q.processAllAvailable()
+      val rows2 = spark.table("ss").orderBy("t_start")
+        .as[(String, Long, Long, Long)].collect()
+      assert(rows2.toSeq == Seq(
+        ("a", 0L, 15000000L, 2L),
+        ("a", 20000000L, 40000000L, 2L)))
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops repeated content across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
