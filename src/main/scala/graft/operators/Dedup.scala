@@ -292,23 +292,36 @@ object Dedup {
     * via [[connectedComponents]], and only each cluster's canonical
     * (minimum-id) member survives. Returns the surviving doc ids.
     *
-    * Scale shape: the corpus text flows through exactly the operators'
-    * own paths (digest shuffle for exact, in-row shingling for near);
-    * the final elimination is a LEFT ANTI join against the
-    * non-canonical cluster members — O(LSH collisions) rows, always
-    * broadcast-able. `kept` is persisted: it feeds both the near-dup
-    * detector and the final anti-join. */
+    * Scale shape: exact elimination is ONE digest-keyed shuffle that
+    * directly yields the surviving rows — `groupBy(fp)` keeping
+    * min(doc_id) and the (identical within a group) text. The
+    * [[exact]]+semi-join-back formulation shuffles the corpus text
+    * TWICE (once by digest for the verdicts, once by doc_id to apply
+    * them); collapsing verdict+apply into the one aggregation halves
+    * the corpus movement. The final near-dup elimination is a LEFT
+    * ANTI join against the non-canonical cluster members — O(LSH
+    * collisions) rows, always broadcast-able. `kept` is persisted: it
+    * feeds both the near-dup detector and the final anti-join. */
   def dedupedCorpus(corpus: DataFrame, spark: SparkSession,
       shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val keepers = exact(corpus).select(col("keep_id").as("doc_id"))
-    val kept = corpus.join(keepers, Seq("doc_id"), "left_semi").persist()
+    val kept = corpus
+      .select(sha2(col("text"), 256).as("fp"), col("doc_id"), col("text"))
+      .groupBy(col("fp"))
+      // texts within a digest group are identical, so first() is
+      // deterministic here
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select(col("doc_id"), col("text"))
+      .persist()
     val pairs = minhashNearDups(kept, spark, shingleK, numPerms,
       rowsPerBand, threshold)
     val nonCanonical = connectedComponents(
       pairs.select(col("d1"), col("d2")))
       .where(col("keep") === 0).select(col("doc_id"))
-    kept.join(nonCanonical, Seq("doc_id"), "left_anti")
+    // explicit broadcast: the CC output is checkpoint-backed (no
+    // catalog stats), so the planner would otherwise default this
+    // O(collisions)-row side to a full sort-merge join of the corpus
+    kept.join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
   }
 
