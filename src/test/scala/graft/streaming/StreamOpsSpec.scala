@@ -66,6 +66,25 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless text ops (quality, scrub) compose with streams as-is") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    // narrow projections need no state/watermark: append mode, per-batch
+    val out = graft.operators.TextStats.scrub(docs)
+    val q = out.writeStream.format("memory").queryName("sq")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "mail me a@b.c now", 17L), (2L, "clean doc", 9L))
+      q.processAllAvailable()
+      val rows = spark.table("sq").orderBy("doc_id")
+        .select("doc_id", "n_emails").as[(Long, Long)].collect()
+      assert(rows.toSeq == Seq((1L, 1L), (2L, 0L)))
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops repeated content across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
