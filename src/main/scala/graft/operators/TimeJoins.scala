@@ -77,6 +77,77 @@ object TimeJoins {
       .drop("_is_left")
   }
 
+  /** Skew-bounded as-of join — identical output to [[asofJoin]]
+    * (parity-tested), different distribution contract: [[asofJoin]]
+    * sorts each KEY in one window partition, so one whale key (a
+    * 10⁹-row attribute in a 100 TB archive) becomes one giant sort
+    * task. Here the timeline is cut into `bucketUs`-wide cells and the
+    * merge window runs per (key, bucket) — task size is bounded by
+    * bucket width, not key volume. Rows matched inside their own
+    * bucket are done; rows whose predecessor lies in an EARLIER bucket
+    * take a carry-in computed from the per-(key, bucket) last-right
+    * table (tiny: one row per non-empty cell) with a window over
+    * buckets. Carry-in needs no inclusive/exclusive care: an
+    * equal-time right row is by definition in the SAME bucket.
+    * Cost: one extra shuffle of the cell summary — the classic
+    * bounded-state trade. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTime: String, rightTime: String,
+      valueCols: Seq[String], rightTie: String, bucketUs: Long,
+      inclusive: Boolean = true): DataFrame = {
+    require(bucketUs > 0)
+    val leftPayload = left.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols.forall(!left.columns.contains(_)),
+      "valueCols collide with left columns")
+    val rSchema = right.schema
+    val lSchema = left.schema
+    val lTagged = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("_t"), lit(1).as("_is_left"),
+          lit(Long.MaxValue).as("_tie")) ++
+        leftPayload.map(col) ++
+        valueCols.map(c => lit(null).cast(rSchema(c).dataType).as(c)): _*)
+    val rTagged = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("_t"), lit(0).as("_is_left"),
+          col(rightTie).cast("long").as("_tie")) ++
+        leftPayload.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val u = lTagged.unionByName(rTagged)
+      .withColumn("_b", expr(s"_t div ${bucketUs}L")).persist()
+    // pass 1: merge within each (key, bucket) cell — bounded tasks
+    val sideOrder =
+      if (inclusive) col("_is_left").asc else col("_is_left").desc
+    val wCell = Window.partitionBy((keyCols :+ "_b").map(col): _*)
+      .orderBy(col("_t").asc, sideOrder, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inCell = u.select(
+      (keyCols :+ "_b").map(col) ++ Seq(col("_is_left")) ++
+        leftPayload.map(col) ++
+        valueCols.map(c =>
+          last(col(c), ignoreNulls = true).over(wCell).as(c)): _*)
+      .where(col("_is_left") === 1)
+    // pass 2: per-cell LAST right row (max (_t, _tie) — unique per
+    // right), then carry the latest non-empty cell forward per key
+    val lastStruct = max(when(col("_is_left") === 0,
+      struct(col("_t") +: col("_tie") +: valueCols.map(col): _*)))
+      .as("_last")
+    val cells = u.groupBy((keyCols :+ "_b").map(col): _*).agg(lastStruct)
+    val wCarry = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = cells.select(
+      (keyCols :+ "_b").map(col) :+
+        last(col("_last"), ignoreNulls = true).over(wCarry)
+          .as("_carry"): _*)
+    // left rows unmatched in their own cell take the carry-in
+    inCell.join(carry, keyCols :+ "_b")
+      .select(
+        keyCols.map(col) ++ leftPayload.map(col) ++
+          valueCols.map(c =>
+            coalesce(col(c), col(s"_carry.$c")).as(c)): _*)
+  }
+
   /** Range join: pairs every point row (`pointTime`) with every
     * interval row whose `[loCol, hiCol]` contains it (inclusive both
     * ends), matching on `keyCols` first. `bucketUs` is the bucketing

@@ -53,6 +53,45 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(r.head.getLong(3) == 9L && r.head.getDouble(4) == 9.0)
   }
 
+  test("asofJoinBucketed: parity with asofJoin across widths and modes") {
+    // rights in earlier buckets, empty buckets, tie at a bucket edge
+    val l = Seq(
+      ("a", 3L, "l3"), ("a", 19L, "l19"), ("a", 21L, "l21"),
+      ("a", 55L, "l55"), ("b", 30L, "l30"), ("c", 9L, "l9"))
+      .toDF("k", "t", "lbl")
+    val r = Seq(
+      ("a", 1L, 1L, 1.0), ("a", 19L, 2L, 2.0), ("a", 20L, 3L, 3.0),
+      ("b", 40L, 4L, 4.0)) // b's right is after its left; c has none
+      .toDF("k", "rt", "rid", "v")
+    for (w <- Seq(7L, 10L, 100L); inc <- Seq(true, false)) {
+      val plain = TimeJoins.asofJoin(l, r, Seq("k"), "t", "rt",
+        Seq("rid", "v"), "rid", inclusive = inc)
+        .collect().map(_.toSeq).toSet
+      val bucketed = TimeJoins.asofJoinBucketed(l, r, Seq("k"), "t", "rt",
+        Seq("rid", "v"), "rid", bucketUs = w, inclusive = inc)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"width=$w inclusive=$inc")
+    }
+  }
+
+  test("asofJoinBucketed: parity on the events fixture (day buckets)") {
+    val p = new graft.sources.EventsArchiveAdapter(
+      spark, "/root/testdata/sf0.001").pointsAll
+    val purchases = p.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("point_id"), col("t"), col("value_r"))
+    val clicks = p.where(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("ct"),
+        col("point_id").as("click_id"), col("value_r").as("click_value"))
+    val plain = TimeJoins.asofJoin(purchases, clicks, Seq("user_id"),
+      "t", "ct", Seq("click_id", "click_value"), "click_id")
+      .collect().map(_.toSeq).toSet
+    val bucketed = TimeJoins.asofJoinBucketed(purchases, clicks,
+      Seq("user_id"), "t", "ct", Seq("click_id", "click_value"),
+      "click_id", bucketUs = 86400000000L)
+      .collect().map(_.toSeq).toSet
+    assert(plain.nonEmpty && bucketed == plain)
+  }
+
   test("rangeJoin: containment matches, each pair exactly once") {
     val pointsDf = Seq(("a", 10L), ("a", 25L), ("a", 31L), ("b", 10L))
       .toDF("k", "t")
