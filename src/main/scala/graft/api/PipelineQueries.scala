@@ -772,6 +772,54 @@ object PipelineQueries {
       |FROM cum c JOIN n USING (lang)
       |GROUP BY c.lang, n.n ORDER BY c.lang""".stripMargin
 
+  // ---------------------------------------------------------------- multimodal kNN
+  /** Pipeline composition: multimodal decode → feature vectors →
+    * similarity search. The decoded 8-dim feature histograms feed
+    * [[Similarity.knnBrute]] unchanged — the "embed then search"
+    * chain a multimodal training pipeline runs, end to end on the
+    * engine's own operators. */
+  private def p24(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.features(docsSpread(s, dir))
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    val q = feats.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    Similarity.knnBrute(feats, q, k = 5).orderBy(col("qid"), col("rn"))
+  }
+
+  /** Oracle: p12's feature CTEs (ascii-byte codec mirror) + an 8-term
+    * quantized dot product — no unnest needed at fixed dims. */
+  private val p24Sql = {
+    val hists = (0 until 8).map(b =>
+      s"CAST(sum(CASE WHEN c <> '' AND ascii(c) % 8 = $b THEN 1 ELSE 0 END) AS BIGINT) AS h$b")
+      .mkString(",\n  ")
+    val feats = (0 until 8).map(b =>
+      s"CAST(CAST(h$b AS FLOAT) / CAST(greatest(n, 1) AS FLOAT) AS DOUBLE) AS f$b")
+      .mkString(",\n  ")
+    val dot = (0 until 8).map(b =>
+      s"CAST(round(q.f$b * 10000) AS BIGINT) * CAST(round(e.f$b * 10000) AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c,
+       |         generate_subscripts(string_split(text, ''), 1) AS s
+       |  FROM documents),
+       |agg AS (
+       |  SELECT doc_id,
+       |  CAST(sum(CASE WHEN c = '' THEN 0 ELSE 1 END) AS BIGINT) AS n,
+       |  $hists
+       |  FROM ch GROUP BY doc_id),
+       |fv AS (SELECT doc_id, $feats FROM agg),
+       |pairs AS (
+       |  SELECT q.doc_id AS qid, e.doc_id AS nid,
+       |    CAST($dot AS BIGINT) AS dot_e8
+       |  FROM fv q JOIN fv e ON e.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 10),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY dot_e8 DESC, nid) AS rn FROM pairs)
+       |SELECT qid, CAST(rn AS BIGINT) AS rn, nid, dot_e8
+       |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -797,7 +845,8 @@ object PipelineQueries {
     "p20_dedup_apply" -> (p20 _),
     "p21_global_sample" -> (p21 _),
     "p22_top_terms" -> (p22 _),
-    "p23_token_quantiles" -> (p23 _))
+    "p23_token_quantiles" -> (p23 _),
+    "p24_multimodal_knn" -> (p24 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -822,5 +871,6 @@ object PipelineQueries {
     "p20_dedup_apply" -> p20Sql,
     "p21_global_sample" -> p21Sql,
     "p22_top_terms" -> p22Sql,
-    "p23_token_quantiles" -> p23Sql)
+    "p23_token_quantiles" -> p23Sql,
+    "p24_multimodal_knn" -> p24Sql)
 }
