@@ -92,6 +92,40 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(plain.nonEmpty && bucketed == plain)
   }
 
+  test("asofJoin: seeded-random parity with a brute-force reference") {
+    // small time range over few keys → plenty of exact-time ties
+    val rnd = new scala.util.Random(42)
+    val lRows = (1 to 150).map(i =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(40).toLong, i.toLong))
+    val rRows = (1 to 150).map(i =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(40).toLong, 1000L + i,
+        rnd.nextInt(100).toDouble))
+    val l = lRows.toDF("k", "t", "lid")
+    val r = rRows.toDF("k", "rt", "rid", "v")
+    for (inc <- Seq(true, false)) {
+      val got = TimeJoins.asofJoin(l, r, Seq("k"), "t", "rt",
+        Seq("rid", "v"), "rid", inclusive = inc)
+        .collect()
+        .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+          if (row.isNullAt(3)) -1L else row.getLong(3))).toSet
+      val want = lRows.map { case (k, t, lid) =>
+        val cands = rRows.filter(rr =>
+          rr._1 == k && (if (inc) rr._2 <= t else rr._2 < t))
+        val best = if (cands.isEmpty) -1L
+          else cands.maxBy(rr => (rr._2, rr._3))._3
+        (k, t, lid, best)
+      }.toSet
+      assert(got == want, s"inclusive=$inc")
+      // bucketed variant agrees on the same random data
+      val gotB = TimeJoins.asofJoinBucketed(l, r, Seq("k"), "t", "rt",
+        Seq("rid", "v"), "rid", bucketUs = 7L, inclusive = inc)
+        .collect()
+        .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+          if (row.isNullAt(3)) -1L else row.getLong(3))).toSet
+      assert(gotB == want, s"bucketed inclusive=$inc")
+    }
+  }
+
   test("rangeJoin: containment matches, each pair exactly once") {
     val pointsDf = Seq(("a", 10L), ("a", 25L), ("a", 31L), ("b", 10L))
       .toDF("k", "t")
