@@ -820,6 +820,33 @@ object PipelineQueries {
        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- bigram novelty
+  /** Integer-exact repetition/quality signal: per doc, how many of its
+    * distinct bigrams exist in no other document. */
+  private def p25(s: SparkSession, dir: String): DataFrame =
+    TextStats.bigramNovelty(docsSpread(s, dir)).orderBy(col("doc_id"))
+
+  private val p25Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS shingle
+       |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE shingle IS NOT NULL),
+       |dt AS (
+       |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid FROM sh),
+       |dfreq AS (SELECT tid, count(*) AS df FROM dt GROUP BY tid)
+       |SELECT d.doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unique,
+       |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS novelty
+       |FROM dt d JOIN dfreq f USING (tid)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -846,7 +873,8 @@ object PipelineQueries {
     "p21_global_sample" -> (p21 _),
     "p22_top_terms" -> (p22 _),
     "p23_token_quantiles" -> (p23 _),
-    "p24_multimodal_knn" -> (p24 _))
+    "p24_multimodal_knn" -> (p24 _),
+    "p25_bigram_novelty" -> (p25 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -872,5 +900,6 @@ object PipelineQueries {
     "p21_global_sample" -> p21Sql,
     "p22_top_terms" -> p22Sql,
     "p23_token_quantiles" -> p23Sql,
-    "p24_multimodal_knn" -> p24Sql)
+    "p24_multimodal_knn" -> p24Sql,
+    "p25_bigram_novelty" -> p25Sql)
 }

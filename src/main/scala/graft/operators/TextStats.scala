@@ -149,6 +149,31 @@ object TextStats {
           .as("p90_tokens"))
   }
 
+  /** Bigram novelty per doc: of a doc's distinct bigrams, how many
+    * appear in NO other document (corpus document-frequency 1) — an
+    * integer-exact repetition/quality signal (boilerplate-heavy docs
+    * score low; a probabilistic LM perplexity would need transcendental
+    * math that never hash-matches across engines, this does).
+    *
+    * Shapes: per-doc distinct bigram-id sets in-row (no vocabulary,
+    * [[TextOps.shingleIdSets]]), document frequency as one hash
+    * aggregate over the exploded postings, and a postings⋈df join on
+    * the id — the same bounded postings-join shape as blocked Jaccard,
+    * never all-pairs. Hash collisions merge bigrams identically in
+    * both engines (content-derived ids). */
+  def bigramNovelty(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val posts = TextOps.shingleIdSets(docs, 2)
+      .select(col("doc_id"), explode(col("tids")).as("tid"))
+    val dfreq = posts.groupBy(col("tid")).agg(count(lit(1)).as("df"))
+    posts.join(dfreq, Seq("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_bigrams"))
+  }
+
   /** Marker vocabularies for the language-ID heuristic. The synthetic
     * corpus shares one vocabulary across languages, so accuracy is
     * meaningless by construction — the operator exercised here is the

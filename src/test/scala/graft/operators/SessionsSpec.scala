@@ -53,6 +53,17 @@ class SessionsSpec extends AnyFunSuite {
       ("fr", 1L, "x", 2L), ("fr", 2L, "y", 1L)))
   }
 
+  test("bigramNovelty: shared bigrams aren't novel, unique ones are") {
+    val d = Seq(
+      (0L, "a b c d"),   // bigrams: ab bc cd
+      (1L, "a b x y"),   // bigrams: ab bx xy — shares 'a b' with doc 0
+      (2L, "z z"))       // bigram: zz — unique
+      .toDF("doc_id", "text")
+    val r = TextStats.bigramNovelty(d).orderBy("doc_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    assert(r.toSeq == Seq((0L, 3L, 2L), (1L, 3L, 2L), (2L, 1L, 1L)))
+  }
+
   test("tokenQuantiles: lower-interpolation exact quantiles") {
     // en token counts: 1,2,3,4,5 → n=5, median idx ⌊4·.5⌋+1=3 → 3,
     // p90 idx ⌊4·.9⌋+1=4 → 4
