@@ -156,20 +156,29 @@ object TextStats {
     * math that never hash-matches across engines, this does).
     *
     * Shapes: per-doc distinct bigram-id sets in-row (no vocabulary,
-    * [[TextOps.shingleIdSets]]), document frequency as one hash
-    * aggregate over the exploded postings, and a postings⋈df join on
-    * the id — the same bounded postings-join shape as blocked Jaccard,
-    * never all-pairs. Hash collisions merge bigrams identically in
-    * both engines (content-derived ids). */
+    * [[TextOps.shingleIdSets]]); `n_bigrams` is the in-row set size
+    * (no shuffle at all); the unique count needs ONE postings
+    * aggregate — for a df=1 bigram, `min(doc_id)` IS its owning doc,
+    * so the df aggregate directly yields (owner, 1) rows and a tiny
+    * per-doc count, with no join back onto the postings (the
+    * join-back formulation re-shuffles the whole postings table to
+    * tag each row with its df — measured 2× the work for the same
+    * numbers). Hash collisions merge bigrams identically in both
+    * engines (content-derived ids). */
   def bigramNovelty(docs: DataFrame): DataFrame = {
     graft.functions.PolyHash31.register(docs.sparkSession)
-    val posts = TextOps.shingleIdSets(docs, 2)
-      .select(col("doc_id"), explode(col("tids")).as("tid"))
-    val dfreq = posts.groupBy(col("tid")).agg(count(lit(1)).as("df"))
-    posts.join(dfreq, Seq("tid"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    val ds = TextOps.shingleIdSets(docs, 2).persist()
+    val nb = ds.select(col("doc_id"),
+      size(col("tids")).cast("long").as("n_bigrams"))
+    val uniq = ds.select(explode(col("tids")).as("tid"), col("doc_id"))
+      .groupBy(col("tid"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .where(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    nb.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .withColumn("novelty",
         col("n_unique").cast("double") / col("n_bigrams"))
   }
