@@ -847,6 +847,56 @@ object PipelineQueries {
        |FROM dt d JOIN dfreq f USING (tid)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- decontamination
+  /** Benchmark decontamination over the engine's own hash split: train
+    * docs (h%100 < 80) sharing any 3-shingle with the test split
+    * (h%100 ≥ 90), with the overlap count. */
+  private def p26(s: SparkSession, dir: String): DataFrame = {
+    val base = Sampling.assignSplits(docsSpread(s, dir))
+    Sampling.decontaminate(
+      base.where(col("split") === "train"),
+      base.where(col("split") === "test"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p26Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    ${polyHashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+       |      AS bucket
+       |  FROM documents),
+       |tr AS (SELECT doc_id, text FROM base WHERE bucket < 80),
+       |te AS (SELECT doc_id, text FROM base WHERE bucket >= 90),
+       |trtok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM tr),
+       |trsh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+       |        AS shingle
+       |    FROM trtok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE shingle IS NOT NULL),
+       |trdt AS (
+       |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid
+       |  FROM trsh),
+       |tetok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM te),
+       |tesh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+       |        AS shingle
+       |    FROM tetok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE shingle IS NOT NULL),
+       |tedt AS (SELECT DISTINCT ${polyHashSql("shingle")} AS tid FROM tesh)
+       |SELECT t.doc_id, count(*) AS n_shared
+       |FROM trdt t JOIN tedt USING (tid)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -874,7 +924,8 @@ object PipelineQueries {
     "p22_top_terms" -> (p22 _),
     "p23_token_quantiles" -> (p23 _),
     "p24_multimodal_knn" -> (p24 _),
-    "p25_bigram_novelty" -> (p25 _))
+    "p25_bigram_novelty" -> (p25 _),
+    "p26_decontaminate" -> (p26 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -901,5 +952,6 @@ object PipelineQueries {
     "p22_top_terms" -> p22Sql,
     "p23_token_quantiles" -> p23Sql,
     "p24_multimodal_knn" -> p24Sql,
-    "p25_bigram_novelty" -> p25Sql)
+    "p25_bigram_novelty" -> p25Sql,
+    "p26_decontaminate" -> p26Sql)
 }

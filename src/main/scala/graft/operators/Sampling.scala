@@ -79,6 +79,31 @@ object Sampling {
       .limit(n)
   }
 
+  /** Benchmark decontamination: flag docs in `train` whose k-shingle
+    * sets overlap the distinct shingle universe of `heldout` (the
+    * eval/test split) — the hygiene pass that keeps benchmark text out
+    * of a training corpus. Returns one row per CONTAMINATED train doc
+    * with the overlap count; clean docs are absent (callers anti-join
+    * to drop flagged docs).
+    *
+    * Scale shape: both sides use the in-row content-hash shingle sets
+    * (no vocabulary); the held-out side collapses to its DISTINCT
+    * shingle-id universe — benchmarks are orders of magnitude smaller
+    * than the corpus, so this is the small side of one equi-join
+    * against the train postings, and the join output is only the
+    * colliding rows. Nothing is ever all-pairs and the train text
+    * itself never shuffles (ids only). */
+  def decontaminate(train: DataFrame, heldout: DataFrame,
+      shingleK: Int = 3): DataFrame = {
+    val testTids = TextOps.shingleIdSets(heldout, shingleK)
+      .select(explode(col("tids")).as("tid")).distinct()
+    TextOps.shingleIdSets(train, shingleK)
+      .select(col("doc_id"), explode(col("tids")).as("tid"))
+      .join(testTids, Seq("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Greedy token-budget packing: per stratum, walk docs in doc_id
     * order accumulating token counts; a doc goes to the bin its
     * RUNNING-START offset falls in (`floor(start / budget)`), i.e. docs

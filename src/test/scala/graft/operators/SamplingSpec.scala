@@ -95,6 +95,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("decontaminate: flags only train docs overlapping held-out shingles") {
+    val train = Seq(
+      (0L, "the quick brown fox jumps high"), // shares 'the quick brown'…
+      (1L, "completely clean training text here"),
+      (2L, "short"))                          // < 3 tokens → no shingles
+      .toDF("doc_id", "text")
+    val heldout = Seq(
+      (100L, "benchmark says the quick brown fox runs"))
+      .toDF("doc_id", "text")
+    val r = Sampling.decontaminate(train, heldout).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    // doc 0 shares 'the quick brown' and 'quick brown fox' → 2 shingles
+    assert(r.toSeq == Seq((0L, 2L)))
+  }
+
   test("scrub: redacts planted spans, counts them, normalizes whitespace") {
     val d = Seq(
       (0L, "hello  bob@mail.example  call 555-1234 now "),
