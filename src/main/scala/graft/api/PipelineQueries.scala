@@ -851,13 +851,11 @@ object PipelineQueries {
   /** Benchmark decontamination over the engine's own hash split: train
     * docs (h%100 < 80) sharing any 3-shingle with the test split
     * (h%100 ≥ 90), with the overlap count. */
-  private def p26(s: SparkSession, dir: String): DataFrame = {
-    val base = Sampling.assignSplits(docsSpread(s, dir))
-    Sampling.decontaminate(
-      base.where(col("split") === "train"),
-      base.where(col("split") === "test"))
+  private def p26(s: SparkSession, dir: String): DataFrame =
+    Sampling.decontaminateSplit(
+      Sampling.assignSplits(docsSpread(s, dir)),
+      "split", trainVal = "train", heldoutVal = "test")
       .orderBy(col("doc_id"))
-  }
 
   private val p26Sql =
     s"""WITH base AS (

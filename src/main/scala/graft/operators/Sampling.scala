@@ -104,6 +104,25 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]] specialization for the common case where train
+    * and held-out are SPLITS OF ONE TABLE (e.g. the hash split): one
+    * shingling pass over the whole table with the split label carried
+    * in-row, then the same postings⋈universe join — half the scan/hash
+    * work of the two-frame form, identical output. */
+  def decontaminateSplit(docs: DataFrame, splitCol: String,
+      trainVal: String, heldoutVal: String,
+      shingleK: Int = 3): DataFrame = {
+    val sets = TextOps.shingleIdSets(docs, shingleK, keep = Seq(splitCol))
+      .persist()
+    val testTids = sets.where(col(splitCol) === heldoutVal)
+      .select(explode(col("tids")).as("tid")).distinct()
+    sets.where(col(splitCol) === trainVal)
+      .select(col("doc_id"), explode(col("tids")).as("tid"))
+      .join(testTids, Seq("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Greedy token-budget packing: per stratum, walk docs in doc_id
     * order accumulating token counts; a doc goes to the bin its
     * RUNNING-START offset falls in (`floor(start / budget)`), i.e. docs

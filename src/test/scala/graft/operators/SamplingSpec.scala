@@ -108,6 +108,12 @@ class SamplingSpec extends AnyFunSuite {
       .map(row => (row.getLong(0), row.getLong(1)))
     // doc 0 shares 'the quick brown' and 'quick brown fox' → 2 shingles
     assert(r.toSeq == Seq((0L, 2L)))
+    // split form over the unioned table agrees with the two-frame form
+    val unioned = train.withColumn("sp", lit("train"))
+      .unionByName(heldout.withColumn("sp", lit("test")))
+    val rs = Sampling.decontaminateSplit(unioned, "sp", "train", "test")
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(rs.toSeq == r.toSeq)
   }
 
   test("scrub: redacts planted spans, counts them, normalizes whitespace") {
