@@ -501,8 +501,10 @@ object EventQueries {
     * every purchase event picks up the same user's most recent click
     * value at-or-before it — the "state at event time" lookup an
     * archive viewer needs to correlate a reading with the last
-    * configuration/calibration row. Union-merge plan: one shuffle per
-    * key, no per-row probe (operators/TimeJoins.scala). */
+    * configuration/calibration row. Runs the SKEW-BOUNDED bucketed
+    * merge (day cells) so the oracle verifies the 100 TB path
+    * directly; `asofJoin` (the single-window form) is parity-tested
+    * against it in TimeJoinsSpec. */
   private def q24(s: SparkSession, dir: String): DataFrame = {
     val p = pts(s, dir)
     val purchases = p.where(col("event_type") === "purchase")
@@ -510,10 +512,11 @@ object EventQueries {
     val clicks = p.where(col("event_type") === "click")
       .select(col("user_id"), col("t").as("ct"),
         col("point_id").as("click_id"), col("value_r").as("click_value"))
-    graft.operators.TimeJoins.asofJoin(
+    graft.operators.TimeJoins.asofJoinBucketed(
       purchases, clicks, Seq("user_id"),
       leftTime = "t", rightTime = "ct",
-      valueCols = Seq("click_id", "click_value"), rightTie = "click_id")
+      valueCols = Seq("click_id", "click_value"), rightTie = "click_id",
+      bucketUs = 86400000000L)
       .orderBy(col("user_id"), col("t"), col("point_id"))
   }
 
