@@ -86,6 +86,30 @@ object StreamOps {
         unix_micros(col("session_window.end")).as("t_end"),
         col("n_events"))
 
+  /** Streaming RANGE join — the streaming twin of
+    * [[graft.operators.TimeJoins.rangeJoin]]: point events joined to
+    * interval-opening events (interval = [openTime, openTime +
+    * `windowLen`]) on a key, as a watermarked stream-stream join.
+    * The time-range predicate is exactly what lets Spark bound and
+    * evict join state: a buffered point can only match interval
+    * openers within `windowLen` of it, so state beyond
+    * watermark + windowLen drops. Event-time columns must be
+    * timestamps. Emits one row per (point, matching interval). */
+  def streamingRangeJoin(points: DataFrame, openers: DataFrame,
+      keyCol: String, pointTimeCol: String, openTimeCol: String,
+      windowLen: String, watermarkDelay: String): DataFrame = {
+    val p = points.withColumnRenamed(keyCol, "_pk")
+      .withWatermark(pointTimeCol, watermarkDelay)
+    val o = openers.withColumnRenamed(keyCol, "_ok")
+      .withWatermark(openTimeCol, watermarkDelay)
+    p.join(o, expr(
+      s"""_pk = _ok
+         |AND $pointTimeCol >= $openTimeCol
+         |AND $pointTimeCol <= $openTimeCol + interval $windowLen"""
+        .stripMargin))
+      .withColumnRenamed("_pk", keyCol).drop("_ok")
+  }
+
   /** Streaming exact dedup of a document stream: drop any doc whose
     * content digest was already seen (state = one digest per distinct
     * doc, partitioned by the aggregation shuffle). Input needs

@@ -66,6 +66,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingRangeJoin: in-window pairs match, cross-batch works") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val pIn = MemoryStream[(String, Long, Long)] // key, t_us, pid
+    val oIn = MemoryStream[(String, Long, Long)] // key, t_us, oid
+    val points = pIn.toDF().toDF("k", "pt_us", "pid")
+      .withColumn("pt", timestamp_micros(col("pt_us"))).drop("pt_us")
+    val openers = oIn.toDF().toDF("k", "ot_us", "oid")
+      .withColumn("ot", timestamp_micros(col("ot_us"))).drop("ot_us")
+    val joined = StreamOps.streamingRangeJoin(points, openers,
+      "k", "pt", "ot", windowLen = "10 seconds",
+      watermarkDelay = "1 hour")
+    val q = joined.select("pid", "oid").writeStream.format("memory")
+      .queryName("srj").outputMode("append").start()
+    try {
+      // NOTE: event times must sit well above the epoch — a timestamp
+      // at the clamped initial watermark (1970-01-01) is dropped as
+      // late by the join's state-watermark predicates
+      val t0 = 1704067200000000L // 2024-01-01 (µs)
+      // opener at +0s, window [0s, 10s]; points at +5s (in), +15s (out)
+      oIn.addData(("a", t0, 100L))
+      pIn.addData(("a", t0 + 5000000L, 1L), ("a", t0 + 15000000L, 2L),
+        ("b", t0 + 5000000L, 3L)) // wrong key
+      q.processAllAvailable()
+      val got1 = spark.table("srj").as[(Long, Long)].collect().toSet
+      assert(got1 == Set((1L, 100L)))
+      // a later batch: a second opener catches the buffered +15s point
+      oIn.addData(("a", t0 + 12000000L, 200L))
+      q.processAllAvailable()
+      val got = spark.table("srj").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L), (2L, 200L)))
+    } finally q.stop()
+  }
+
   test("stateless text ops (quality, scrub) compose with streams as-is") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
