@@ -895,6 +895,31 @@ object PipelineQueries {
        |FROM trdt t JOIN tedt USING (tid)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- mixture plan
+  /** Per-(lang, source) rebalancing plan toward a uniform token mix:
+    * integer target, one exact-division rate per cell. */
+  private def p27(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixturePlan(docsSpread(s, dir), Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"))
+
+  private val p27Sql =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cell_tokens
+      |  FROM documents GROUP BY lang, source),
+      |totals AS (
+      |  SELECT CAST(sum(cell_tokens) AS BIGINT) AS total_tokens,
+      |         count(*) AS n_cells
+      |  FROM cells)
+      |SELECT c.lang, c.source, c.n_docs, c.cell_tokens,
+      |  t.total_tokens // t.n_cells AS target_tokens,
+      |  least(1.0, CAST(t.total_tokens // t.n_cells AS DOUBLE)
+      |    / c.cell_tokens) AS rate,
+      |  least(c.cell_tokens, t.total_tokens // t.n_cells)
+      |    AS kept_tokens_est
+      |FROM cells c CROSS JOIN totals t
+      |ORDER BY c.lang, c.source""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -923,7 +948,8 @@ object PipelineQueries {
     "p23_token_quantiles" -> (p23 _),
     "p24_multimodal_knn" -> (p24 _),
     "p25_bigram_novelty" -> (p25 _),
-    "p26_decontaminate" -> (p26 _))
+    "p26_decontaminate" -> (p26 _),
+    "p27_mixture_plan" -> (p27 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -951,5 +977,6 @@ object PipelineQueries {
     "p23_token_quantiles" -> p23Sql,
     "p24_multimodal_knn" -> p24Sql,
     "p25_bigram_novelty" -> p25Sql,
-    "p26_decontaminate" -> p26Sql)
+    "p26_decontaminate" -> p26Sql,
+    "p27_mixture_plan" -> p27Sql)
 }

@@ -123,6 +123,42 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Mixture rebalancing plan: per stratum cell (e.g. lang × source),
+    * the deterministic downsampling rate that moves the corpus toward
+    * a UNIFORM token budget per cell — `target = total_tokens div
+    * n_cells`, `rate = min(1, target / cell_tokens)` — plus the
+    * resulting token estimate. The "how much of each slice do we
+    * keep" planning step before a mixture-weighted sample; feed
+    * `rate` into a hash threshold ([[splitHash]] mod 10⁶ <
+    * rate·10⁶) for the actual per-doc draw.
+    *
+    * Exactness: the target is integer division, the rate ONE IEEE
+    * division of exact integers — any engine reproduces the plan
+    * bit-for-bit. The corpus-wide total reaches each cell via a
+    * broadcast single-row aggregate (never an unpartitioned window —
+    * the cell table may be large at 100 TB even though each row is
+    * tiny). */
+  def mixturePlan(docs: DataFrame, strataCols: Seq[String]): DataFrame = {
+    val cells = docs
+      .select(strataCols.map(col) :+
+        size(split(col("text"), " ")).cast("long").as("n_tok"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("cell_tokens"))
+    val totals = cells.agg(
+      sum(col("cell_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("target_tokens", expr("total_tokens div n_cells"))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens").cast("double")
+          / col("cell_tokens")))
+      .withColumn("kept_tokens_est",
+        least(col("cell_tokens"), col("target_tokens")))
+      .select(strataCols.map(col) ++ Seq(col("n_docs"),
+        col("cell_tokens"), col("target_tokens"), col("rate"),
+        col("kept_tokens_est")): _*)
+  }
+
   /** Greedy token-budget packing: per stratum, walk docs in doc_id
     * order accumulating token counts; a doc goes to the bin its
     * RUNNING-START offset falls in (`floor(start / budget)`), i.e. docs

@@ -116,6 +116,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(rs.toSeq == r.toSeq)
   }
 
+  test("mixturePlan: uniform target, capped rates, exact arithmetic") {
+    // en: 8+4+6+5=23 tokens over 4 docs… but strata here are lang only:
+    // en=23, de=13 → total 36, 2 cells, target 18 → en rate 18/23,
+    // de rate capped at 1.0
+    val r = Sampling.mixturePlan(docs, Seq("lang"))
+      .orderBy("lang").collect()
+    val de = r(0); val en = r(1)
+    assert(de.getString(0) == "de" && en.getString(0) == "en")
+    assert(en.getLong(2) == 23L && de.getLong(2) == 13L) // cell_tokens
+    assert(en.getLong(3) == 18L && de.getLong(3) == 18L) // target
+    assert(de.getDouble(4) == 1.0)
+    assert(en.getDouble(4) == 18.0 / 23.0)
+    assert(en.getLong(5) == 18L && de.getLong(5) == 13L) // kept est
+  }
+
   test("scrub: redacts planted spans, counts them, normalizes whitespace") {
     val d = Seq(
       (0L, "hello  bob@mail.example  call 555-1234 now "),
