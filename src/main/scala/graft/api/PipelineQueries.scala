@@ -920,6 +920,106 @@ object PipelineQueries {
       |FROM cells c CROSS JOIN totals t
       |ORDER BY c.lang, c.source""".stripMargin
 
+  // ---------------------------------------------------------------- incremental dedup
+  /** Incremental ingest: a synthetic "new batch" (exact copies of
+    * doc_id%40 docs at +3000000, near-copies of doc_id%30 docs with 3
+    * words dropped at +4000000, plus genuinely-new docs: the reversed
+    * token sequence of doc_id%35 docs at +5000000) deduped against the
+    * existing corpus. Only the reversed docs survive. */
+  private def p28(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val batch = base.where(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      .unionByName(base.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          array_join(expr(
+            "slice(split(text, ' '), 4, size(split(text, ' ')))"),
+            " ").as("text")))
+      .unionByName(base.where(col("doc_id") % 35 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    Dedup.incrementalDedup(batch, base, s).orderBy(col("doc_id"))
+  }
+
+  private val p28Sql =
+    s"""WITH batch AS (
+       |  SELECT doc_id + 3000000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 40 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 4000000 AS doc_id,
+       |         array_to_string(string_split(text, ' ')[4:], ' ') AS text
+       |  FROM documents WHERE doc_id % 30 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 5000000 AS doc_id,
+       |         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |           AS text
+       |  FROM documents WHERE doc_id % 35 = 0),
+       |fresh AS (
+       |  SELECT b.doc_id, b.text FROM batch b
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM documents e WHERE sha256(e.text) = sha256(b.text))),
+       |ntok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM fresh),
+       |nsh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+       |        AS shingle
+       |    FROM ntok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE shingle IS NOT NULL),
+       |ndt AS (
+       |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid FROM nsh),
+       |etok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |esh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+       |        AS shingle
+       |    FROM etok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE shingle IS NOT NULL),
+       |edt AS (
+       |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid FROM esh),
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |nsig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM ndt CROSS JOIN perms GROUP BY doc_id, i),
+       |nbands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM nsig GROUP BY doc_id, i // 4),
+       |esig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM edt CROSS JOIN perms GROUP BY doc_id, i),
+       |ebands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM esig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS nid, e.doc_id AS eid
+       |  FROM nbands n JOIN ebands e
+       |    ON n.band = e.band AND n.bkey = e.bkey),
+       |nsz AS (SELECT doc_id, count(*) AS n FROM ndt GROUP BY doc_id),
+       |esz AS (SELECT doc_id, count(*) AS n FROM edt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.nid, c.eid, count(*) AS n_inter
+       |  FROM cand c JOIN ndt x ON x.doc_id = c.nid
+       |    JOIN edt y ON y.doc_id = c.eid AND y.tid = x.tid
+       |  GROUP BY c.nid, c.eid),
+       |neardup AS (
+       |  SELECT DISTINCT i.nid AS doc_id
+       |  FROM inter i JOIN nsz s1 ON s1.doc_id = i.nid
+       |    JOIN esz s2 ON s2.doc_id = i.eid
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5)
+       |SELECT f.doc_id FROM fresh f
+       |LEFT JOIN neardup n USING (doc_id)
+       |WHERE n.doc_id IS NULL
+       |ORDER BY f.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -949,7 +1049,8 @@ object PipelineQueries {
     "p24_multimodal_knn" -> (p24 _),
     "p25_bigram_novelty" -> (p25 _),
     "p26_decontaminate" -> (p26 _),
-    "p27_mixture_plan" -> (p27 _))
+    "p27_mixture_plan" -> (p27 _),
+    "p28_incremental_dedup" -> (p28 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -978,5 +1079,6 @@ object PipelineQueries {
     "p24_multimodal_knn" -> p24Sql,
     "p25_bigram_novelty" -> p25Sql,
     "p26_decontaminate" -> p26Sql,
-    "p27_mixture_plan" -> p27Sql)
+    "p27_mixture_plan" -> p27Sql,
+    "p28_incremental_dedup" -> p28Sql)
 }

@@ -325,6 +325,55 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Incremental dedup: admit only the docs of a NEW batch that are
+    * neither exact copies nor near-duplicates of an EXISTING corpus —
+    * the daily-ingest shape (batch ≪ corpus), where re-running
+    * whole-corpus self-dedup per increment would rescan everything.
+    * Returns the surviving new doc ids.
+    *
+    * Scale shape: exact elimination is an anti-join of the batch's
+    * digests against the corpus digests (digest column only — the
+    * corpus text never moves); near-dup elimination is a TWO-CORPUS
+    * LSH band join — batch band keys ⋈ corpus band keys (collisions
+    * only, never batch × corpus), verified by exact Jaccard on the
+    * in-row shingle-id sets carried with each side. The corpus side
+    * streams through one projection per run; at true scale the corpus
+    * bands/digests are precomputed once and persisted as tables, so
+    * an increment touches only the band-key join. */
+  def incrementalDedup(newDocs: DataFrame, existing: DataFrame,
+      spark: SparkSession, shingleK: Int = 3, numPerms: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    graft.functions.PolyHash31.register(spark)
+    // exact: batch digest anti-join against corpus digests
+    val exDigests = existing.select(sha2(col("text"), 256).as("fp"))
+      .distinct()
+    val fresh = newDocs
+      .withColumn("fp", sha2(col("text"), 256))
+      .join(exDigests, Seq("fp"), "left_anti")
+      .drop("fp").persist()
+    // near: band keys on both sides, equi-join, in-row Jaccard verify
+    def bands(docs: DataFrame) = TextOps.shingleIdSets(docs, shingleK)
+      .withColumn("sig", expr(s"minhash_sigs(tids, $numPerms)"))
+      .select(col("doc_id"), col("tids"),
+        posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
+          .as(Seq("band", "bkey")))
+    val nb = bands(fresh)
+      .select(col("doc_id").as("nid"), col("tids").as("nt"),
+        col("band"), col("bkey"))
+    val eb = bands(existing)
+      .select(col("doc_id").as("eid"), col("tids").as("et"),
+        col("band"), col("bkey"))
+    val nearDup = nb.join(eb, Seq("band", "bkey"))
+      .withColumn("n_inter",
+        size(array_intersect(col("nt"), col("et"))).cast("long"))
+      .withColumn("n_union",
+        size(col("nt")).cast("long") + size(col("et")) - col("n_inter"))
+      .where(col("n_inter").cast("double") / col("n_union") >= threshold)
+      .select(col("nid").as("doc_id")).distinct()
+    fresh.join(broadcast(nearDup), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a
     * quadratic threshold hash ((a_j·t² + b_j·t + j) mod 8191 < 4096 →
     * +1 else −1), weighted by token multiplicity; a linear-parity hash

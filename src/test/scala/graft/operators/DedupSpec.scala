@@ -167,6 +167,18 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("incrementalDedup: batch deduped against corpus, novel docs pass") {
+    val existing = docs // 0≡1, 2, 3
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"), // exact copy of 0
+      (21L, "quick brown fox jumps over the lazy dog again and again"),     // near-copy of 0
+      (22L, "entirely novel content that matches nothing in the corpus"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, existing, spark)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(22L))
+  }
+
   test("dedupedCorpus: exact copies and near-dup satellites both die") {
     // 0≡1 exact (min 0 survives); 10 is a near-copy of 0 (first word
     // dropped → clusters with 0, 0 canonical); 2 and 3 unique
