@@ -632,10 +632,10 @@ object PipelineQueries {
       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM t)
-      |SELECT lang, (cum - n_tok) // 4096 AS bin,
+      |SELECT lang, CAST((cum - n_tok) // 4096 AS BIGINT) AS bin,
       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      |FROM c GROUP BY lang, (cum - n_tok) // 4096
+      |FROM c GROUP BY lang, CAST((cum - n_tok) // 4096 AS BIGINT)
       |ORDER BY lang, bin""".stripMargin
 
   // ---------------------------------------------------------------- dedup apply

@@ -78,19 +78,42 @@ object Dedup {
     * from a sorted in-memory doc list. Output is identical — a bucket
     * of n docs yields the same n(n−1)/2 ordered pairs either way, and
     * LSH buckets are small by construction (a bucket's size is its
-    * collision count; a bucket that grows degenerate means the band
-    * key stopped discriminating and upstream parameters are wrong —
-    * same quadratic risk the self-join had, just visible here). */
-  def lshCandidates(bands: DataFrame): DataFrame =
+    * collision count).
+    *
+    * A DEGENERATE bucket — a band key that stopped discriminating,
+    * e.g. millions of identical boilerplate docs surviving an
+    * imperfect exact-dedup pass — would materialize its full C(n,2)
+    * pair array in ONE task's row: a single-task OOM at scale. The
+    * `maxBucket` cap enforces the contract instead of hoping: buckets
+    * larger than it are EXCLUDED from pair expansion (their members
+    * are near-identical by construction — route them through exact
+    * dedup, which handles them in one digest group-by) and accounted
+    * via an `observe` metric `lsh_buckets_<n>` with `overflow_buckets`
+    * / `max_bucket_size` columns (read it from
+    * `df.queryExecution.observedMetrics` after an action, or with a
+    * `QueryExecutionListener`; the name is uniquified per call so two
+    * candidate stages can share one query tree). */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
     bands.groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) > 1)
+      .observe(s"lsh_buckets_${obsId.incrementAndGet()}",
+        sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L))
+          .as("overflow_buckets"),
+        coalesce(max(size(col("ds"))), lit(0)).as("max_bucket_size"))
+      .where(size(col("ds")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ds) - 1),
           |  i -> transform(slice(ds, i + 1, size(ds) - i),
           |    j -> struct(element_at(ds, i) as d1, j as d2))))"""
           .stripMargin)).as("p"))
       .select(col("p.d1"), col("p.d2")).distinct()
+  }
+
+  /** Uniquifier for [[lshCandidates]]' observe-metric names (Spark
+    * rejects duplicate CollectMetrics names within one query tree). */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
   /** Exact Jaccard over the id-set table `dt` for the given candidate
     * pairs; keeps pairs with similarity ≥ `threshold`. The division is
@@ -154,7 +177,8 @@ object Dedup {
     * LRU eviction (never OOM, worst case recompute). */
   def minhashNearDups(corpus: DataFrame, spark: SparkSession,
       shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, ids: String = "poly"): DataFrame = {
+      threshold: Double = 0.5, ids: String = "poly",
+      maxBucket: Int = 1000): DataFrame = {
     graft.functions.PolyHash31.register(spark)
     ids match {
       case "poly" =>
@@ -168,7 +192,7 @@ object Dedup {
         val bands = sigs.select(col("doc_id"),
           posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
             .as(Seq("band", "bkey")))
-        val cands = lshCandidates(bands).persist()
+        val cands = lshCandidates(bands, maxBucket).persist()
         // verify in-row: candidate pairs are FEW (LSH collisions), so a
         // per-pair array_intersect of two ~doc-length sets beats any
         // postings shuffle. (blockedJaccard documents the opposite
@@ -197,8 +221,8 @@ object Dedup {
             pmod(xxhash64(col("shingle")), lit(TextOps.HashP)).as("tid"))
         }).persist()
         val sigs = minhashSignatures(dt, numPerms)
-        val cands = lshCandidates(lshBands(sigs, numPerms, rowsPerBand))
-          .persist()
+        val cands = lshCandidates(lshBands(sigs, numPerms, rowsPerBand),
+          maxBucket).persist()
         jaccardVerify(cands, dt, threshold)
       case other => throw new IllegalArgumentException(
         s"ids must be poly|dense|hash64, got '$other'")

@@ -166,29 +166,96 @@ object Sampling {
     * The deterministic, restart-safe shape of "pack the corpus into
     * fixed-size training shards".
     *
-    * The running sum is a window ordered by doc_id within each stratum:
-    * strata sort independently (one range-sorted shuffle keyed by the
-    * stratum — the partitioned-window shape PlanGuard allows), and at
-    * 100 TB each stratum's sort distributes across tasks via
-    * range partitioning on the (stratum, doc_id) prefix. Output is the
-    * per-bin manifest: doc list boundaries summarized as n_docs /
-    * sum_tokens / first/last doc ids — the shard index a pack-writer
-    * consumes. */
+    * The running sum is [[runningTokenSum]]'s two-pass distributed
+    * prefix sum — NOT a per-stratum window (a Spark window
+    * hash-partitions on its keys, so a corpus that is mostly one
+    * stratum, e.g. `lang='en'`, would serialize through a single sort
+    * task). Output is the per-bin manifest: doc list boundaries
+    * summarized as n_docs / sum_tokens / first/last doc ids — the
+    * shard index a pack-writer consumes. */
   def packTokenBudget(docs: DataFrame, strataCols: Seq[String],
       budget: Long): DataFrame = {
     require(budget > 0)
     val nTok = size(split(col("text"), " ")).cast("long")
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val base = docs
       .select(strataCols.map(col) :+ col("doc_id") :+ nTok.as("n_tok"): _*)
-      .withColumn("cum", sum(col("n_tok")).over(w))
+    runningTokenSum(base, strataCols)
       // integer `div`, not `/`: float division + cast can round a
       // boundary value up across the bin edge for non-power-of-2 budgets
       .withColumn("bin", expr(s"(cum - n_tok) div ${budget}L"))
       .groupBy(strataCols.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Distributed per-stratum running sum: adds `cum` = the inclusive
+    * prefix sum of `n_tok` in (stratum, doc_id) order, plus the range
+    * partition id `pid` (kept so tests can assert the sort really
+    * distributed). Input must carry `strataCols`, `doc_id`, `n_tok`.
+    *
+    * Shape (the same two-pass offset pattern as
+    * [[TextOps.vocab]]'s zipWithIndex rank): range-repartition +
+    * sort-within-partitions on (strata…, doc_id) spreads EVERY stratum
+    * — including a corpus-dominating one — across ordered partition
+    * ranges; pass 1 computes each partition's local running sums
+    * imperatively (strata are contiguous in the partition sort order,
+    * so a key change resets the accumulator); pass 2 derives each
+    * (partition, stratum) carry-in from the per-partition totals — a
+    * frame of at most #partitions + #strata rows, so its per-stratum
+    * prefix-sum window is over a histogram, never the corpus — and
+    * broadcast-joins it back. Partition-boundary placement cannot
+    * affect `cum`: ranges are ordered and the carry-in is exactly the
+    * token mass of earlier ranges. The local frame is persisted
+    * (MEMORY_AND_DISK) because the totals pass and the join both
+    * consume it; blocks are LRU-evicted, worst case recomputed. */
+  private[graft] def runningTokenSum(base: DataFrame,
+      strataCols: Seq[String]): DataFrame = {
+    val spark = base.sparkSession
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val k = strataCols.length
+    val sortCols = strataCols.map(col) :+ col("doc_id")
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = base
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("local_cum", LongType, nullable = false)))
+    val nTokIdx = k + 1 // layout: strata…, doc_id, n_tok
+    val localRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var key: Seq[Any] = null
+      var run = 0L
+      it.map { r =>
+        val sk = r.toSeq.take(k)
+        if (sk != key) { key = sk; run = 0L }
+        run += r.getLong(nTokIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, run))
+      }
+    }
+    val local = spark.createDataFrame(localRdd, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // n_tok ≥ 0 makes local_cum monotone, so max = the partition total
+    val totals = local.groupBy((col("pid") +: strataCols.map(col)): _*)
+      .agg(max(col("local_cum")).as("part_tok"))
+    // window over the TINY totals frame only; partition by a constant
+    // when strata are empty so PlanGuard's unpartitioned-window ban
+    // holds vacuously (the frame is ≤ #partitions rows either way)
+    val carryKeys =
+      if (strataCols.nonEmpty) strataCols.map(col) else Seq(lit(true))
+    val wCarry = Window.partitionBy(carryKeys: _*)
+      .orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("carry", coalesce(sum(col("part_tok")).over(wCarry), lit(0L)))
+      .select((col("pid") +: strataCols.map(col)) :+ col("carry"): _*)
+    // null-safe equality so a null stratum value still finds its
+    // carry-in (a using-columns equi-join would silently drop it)
+    val renamed = ("pid" +: strataCols).foldLeft(offsets)(
+      (d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    val cond = strataCols.map(c => col(c) <=> col(s"__o_$c"))
+      .foldLeft(col("pid") === col("__o_pid"))(_ && _)
+    local.join(broadcast(renamed), cond)
+      .withColumn("cum", col("local_cum") + col("carry"))
+      .drop(("local_cum" +: "carry" +: "__o_pid" +:
+        strataCols.map(c => s"__o_$c")): _*)
   }
 }

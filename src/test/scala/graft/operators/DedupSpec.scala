@@ -101,6 +101,23 @@ class DedupSpec extends AnyFunSuite {
     assert(ws.isEmpty)
   }
 
+  test("lshCandidates: degenerate buckets are capped and accounted") {
+    // one healthy bucket (2 docs) + one degenerate bucket (5 docs)
+    val bands = (Seq((0, "k1", 10L), (0, "k1", 11L)) ++
+      (0L until 5L).map(i => (1, "boiler", 100L + i)))
+      .toDF("band", "bkey", "doc_id")
+    val capped = Dedup.lshCandidates(bands, maxBucket = 4)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the degenerate bucket contributes NO pairs; the healthy one does
+    assert(pairs.toSet == Set((10L, 11L)))
+    // …and the overflow is accounted in the observe metric
+    val obs = capped.queryExecution.observedMetrics.values
+    assert(obs.exists(m => m.getAs[Long]("overflow_buckets") == 1L
+      && m.getAs[Int]("max_bucket_size") == 5))
+    // default cap keeps everything: 1 + C(5,2) pairs
+    assert(Dedup.lshCandidates(bands).count() == 11L)
+  }
+
   test("jaccardVerify computes exact set Jaccard for candidates") {
     val dt = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L), (2L, 4L))
       .toDF("doc_id", "tid")

@@ -77,6 +77,41 @@ class SamplingSpec extends AnyFunSuite {
       .toSeq == Seq((0L, 2L, 13L)))
   }
 
+  test("packTokenBudget: two-pass cumsum matches the window form and " +
+      "distributes a single giant stratum across partitions") {
+    // 4000 docs, 90% in one stratum — the shape where a per-stratum
+    // window serializes through one sort task
+    val big = spark.range(4000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 10 < 9 THEN 'en' ELSE 'de' END AS lang",
+      // 1..7 tokens, deterministic
+      "array_join(transform(sequence(1, CAST(id % 7 + 1 AS INT)), " +
+        "i -> 'w'), ' ') AS text")
+    val r = Sampling.packTokenBudget(big, Seq("lang"), budget = 100L)
+    // reference: the straight per-stratum window cumsum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val brute = big
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 100L"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    assert(r.orderBy("lang", "bin").collect().map(_.toSeq).toSeq ==
+      brute.orderBy("lang", "bin").collect().map(_.toSeq).toSeq)
+    // the cumsum itself spread the 'en' stratum over many partitions:
+    // no single-task sort of a one-stratum corpus
+    val pids = Sampling.runningTokenSum(
+      big.where(col("lang") === "en").select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      Seq("lang"))
+      .select(countDistinct(col("pid"))).head().getLong(0)
+    assert(pids > 1, s"single-stratum cumsum used only $pids partition(s)")
+  }
+
   test("globalSample: n smallest hashes, bounded top-n plan") {
     val r = Sampling.globalSample(docs, n = 3)
     val rows = r.collect()
