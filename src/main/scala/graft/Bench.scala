@@ -32,12 +32,18 @@ object Bench {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    // dev-only subset filter (comma-separated query names); the driver
+    // never sets it, so driver runs always measure the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
+    selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     spark.sharedState.cacheManager.clearCache()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = selected.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Two timed passes, per-query MIN. One pass is at the mercy of
     // whatever else the host runs during those exact seconds: the

@@ -266,47 +266,78 @@ object Dedup {
     val edges = sym
       .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
       .repartition(col("src")).persist()
-    var labels = nodes.select(col("node"), col("node").as("lbl")).persist()
-    def labelSum(df: DataFrame): Any =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().get(0)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    def lblSum = sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum")
     def propagate(l: DataFrame): DataFrame = edges
       .join(l.select(col("node").as("src"), col("lbl")), Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(min(col("lbl")).as("lbl"))
-    // prevSum seeds to a sentinel: the first materialization can never
-    // be skipped (labels start self-referential), so spending an action
-    // on the initial sum buys nothing — the first real sum replaces it.
-    var prevSum: Any = null
-    var first = true
-    var converged = false
-    var round = 0
     // The per-MATERIALIZATION cost (job scheduling, AQE planning, the
     // convergence action) dwarfs the per-ROUND data work on any
     // realistically-sparse dup graph, so rounds are COMPOSED: each
     // materialization stacks `depth` propagation joins into one plan
     // (2, then 4, then 8 per step — past-fixpoint rounds are no-ops,
-    // so overshooting is free), and convergence is checked per
-    // materialization, not per round. LSH dup-graph components are
-    // near-cliques (diameter ≲ 3): the common case is ONE materialized
-    // step + one confirming step.
+    // so overshooting is free). Convergence is decided INSIDE the same
+    // job via two `observe` probes: labels are monotone non-increasing,
+    // so penultimate-round sum == final-round sum ⇔ the last round
+    // moved nothing ⇔ the final frame is the fixpoint. Dup-graph
+    // components are dominated by DIAMETER-1 pairs (a doc and its
+    // near-copy), so depth 2 usually converges in ONE materialization
+    // — probe = round-1 sum, final = round-2 sum — at 4 shuffle
+    // stages; each extra propagate is 2 more sequential stages of
+    // fixed scheduling cost on an O(collisions) frame, which is why
+    // depth starts minimal and only grows when a deep component is
+    // actually present (the round-4 shape spent 2 jobs per
+    // materialization × 2 materializations on the same graphs).
+    var converged = false
+    var round = 0
+    var sinceCheckpoint = 0
     var depth = 2
+    val generations = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (!converged && round < maxIter) {
       var cur = labels
-      (1 to depth).foreach(_ => cur = propagate(cur))
-      val next = cur.localCheckpoint(true) // truncates iterative lineage
-      val s = labelSum(next)
-      labels.unpersist()
+      (1 until depth).foreach(_ => cur = propagate(cur))
+      val probeN = s"cc_probe_${obsId.incrementAndGet()}"
+      val finalN = s"cc_final_${obsId.incrementAndGet()}"
+      val nextF = propagate(cur.observe(probeN, lblSum))
+        .observe(finalN, lblSum)
+      sinceCheckpoint += depth
+      // localCheckpoint every ~16 composed rounds truncates the
+      // growing lineage (in-loop unpersist of a parent cache is NOT
+      // safe — dependents may lazily recompute through it — so caches
+      // stay alive until after the final checkpoint below)
+      val (next, qe) = if (sinceCheckpoint >= 16) {
+        sinceCheckpoint = 0
+        (nextF.localCheckpoint(true), nextF.queryExecution)
+      } else {
+        val n = nextF.persist()
+        val agg = n.agg(count(lit(1))) // materializes the cache
+        agg.head()
+        (n, agg.queryExecution)
+      }
+      val m = qe.observedMetrics
+      // a missing probe means PropagateEmptyRelation proved that frame
+      // empty at plan time — equivalent to a null (empty) sum, so
+      // normalize both to null: an empty label table is a fixpoint
+      def sumOf(name: String): Any = m.get(name).map(_.get(0)).orNull
+      converged = sumOf(probeN) == sumOf(finalN)
+      generations += labels
       labels = next
-      // monotone ⇒ equal sum ⇔ no label moved (first pass never stops:
-      // prevSum is still the sentinel)
-      converged = !first && s == prevSum
-      prevSum = s
-      first = false
       round += depth
       depth = math.min(depth * 2, 8)
     }
+    // silent truncation would corrupt the dedup result downstream
+    // (non-minimal cluster_ids, several keep=1 rows per component) —
+    // pathological graphs (diameter > maxIter) must fail loudly
+    require(converged, s"connectedComponents did not converge within " +
+      s"$maxIter rounds; raise maxIter for very-high-diameter pair graphs")
+    // detach the result from the generation caches (one cheap job over
+    // the O(nodes) label table), then release every intermediate
+    val out = labels.localCheckpoint(true)
+    generations.foreach(g => g.unpersist())
+    labels.unpersist()
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+    out.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
       when(col("node") === col("lbl"), 1L).otherwise(0L).as("keep"))
   }
 

@@ -50,7 +50,17 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
 
   private def respond(ex: HttpExchange, status: Int, body: String,
       contentType: String = "application/json"): Unit = {
-    val bytes = body.getBytes(UTF_8)
+    val raw = body.getBytes(UTF_8)
+    // the reference gzips every data response (server.py:147,164,180) —
+    // its PNG-transport size math counts on it: raw JSON hover descs +
+    // base64 PNGs are 3-10× larger uncompressed
+    val bytes = if (acceptsGzip(ex)) {
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      val bos = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      try gz.write(raw) finally gz.close()
+      bos.toByteArray
+    } else raw
     ex.getResponseHeaders.set("Content-Type", contentType)
     // the reference enables permissive CORS for Grafana (server.py:264-272)
     ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
@@ -58,6 +68,16 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
+
+  /** Accept-Encoding lists gzip as an acceptable coding (a `gzip;q=0`
+    * entry is an explicit opt-OUT and must not match). */
+  private def acceptsGzip(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .getOrElse("").toLowerCase.split(',').exists { e =>
+        val parts = e.split(';').map(_.trim)
+        parts.headOption.contains("gzip") &&
+          !parts.exists(p => p.replace(" ", "") == "q=0")
+      }
 
   private def handle(path: String, method: String)(
       f: HttpExchange => Unit): Unit =

@@ -111,6 +111,43 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Json.num(desc("total_points")) > 0)
   }
 
+  test("Accept-Encoding: gzip compresses /query and /image responses") {
+    def postGz(path: String, json: String): HttpResponse[Array[Byte]] =
+      client.send(HttpRequest.newBuilder(URI.create(base + path))
+        .header("Accept-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    def gunzip(b: Array[Byte]): String = new String(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b)).readAllBytes(), "UTF-8")
+    val queryReq =
+      """{"targets": [{"cs": "events.cs:10000", "target": "u1/click"}],
+        |"range": {"from": "2024-01-05", "to": "2024-01-20"}}""".stripMargin
+    val imageReq =
+      """{"attributes": [{"name": "u1/click", "color": "#00ff00",
+        |                 "y_axis": 0}],
+        |"time_range": ["2024-01-05", "2024-01-20"],
+        |"size": [100, 50]}""".stripMargin
+    for ((path, req) <- Seq("/query" -> queryReq, "/image" -> imageReq)) {
+      val gz = postGz(path, req)
+      assert(gz.statusCode() == 200)
+      assert(gz.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+      // decodes to exactly the uncompressed body (and actually shrank)
+      val plain = post(path, req)
+      assert(plain.headers().firstValue("Content-Encoding").isEmpty)
+      assert(gunzip(gz.body()) == plain.body())
+      assert(gz.body().length < plain.body().length, s"$path did not shrink")
+    }
+    // gzip;q=0 is an explicit opt-out
+    val optOut = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/query"))
+        .header("Accept-Encoding", "gzip;q=0")
+        .POST(HttpRequest.BodyPublishers.ofString(queryReq)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(optOut.headers().firstValue("Content-Encoding").isEmpty)
+    assert(Json.arr(Json.parse(optOut.body())).nonEmpty)
+  }
+
   test("malformed JSON answers 400") {
     val r = post("/query", """{"targets": [""")
     assert(r.statusCode() == 400)
