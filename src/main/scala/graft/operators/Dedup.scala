@@ -402,21 +402,79 @@ object Dedup {
     // exact: batch digest anti-join against corpus digests
     val exDigests = existing.select(sha2(col("text"), 256).as("fp"))
       .distinct()
-    val fresh = newDocs
-      .withColumn("fp", sha2(col("text"), 256))
-      .join(exDigests, Seq("fp"), "left_anti")
-      .drop("fp").persist()
-    // near: band keys on both sides, equi-join, in-row Jaccard verify
-    def bands(docs: DataFrame) = TextOps.shingleIdSets(docs, shingleK)
+    val eb = bandsWithSets(existing, shingleK, numPerms, rowsPerBand)
+      .select(col("doc_id").as("eid"), col("tids").as("et"),
+        col("band"), col("bkey"))
+    incrementalCore(newDocs, exDigests, eb, shingleK, numPerms,
+      rowsPerBand, threshold)
+  }
+
+  /** [[incrementalDedup]] against PRECOMPUTED corpus state written by
+    * [[writeDedupState]] — the true-scale shape the two-frame form's
+    * scaladoc promises: the corpus text is never rescanned, an
+    * increment reads only the persisted digest column and band table.
+    * Shingling/banding parameters come from the state's meta table, so
+    * the batch side is always banded compatibly with the corpus side. */
+  def incrementalDedup(newDocs: DataFrame, stateRoot: String,
+      spark: SparkSession, threshold: Double): DataFrame = {
+    graft.functions.PolyHash31.register(spark)
+    val meta = spark.read.parquet(s"$stateRoot/dedup_meta").head()
+    val (k, p, r) = (meta.getAs[Int]("shingle_k"),
+      meta.getAs[Int]("num_perms"), meta.getAs[Int]("rows_per_band"))
+    val exDigests = spark.read.parquet(s"$stateRoot/dedup_digests")
+    val eb = spark.read.parquet(s"$stateRoot/dedup_bands")
+      .select(col("doc_id").as("eid"), col("tids").as("et"),
+        col("band"), col("bkey"))
+    incrementalCore(newDocs, exDigests, eb, k, p, r, threshold)
+  }
+
+  /** Persist the corpus-side dedup state for [[incrementalDedup]]:
+    * `root/dedup_digests` (distinct text sha-256, column `fp`),
+    * `root/dedup_bands` (doc_id, in-row shingle-id set, band, bkey —
+    * repartitioned on `bkey` so a band key's rows co-locate in few
+    * files), and `root/dedup_meta` (the shingle/permutation parameters
+    * the state was built with). Computed once per corpus version; each
+    * daily increment then touches only the band-key join — never the
+    * corpus text. */
+  def writeDedupState(corpus: DataFrame, root: String, shingleK: Int = 3,
+      numPerms: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.PolyHash31.register(spark)
+    corpus.select(sha2(col("text"), 256).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$root/dedup_digests")
+    bandsWithSets(corpus, shingleK, numPerms, rowsPerBand)
+      .repartition(col("bkey"))
+      .write.mode("overwrite").parquet(s"$root/dedup_bands")
+    import spark.implicits._
+    Seq((shingleK, numPerms, rowsPerBand))
+      .toDF("shingle_k", "num_perms", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/dedup_meta")
+  }
+
+  /** Shingle-id sets + minhash band keys carried in-row — the banding
+    * shape both incremental-dedup sides share. */
+  private def bandsWithSets(docs: DataFrame, shingleK: Int,
+      numPerms: Int, rowsPerBand: Int): DataFrame =
+    TextOps.shingleIdSets(docs, shingleK)
       .withColumn("sig", expr(s"minhash_sigs(tids, $numPerms)"))
       .select(col("doc_id"), col("tids"),
         posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
           .as(Seq("band", "bkey")))
-    val nb = bands(fresh)
+
+  /** Shared incremental-dedup core: batch digests anti-join corpus
+    * digests, then batch bands ⋈ corpus bands (collisions only) with
+    * in-row Jaccard verify. */
+  private def incrementalCore(newDocs: DataFrame, exDigests: DataFrame,
+      eb: DataFrame, shingleK: Int, numPerms: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    // feeds both the banding and the final anti-join; stays cached
+    // under LRU (minhashNearDups' lifecycle note)
+    val fresh = newDocs
+      .withColumn("fp", sha2(col("text"), 256))
+      .join(exDigests, Seq("fp"), "left_anti")
+      .drop("fp").persist()
+    val nb = bandsWithSets(fresh, shingleK, numPerms, rowsPerBand)
       .select(col("doc_id").as("nid"), col("tids").as("nt"),
-        col("band"), col("bkey"))
-    val eb = bands(existing)
-      .select(col("doc_id").as("eid"), col("tids").as("et"),
         col("band"), col("bkey"))
     val nearDup = nb.join(eb, Seq("band", "bkey"))
       .withColumn("n_inter",

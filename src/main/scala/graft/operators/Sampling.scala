@@ -95,6 +95,9 @@ object Sampling {
     * itself never shuffles (ids only). */
   def decontaminate(train: DataFrame, heldout: DataFrame,
       shingleK: Int = 3): DataFrame = {
+    // shingleIdSets uses the poly_hash31 SQL function — register here
+    // so a fresh session works without an earlier registering call
+    graft.functions.PolyHash31.register(train.sparkSession)
     val testTids = TextOps.shingleIdSets(heldout, shingleK)
       .select(explode(col("tids")).as("tid")).distinct()
     TextOps.shingleIdSets(train, shingleK)
@@ -112,6 +115,9 @@ object Sampling {
   def decontaminateSplit(docs: DataFrame, splitCol: String,
       trainVal: String, heldoutVal: String,
       shingleK: Int = 3): DataFrame = {
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    // consumed by both split slices below; stays cached under LRU
+    // (Dedup.minhashNearDups' lifecycle note)
     val sets = TextOps.shingleIdSets(docs, shingleK, keep = Seq(splitCol))
       .persist()
     val testTids = sets.where(col(splitCol) === heldoutVal)

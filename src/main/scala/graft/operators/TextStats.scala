@@ -167,6 +167,8 @@ object TextStats {
     * engines (content-derived ids). */
   def bigramNovelty(docs: DataFrame): DataFrame = {
     graft.functions.PolyHash31.register(docs.sparkSession)
+    // consumed by both the per-doc counts and the postings explode;
+    // stays cached under LRU (Dedup.minhashNearDups' lifecycle note)
     val ds = TextOps.shingleIdSets(docs, 2).persist()
     val nb = ds.select(col("doc_id"),
       size(col("tids")).cast("long").as("n_bigrams"))

@@ -113,6 +113,12 @@ object TimeJoins {
           col(rightTie).cast("long").as("_tie")) ++
         leftPayload.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
         valueCols.map(col): _*)
+    // persisted because BOTH window passes below consume it; it cannot
+    // be unpersisted here (the returned plan is lazy), so blocks stay
+    // cached under LRU eviction — long-lived sessions running many
+    // joins reclaim via cacheManager.clearCache() or eviction, worst
+    // case recompute (the library-wide persist lifecycle contract,
+    // same as Dedup.minhashNearDups')
     val u = lTagged.unionByName(rTagged)
       .withColumn("_b", expr(s"_t div ${bucketUs}L")).persist()
     // pass 1: merge within each (key, bucket) cell — bounded tasks

@@ -51,12 +51,26 @@ object CorpusSource {
     (clean, corrupt)
   }
 
-  /** Parquet read with schema enforcement (extra columns pruned,
-    * missing/mistyped columns fail loudly at analysis). */
-  def readParquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .select(DocumentsSchema.fields.map(f =>
-        col(f.name).cast(f.dataType)).toSeq: _*)
+  /** Parquet read with schema enforcement: extra columns are pruned,
+    * missing or mistyped columns fail loudly up front (a silent cast
+    * would coerce e.g. a string doc_id to long and surface as nulls
+    * mid-pipeline instead). */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val problems = DocumentsSchema.fields.flatMap { f =>
+      actual.get(f.name) match {
+        case None => Some(s"${f.name}: missing")
+        case Some(dt) if dt != f.dataType =>
+          Some(s"${f.name}: expected ${f.dataType.simpleString}, " +
+            s"found ${dt.simpleString}")
+        case _ => None
+      }
+    }
+    require(problems.isEmpty,
+      s"$path does not match the documents schema — ${problems.mkString("; ")}")
+    df.select(DocumentsSchema.fieldNames.map(col).toSeq: _*)
+  }
 
   /** JSONL write (one JSON object per line, splittable at scale). */
   def writeJsonl(docs: DataFrame, path: String): Unit =

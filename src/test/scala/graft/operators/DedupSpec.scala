@@ -194,6 +194,16 @@ class DedupSpec extends AnyFunSuite {
     val kept = Dedup.incrementalDedup(batch, existing, spark)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(22L))
+    // the precomputed-state path admits exactly the same survivors
+    val root = java.nio.file.Files.createTempDirectory("graft-dstate")
+      .toString
+    Dedup.writeDedupState(existing, root)
+    val keptPre = Dedup.incrementalDedup(batch, root, spark, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptPre == kept)
+    // …and the state carries its own banding parameters
+    val meta = spark.read.parquet(s"$root/dedup_meta").head()
+    assert(meta.getAs[Int]("num_perms") == 16)
   }
 
   test("dedupedCorpus: exact copies and near-dup satellites both die") {
