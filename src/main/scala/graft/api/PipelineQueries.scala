@@ -1020,6 +1020,75 @@ object PipelineQueries {
        |WHERE n.doc_id IS NULL
        |ORDER BY f.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- repetition
+  /** Gopher-style mode-based repetition signals per doc (top-word /
+    * top-bigram fractions) — in-row sorted-run maxima on the Spark
+    * side; the oracle counts the same maxima by unnest + group-by. */
+  private def p29(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionStats(docsSpread(s, dir)).orderBy(col("doc_id"))
+
+  private val p29Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |wc AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(ts) AS w FROM t) GROUP BY doc_id, w),
+      |topw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word
+      |  FROM wc GROUP BY doc_id),
+      |bc AS (
+      |  SELECT doc_id, b, count(*) AS c
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(generate_series(1, len(ts) - 1),
+      |            i -> ts[i] || ' ' || ts[i + 1])) AS b
+      |        FROM t WHERE len(ts) >= 2) GROUP BY doc_id, b),
+      |topb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram
+      |  FROM bc GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+      |  topw.top_word,
+      |  coalesce(topb.top_bigram, 0) AS top_bigram,
+      |  CAST(topw.top_word AS DOUBLE) / len(ts) AS top_word_frac,
+      |  CASE WHEN len(ts) >= 2
+      |    THEN CAST(topb.top_bigram AS DOUBLE) / (len(ts) - 1)
+      |    ELSE 0.0 END AS top_bigram_frac
+      |FROM t JOIN topw USING (doc_id) LEFT JOIN topb USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- chunk dedup
+  /** Chunk-level exact duplication over a corpus with planted exact
+    * copies (doc_id%25 at +1000000): every 10-word aligned chunk of a
+    * copied doc is shared, everything else unique. */
+  private def p30(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(base.where(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.chunkDupStats(corpus, k = 10).orderBy(col("doc_id"))
+  }
+
+  private val p30Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+      |idx AS (
+      |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) // 10)) AS i
+      |  FROM t WHERE len(ts) >= 10),
+      |ch AS (
+      |  SELECT doc_id,
+      |    sha256(array_to_string(ts[(i - 1) * 10 + 1 : i * 10], ' ')) AS d
+      |  FROM idx),
+      |cnt AS (SELECT d, count(DISTINCT doc_id) AS nd FROM ch GROUP BY d)
+      |SELECT ch.doc_id,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared,
+      |  CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS shared_frac
+      |FROM ch JOIN cnt USING (d)
+      |GROUP BY ch.doc_id
+      |ORDER BY ch.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1050,7 +1119,9 @@ object PipelineQueries {
     "p25_bigram_novelty" -> (p25 _),
     "p26_decontaminate" -> (p26 _),
     "p27_mixture_plan" -> (p27 _),
-    "p28_incremental_dedup" -> (p28 _))
+    "p28_incremental_dedup" -> (p28 _),
+    "p29_repetition" -> (p29 _),
+    "p30_chunk_dedup" -> (p30 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1080,5 +1151,7 @@ object PipelineQueries {
     "p25_bigram_novelty" -> p25Sql,
     "p26_decontaminate" -> p26Sql,
     "p27_mixture_plan" -> p27Sql,
-    "p28_incremental_dedup" -> p28Sql)
+    "p28_incremental_dedup" -> p28Sql,
+    "p29_repetition" -> p29Sql,
+    "p30_chunk_dedup" -> p30Sql)
 }

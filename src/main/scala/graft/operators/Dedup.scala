@@ -487,6 +487,39 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Chunk-level exact dedup stats: split each doc into aligned
+    * `k`-word chunks, digest each chunk, and report per doc how many
+    * of its chunks also occur (byte-identical) in at least one OTHER
+    * doc — the exact-substring-duplication signal used to strip
+    * boilerplate that survives whole-document dedup (license headers,
+    * navigation chrome, templated intros).
+    *
+    * Scale shape: only (doc_id, 32-byte digest) rows ever shuffle —
+    * the text stays in its scan. The digest-count aggregate's output
+    * is hash-partitioned on the digest, so the postings⋈counts join
+    * reuses that layout (one side's exchange elided); nothing is
+    * all-pairs and no per-digest doc list is ever materialized.
+    * A trailing partial chunk (< k words) is not counted — aligned
+    * full chunks only, matching the oracle. */
+  def chunkDupStats(corpus: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0)
+    val ch = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ts) div $k),
+           |  i -> sha2(array_join(slice(ts, (i - 1) * $k + 1, $k), ' '),
+           |    256))""".stripMargin)).as("d"))
+    val counts = ch.groupBy(col("d"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(counts, Seq("d"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_chunks"))
+  }
+
   /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a
     * quadratic threshold hash ((a_j·t² + b_j·t + j) mod 8191 < 4096 →
     * +1 else −1), weighted by token multiplicity; a linear-parity hash

@@ -53,6 +53,48 @@ object TextStats {
         (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
   }
 
+  /** Per-document repetition signals — the mode-based filters of the
+    * Gopher/C4 family that [[quality]]'s distinct-ratio misses: the
+    * fraction of tokens taken by the single most frequent word, and of
+    * bigrams by the most frequent bigram (a doc looping one phrase has
+    * high top-fractions at a normal type/token ratio).
+    *
+    * Everything is IN-ROW: the max multiplicity is the longest equal
+    * run of the doc's sorted token array, computed by one `aggregate`
+    * HOF over a struct accumulator — no explode, no (doc, word)
+    * shuffle, no vocabulary; a 100 TB corpus pays one codegen'd
+    * projection. Fractions are one IEEE division of exact counts. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def maxRun(arr: String) =
+      s"""aggregate(sort_array($arr),
+         |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run', IF(x = a.prev, a.run + 1L, 1L),
+         |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+         |  a -> a.best)""".stripMargin
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      // bigrams of a 1-token doc: empty, not sequence(1, 0) (which
+      // Spark evaluates DESCENDING as [1, 0])
+      .withColumn("bg", expr(
+        """IF(size(ts) < 2, array(),
+          |  transform(sequence(1, size(ts) - 1),
+          |    i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        expr(maxRun("ts")).as("top_word"),
+        expr(maxRun("bg")).as("top_bigram"))
+      .select(col("doc_id"), col("n_tok"), col("top_word"),
+        col("top_bigram"),
+        (col("top_word").cast("double") / col("n_tok"))
+          .as("top_word_frac"),
+        when(col("n_tok") >= 2,
+          col("top_bigram").cast("double") / (col("n_tok") - 1L))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Token accounting per doc: whitespace tokens plus a BPE-ish
     * subword estimate — Σ ceil(len(word)/4) — approximating a ~4
     * chars/token subword tokenizer without a vocabulary (the shape a

@@ -20,6 +20,38 @@ class MiscSpec extends AnyFunSuite {
     assert(r.getDouble(8) == 2.0) // (11 - 4 + 1) / 4 mean word length
   }
 
+  test("TextStats.repetitionStats: in-row mode fractions, 1-token edge") {
+    val d = Seq(
+      (0L, "spam spam spam eggs spam"), // top word spam×4; top bigram "spam spam"×2
+      (1L, "all words here differ fully"),
+      (2L, "solo"))                     // 1 token: no bigrams
+      .toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(d).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 5L && r(0).getLong(2) == 4L
+      && r(0).getLong(3) == 2L)
+    assert(r(0).getDouble(4) == 4.0 / 5 && r(0).getDouble(5) == 2.0 / 4)
+    assert(r(1).getLong(2) == 1L && r(1).getLong(3) == 1L)
+    assert(r(2).getLong(1) == 1L && r(2).getLong(3) == 0L
+      && r(2).getDouble(5) == 0.0)
+  }
+
+  test("Dedup.chunkDupStats: aligned chunks, cross-doc sharing only") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (11 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$ten $other"),      // 2 chunks; first shared with doc 1
+      (1L, s"$ten tail words beyond chunk"), // 1 chunk (14 tokens), shared
+      (2L, other.replace("w11", "w99") + " " + ten.replace("w1 ", "zz ")),
+      (3L, "short doc"))          // < 10 tokens: no chunks, absent
+      .toDF("doc_id", "text")
+    val r = Dedup.chunkDupStats(d, k = 10).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 1L
+      && r(0).getDouble(3) == 0.5)
+    assert(r(1).getLong(1) == 1L && r(1).getLong(2) == 1L)
+    assert(r(2).getLong(2) == 0L)
+  }
+
   test("TextStats.langGuess argmax with alphabetical tie-break") {
     val d = Seq(
       (0L, "x", 1L, "join merge sort sort"), // de markers dominate
