@@ -190,6 +190,75 @@ object StreamOps {
         col("jaccard"), col("pair_ts"))
   }
 
+  /** Streaming EXACT dedup of a document stream against a persisted
+    * corpus ([[graft.operators.Dedup.writeDedupState]] output): a
+    * stream-static LEFT ANTI join on the content digest — the
+    * continuous-ingest form of the incremental batch path. The static
+    * digest table re-reads per micro-batch through Spark's file-source
+    * caching; no stream state at all (the corpus IS the state). The
+    * digest column `fp` is kept so downstream stages skip re-hashing. */
+  def streamingExactDedupAgainstCorpus(docs: DataFrame,
+      stateRoot: String): DataFrame = {
+    val spark = docs.sparkSession
+    val exDigests = spark.read.parquet(s"$stateRoot/dedup_digests")
+    docs.withColumn("fp", sha2(col("text"), 256))
+      .join(exDigests, Seq("fp"), "left_anti")
+  }
+
+  /** Streaming NEAR-dup detection against a persisted corpus: flags
+    * stream docs whose shingle set verifies (exact Jaccard ≥
+    * `threshold`) against at least one corpus doc sharing an LSH band
+    * key. Banding parameters come from the state's meta table, so the
+    * stream side is always banded compatibly with the corpus side.
+    *
+    * Shape: the stream's band keys are an in-row projection (no
+    * vocabulary — nothing global blocks the stream); the corpus side
+    * joins as a STATIC equi-semi-join on (band, bkey) with the
+    * Jaccard verify folded into the join condition, so state is zero
+    * and a micro-batch costs one hash join against the band table.
+    * Multi-band hits of one doc collapse via
+    * `dropDuplicatesWithinWatermark` on the doc id (a doc's band rows
+    * share its event time, so the watermark can never split them).
+    *
+    * Returns the stream of FLAGGED docs (doc_id + event time) —
+    * callers route them out of the ingest (the stream-stream anti-join
+    * that would subtract them inline is unsupported by Structured
+    * Streaming; composing "exact-anti then flag" is the supported
+    * contract). */
+  def streamingNearDupsAgainstCorpus(docs: DataFrame, stateRoot: String,
+      eventTimeCol: String, delay: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.PolyHash31.register(spark)
+    val meta = spark.read.parquet(s"$stateRoot/dedup_meta").head()
+    val (k, p, r) = (meta.getAs[Int]("shingle_k"),
+      meta.getAs[Int]("num_perms"), meta.getAs[Int]("rows_per_band"))
+    // "__c"-prefixed names cannot collide with the caller's event-time
+    // column (which is caller-chosen, e.g. "et")
+    val eb = spark.read.parquet(s"$stateRoot/dedup_bands")
+      .select(col("tids").as("__c_tids"), col("band").as("__c_band"),
+        col("bkey").as("__c_bkey"))
+    val bands = graft.operators.TextOps
+      .shingleIdSets(docs, k, keep = Seq(eventTimeCol))
+      .withColumn("sig", expr(s"minhash_sigs(tids, $p)"))
+      .select(col("doc_id"), col(eventTimeCol), col("tids"),
+        posexplode(array(
+          graft.operators.Dedup.sigBandKeys(p, r): _*))
+          .as(Seq("band", "bkey")))
+    // the intersect appears three times, but this residual predicate
+    // only runs on rows the (band, bkey) hash keys already matched —
+    // LSH collisions, not the corpus
+    val verify = col("band") === col("__c_band") &&
+      col("bkey") === col("__c_bkey") &&
+      size(array_intersect(col("tids"), col("__c_tids"))).cast("double") /
+        (size(col("tids")) + size(col("__c_tids")) -
+          size(array_intersect(col("tids"), col("__c_tids")))) >= threshold
+    bands.join(eb, verify, "left_semi")
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col(eventTimeCol))
+  }
+
   final case class RawPoint(att_name: String, t: Long, value_r: Double)
   final case class ArchivedPoint(att_name: String, t: Long,
       value_r: Double, prev: Double)

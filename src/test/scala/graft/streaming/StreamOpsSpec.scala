@@ -200,6 +200,54 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static dedup against a persisted corpus state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "completely different corpus content sits here quietly"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-sstate")
+      .toString
+    graft.operators.Dedup.writeDedupState(corpus, root)
+    // exact: the stream-static anti join drops byte-identical docs
+    val inE = MemoryStream[(Long, String)]
+    val exact = StreamOps.streamingExactDedupAgainstCorpus(
+      inE.toDF().toDF("doc_id", "text"), root)
+    val qE = exact.writeStream.format("memory").queryName("sse")
+      .outputMode("append").start()
+    try {
+      inE.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again"),
+        (11L, "novel streaming content never seen before"))
+      qE.processAllAvailable()
+      assert(spark.table("sse").select("doc_id").as[Long].collect()
+        .toSeq == Seq(11L))
+    } finally qE.stop()
+    // near: the stream-static semi join flags verified band collisions
+    val inN = MemoryStream[(Long, String, Long)]
+    val flags = StreamOps.streamingNearDupsAgainstCorpus(
+      inN.toDF().toDF("doc_id", "text", "t_us")
+        .withColumn("et", timestamp_micros(col("t_us"))).drop("t_us"),
+      root, "et", "0 seconds")
+    val qN = flags.writeStream.format("memory").queryName("ssn")
+      .outputMode("append").start()
+    try {
+      // non-zero event times: epoch-0 rows are "late" against Spark's
+      // INITIAL watermark (also 0) and silently dropped by the
+      // dedup state op
+      inN.addData(
+        // near-copy of corpus doc 0 (one word dropped)
+        (20L, "quick brown fox jumps over the lazy dog again and again",
+          10000000L),
+        (21L, "utterly unrelated text goes right past every band",
+          10000000L))
+      qN.processAllAvailable()
+      assert(spark.table("ssn").select("doc_id").as[Long].collect()
+        .toSeq == Seq(20L))
+    } finally qN.stop()
+  }
+
   test("streamingExactDedupWithinWatermark evicts state past the horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
