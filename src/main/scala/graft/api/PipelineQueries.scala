@@ -1089,6 +1089,41 @@ object PipelineQueries {
       |GROUP BY ch.doc_id
       |ORDER BY ch.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- quantization
+  /** Int8 quantization audit over the embeddings table — per-vector
+    * scale, quantized leading components, and the exact fixed-point
+    * reconstruction-error numerator (integers end to end; see
+    * [[Similarity.quantizationStats]]). */
+  private def p31(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizationStats(emb(s, dir)).orderBy(col("vec_id"))
+
+  private val p31Sql =
+    """WITH fx AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vs
+      |  FROM embeddings),
+      |mx AS (SELECT vec_id, vs,
+      |  list_reduce(list_transform(vs, v -> abs(v)),
+      |    (a, b) -> greatest(a, b)) AS m FROM fx),
+      |qq AS (SELECT vec_id, vs, m,
+      |  list_transform(vs, v -> CASE
+      |    WHEN m = 0 THEN 0
+      |    WHEN v >= 0 THEN (v * 254 + m) // (2 * m)
+      |    ELSE -((-v * 254 + m) // (2 * m)) END) AS qs
+      |  FROM mx),
+      |er AS (SELECT vec_id, m, qs, CAST(len(vs) AS BIGINT) AS n_dims,
+      |  list_reduce(list_transform(generate_series(1, len(vs)),
+      |    i -> (127 * vs[i] - qs[i] * m) * (127 * vs[i] - qs[i] * m)),
+      |    (a, b) -> a + b) AS sse_num
+      |  FROM qq)
+      |SELECT vec_id, n_dims, m, sse_num,
+      |  qs[1] AS q1, qs[2] AS q2,
+      |  CASE WHEN m = 0 THEN 0.0
+      |    ELSE CAST(sse_num AS DOUBLE)
+      |      / CAST(n_dims * 16129 * m * m AS DOUBLE) END AS rel_sse
+      |FROM er ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1121,7 +1156,8 @@ object PipelineQueries {
     "p27_mixture_plan" -> (p27 _),
     "p28_incremental_dedup" -> (p28 _),
     "p29_repetition" -> (p29 _),
-    "p30_chunk_dedup" -> (p30 _))
+    "p30_chunk_dedup" -> (p30 _),
+    "p31_quantize" -> (p31 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1153,5 +1189,6 @@ object PipelineQueries {
     "p27_mixture_plan" -> p27Sql,
     "p28_incremental_dedup" -> p28Sql,
     "p29_repetition" -> p29Sql,
-    "p30_chunk_dedup" -> p30Sql)
+    "p30_chunk_dedup" -> p30Sql,
+    "p31_quantize" -> p31Sql)
 }

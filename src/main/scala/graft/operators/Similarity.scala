@@ -234,4 +234,46 @@ object Similarity {
     val aggs = count(lit(1)).as("n") +: sums
     emb.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Symmetric int8 quantization audit per vector — the vector-store
+    * compression step: per-vector scale = maxabs/127, q_i =
+    * round(v_i/scale) ∈ [-127, 127], plus the reconstruction error the
+    * compression costs. Entirely IN-ROW (transform/zip_with/aggregate
+    * over the embedding array — no shuffle at all; a 100 TB embedding
+    * table pays one projection).
+    *
+    * All arithmetic runs in the repo's exact fixed-point domain
+    * (v = round(x·10⁴) as BIGINT, the p11/p13 convention): the max,
+    * the quantized values (integer round-half-away-from-zero — the
+    * `div` numerators are kept non-negative so Spark's truncating and
+    * DuckDB's flooring integer division agree), and the squared-error
+    * numerator Σ(127·v − q·m)² are all integers, so any engine
+    * reproduces them bit-for-bit; the one IEEE division at the end
+    * (sse over its exact denominator n·127²·m²) is deterministic.
+    * All-zero vectors quantize to zeros with zero error. */
+  def quantizationStats(emb: DataFrame, fixedScale: Int = 10000): DataFrame =
+    emb
+      .select(col("vec_id"), expr(
+        s"""transform(embedding,
+           |  x -> CAST(round(CAST(x AS DOUBLE) * $fixedScale) AS BIGINT))"""
+          .stripMargin).as("vs"))
+      .withColumn("m", expr("aggregate(vs, 0L, (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("qs", expr(
+        """transform(vs, v -> CASE
+          |  WHEN m = 0 THEN 0L
+          |  WHEN v >= 0 THEN (v * 254 + m) div (2 * m)
+          |  ELSE -((-v * 254 + m) div (2 * m)) END)""".stripMargin))
+      .withColumn("sse_num", expr(
+        """aggregate(zip_with(vs, qs, (v, q) -> 127 * v - q * m),
+          |  0L, (a, e) -> a + e * e)""".stripMargin))
+      .select(col("vec_id"),
+        size(col("vs")).cast("long").as("n_dims"),
+        col("m"), col("sse_num"),
+        element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q2"),
+        when(col("m") === 0, lit(0.0))
+          .otherwise(col("sse_num").cast("double") /
+            (size(col("vs")).cast("long") * lit(16129L) * col("m") * col("m"))
+              .cast("double"))
+          .as("rel_sse"))
 }

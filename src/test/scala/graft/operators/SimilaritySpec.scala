@@ -182,4 +182,26 @@ class SimilaritySpec extends AnyFunSuite {
     val merged = agg.merge(b, agg.reduce(agg.zero, (1L, 9L)))
     assert(agg.finish(merged) == Seq((1L, 9L), (3L, 0L)))
   }
+
+  test("quantizationStats: exact int8 round-trip, zero-vector guard") {
+    val d = Seq(
+      (0L, Array(0.5f, -0.25f, 0.125f)),  // vs = 5000, -2500, 1250; m = 5000
+      (1L, Array(0.0f, 0.0f, 0.0f)))      // all-zero: q = 0, no division
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizationStats(d).orderBy("vec_id").collect()
+    val v0 = r(0)
+    assert(v0.getLong(1) == 3L && v0.getLong(2) == 5000L)
+    // q for the max component is exactly ±127; -2500/5000·127 = -63.5
+    // rounds away from zero to -64
+    assert(v0.getLong(4) == 127L && v0.getLong(5) == -64L)
+    // sse recomputed by hand: Σ(127·v − q·m)²
+    val vs = Seq(5000L, -2500L, 1250L); val qs = Seq(127L, -64L, 32L)
+    val sse = vs.zip(qs).map { case (v, q) =>
+      val e = 127 * v - q * 5000; e * e }.sum
+    assert(v0.getLong(3) == sse)
+    assert(v0.getDouble(6) == sse.toDouble / (3L * 16129 * 5000 * 5000))
+    val v1 = r(1)
+    assert(v1.getLong(2) == 0L && v1.getLong(3) == 0L
+      && v1.getDouble(6) == 0.0)
+  }
 }
