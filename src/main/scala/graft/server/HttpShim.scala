@@ -31,10 +31,14 @@ import graft.operators.Catalog
   *  - /query content negotiation honors the Accept header for
   *    text/csv vs application/json (the reference uses an aiohttp
   *    negotiation middleware to the same effect, `server.py:287-291`);
-  *  - no static-file route (the reference serves its JS client).
+  *  - the static-file route serves from `staticDir` when one is given
+  *    (the reference hardwires its bundled JS client's directory,
+  *    `server.py:293-296`; a library shim takes it as a parameter and
+  *    omits the route when absent).
   */
 final class HttpShim(spark: SparkSession, points: DataFrame,
-    attConf: DataFrame, attNames: DataFrame, port: Int = 0) {
+    attConf: DataFrame, attNames: DataFrame, port: Int = 0,
+    staticDir: Option[String] = None) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -49,8 +53,11 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
   // ------------------------------------------------------------ plumbing
 
   private def respond(ex: HttpExchange, status: Int, body: String,
-      contentType: String = "application/json"): Unit = {
-    val raw = body.getBytes(UTF_8)
+      contentType: String = "application/json"): Unit =
+    respondBytes(ex, status, body.getBytes(UTF_8), contentType)
+
+  private def respondBytes(ex: HttpExchange, status: Int,
+      raw: Array[Byte], contentType: String): Unit = {
     // the reference gzips every data response (server.py:147,164,180) —
     // its PNG-transport size math counts on it: raw JSON hover descs +
     // base64 PNGs are 3-10× larger uncompressed
@@ -233,5 +240,39 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     }
     respond(ex, 200,
       Json.write(Map("images" -> images, "descs" -> descs)))
+  }
+
+  // GET /static/… (+ "/" → index.html) — the client-bundle route
+  // (server.py:293-296). Registered only when a directory is supplied.
+  private val ContentTypes = Map(
+    "html" -> "text/html", "js" -> "application/javascript",
+    "css" -> "text/css", "json" -> "application/json",
+    "png" -> "image/png", "svg" -> "image/svg+xml",
+    "ico" -> "image/x-icon", "map" -> "application/json")
+
+  staticDir.foreach { dir =>
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+    def serve(ex: HttpExchange, rel: String): Unit = {
+      val clean = if (rel.isEmpty || rel == "/") "index.html" else rel
+      val target = root.resolve(clean.stripPrefix("/")).normalize()
+      // normalize-then-prefix-check forecloses ../ traversal out of root
+      if (!target.startsWith(root) || !java.nio.file.Files.isRegularFile(target))
+        respond(ex, 404, """{"error":"not found"}""")
+      else {
+        val ext = clean.substring(clean.lastIndexOf('.') + 1).toLowerCase
+        respondBytes(ex, 200, java.nio.file.Files.readAllBytes(target),
+          ContentTypes.getOrElse(ext, "application/octet-stream"))
+      }
+    }
+    handle("/static", "GET") { ex =>
+      serve(ex, ex.getRequestURI.getPath.stripPrefix("/static"))
+    }
+    handle("/", "GET") { ex =>
+      // com.sun.net.httpserver routes unmatched paths to the "/"
+      // context; only the bare root serves the index from here
+      val p = ex.getRequestURI.getPath
+      if (p == "/" || p == "/index.html") serve(ex, "index.html")
+      else respond(ex, 404, """{"error":"not found"}""")
+    }
   }
 }

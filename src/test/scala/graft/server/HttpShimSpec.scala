@@ -148,6 +148,37 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Json.arr(Json.parse(optOut.body())).nonEmpty)
   }
 
+  test("static route serves the client bundle, blocks traversal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-static")
+    java.nio.file.Files.writeString(dir.resolve("index.html"),
+      "<html>viewer</html>")
+    java.nio.file.Files.writeString(dir.resolve("app.js"),
+      "console.log('hi')")
+    val ad = new graft.sources.EventsArchiveAdapter(
+      spark, "/root/testdata/sf0.001")
+    val s2 = new HttpShim(spark, ad.pointsAll, ad.attConf, ad.attNames,
+      staticDir = Some(dir.toString))
+    s2.start()
+    val b2 = s"http://127.0.0.1:${s2.boundPort}"
+    try {
+      def get2(p: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(b2 + p)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      val idx = get2("/")
+      assert(idx.statusCode() == 200 && idx.body().contains("viewer"))
+      assert(idx.headers().firstValue("Content-Type").orElse("")
+        .contains("text/html"))
+      val js = get2("/static/app.js")
+      assert(js.statusCode() == 200 && js.body().contains("console"))
+      assert(js.headers().firstValue("Content-Type").orElse("")
+        .contains("javascript"))
+      assert(get2("/static/missing.js").statusCode() == 404)
+      assert(get2("/static/../../etc/passwd").statusCode() == 404)
+      // the no-staticDir shim (the suite's main fixture) has no route
+      assert(get("/static/app.js").statusCode() == 404)
+    } finally s2.stop()
+  }
+
   test("malformed JSON answers 400") {
     val r = post("/query", """{"targets": [""")
     assert(r.statusCode() == 400)
