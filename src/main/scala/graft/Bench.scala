@@ -20,6 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.DerivedDivBounds.register(spark)
     // Warm-up: run EVERY query once at the smallest SF before timing.
     // Each query's generated code (whole-stage codegen classes) is
     // plan-specific, so scanning a few tables warms almost nothing —

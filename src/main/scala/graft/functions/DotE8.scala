@@ -183,5 +183,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("poly_hash31"),
       new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
       (args: Seq[Expression]) => PolyHash31(args.head)))
+    // derived-column predicate derivation (pushable raw-ts bounds from
+    // filters on `t = ts div 1000` — see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.DerivedDivBounds)
   }
 }

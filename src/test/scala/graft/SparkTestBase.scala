@@ -15,6 +15,9 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // every suite runs with the derived-bound rule installed — any
+    // result it corrupted would fail the corresponding spec
+    graft.plans.DerivedDivBounds.register(s)
     s
   }
 }

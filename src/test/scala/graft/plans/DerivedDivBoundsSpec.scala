@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The derived-bound rule: a NAIVE filter on the derived µs column
+  * `t = ts div 1000` — no manually paired raw bound — must still put a
+  * raw-`ts` predicate into the parquet footer, and must never change
+  * results, including at the truncation edge cases the sign guards
+  * protect. */
+class DerivedDivBoundsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts"), expr("ts div 1000").as("t"), col("user_id"))
+  }
+
+  test("naive t-range filter reaches the footer as a raw ts bound") {
+    DerivedDivBounds.register(spark)
+    val Seq(t0, t1) = events.agg(min("t"), max("t")).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSeq
+    val mid0 = t0 + (t1 - t0) / 3
+    val mid1 = t0 + 2 * (t1 - t0) / 3
+    val df = events.where(col("t") >= mid0 && col("t") <= mid1)
+    val pushed = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.exists(s => s.contains("GreaterThanOrEqual(ts")
+      && s.contains("LessThanOrEqual(ts")),
+      s"no derived raw-ts bounds pushed (pushed=$pushed)")
+    // identical rows to the un-deriving formulation (count + endpoint)
+    val expected = events.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, t) => t >= mid0 && t <= mid1 }
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == expected.toSet && got.length == expected.length)
+  }
+
+  test("truncation edges: x = 0 lower bound must NOT be derived") {
+    DerivedDivBounds.register(spark)
+    import spark.implicits._
+    // a = -500: a div 1000 = 0 under truncation toward zero, so
+    // `t >= 0` must keep it — a derived `a >= 0` would wrongly drop it
+    val d = Seq(-1500L, -500L, 0L, 500L, 1500L).toDF("a")
+      .select(col("a"), expr("a div 1000").as("t"))
+    assert(d.where(col("t") >= 0).select("a").as[Long].collect().toSet
+      == Set(-500L, 0L, 500L, 1500L))
+    assert(d.where(col("t") >= 1).select("a").as[Long].collect().toSet
+      == Set(1500L))
+    assert(d.where(col("t") <= 0).select("a").as[Long].collect().toSet
+      == Set(-1500L, -500L, 0L, 500L))
+    assert(d.where(col("t") === 1).select("a").as[Long].collect().toSet
+      == Set(1500L))
+    assert(d.where(lit(0L) < col("t")).select("a").as[Long].collect().toSet
+      == Set(1500L))
+  }
+
+  test("derived bounds are exact at the bucket boundary") {
+    DerivedDivBounds.register(spark)
+    import spark.implicits._
+    // 1999 div 1000 = 1 must survive `t <= 1`; 2000 must not
+    val d = Seq(999L, 1000L, 1999L, 2000L).toDF("a")
+      .select(col("a"), expr("a div 1000").as("t"))
+    assert(d.where(col("t") <= 1).select("a").as[Long].collect().toSet
+      == Set(999L, 1000L, 1999L))
+    assert(d.where(col("t") >= 1 && col("t") < 2).select("a").as[Long]
+      .collect().toSet == Set(1000L, 1999L))
+  }
+}
