@@ -604,9 +604,30 @@ object EventQueries {
        |FROM g GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  // ---------------------------------------------------------------- naive range
+  /** The q01-style range written NAIVELY — only the derived µs column
+    * `t`, no manually paired raw-`ts` bound (what a user who never read
+    * [[EventsArchiveAdapter.tsRangeUs]]'s scaladoc writes). Correct
+    * either way; row-group PRUNED only because
+    * [[graft.plans.DerivedDivBounds]] derives the raw bound —
+    * PlanGuardSpec asserts the pushdown reaches the footer, this
+    * oracle pins the results. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .where(col("event_type") === "click"
+        && col("t") >= T0 && col("t") <= T1)
+      .select(col("att_name"), col("point_id"), col("t"), col("value_r"))
+      .orderBy(col("t"), col("point_id"))
+
+  private val q27Sql =
+    s"""${PtsSql}SELECT att_name, point_id, t, value_r FROM pts
+       |WHERE event_type = 'click' AND t BETWEEN $T0 AND $T1
+       |ORDER BY t, point_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_naive_time_range" -> (q27 _),
     "q01_scan_project" -> (q01 _),
     "q02_resample_5m" -> (resampleQ("5m") _),
     "q03_resample_30s" -> (resampleQ("30s") _),
@@ -635,6 +656,7 @@ object EventQueries {
     "q26_sessionize" -> (q26 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q27_naive_time_range" -> q27Sql,
     "q01_scan_project" -> q01Sql,
     "q02_resample_5m" -> resampleSql("5m"),
     "q03_resample_30s" -> resampleSql("30s"),

@@ -24,8 +24,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // every time predicate must carry the paired raw `ts` bound all the
     // way to the footer (EventsArchiveAdapter.tsRangeUs & friends) —
     // at archive scale this is row-group pruning vs a full read
+    // q27 carries NO manual ts_raw bound — its presence here is the
+    // DerivedDivBounds rule working end to end through the adapter
     val timeFiltered = Seq("q01_scan_project", "q09_point_in_time",
-      "q10_history_limit", "q17_grafana_datapoints")
+      "q10_history_limit", "q17_grafana_datapoints",
+      "q27_naive_time_range")
     timeFiltered.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val pushed = df.queryExecution.sparkPlan.collect {
