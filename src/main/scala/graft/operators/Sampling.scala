@@ -222,6 +222,10 @@ object Sampling {
     val sortCols = strataCols.map(col) :+ col("doc_id")
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = base
+      // canonical (strata…, doc_id, n_tok) layout: the per-partition
+      // pass below reads rows POSITIONALLY (stratum prefix, n_tok at
+      // k+1), so the operator must not trust the caller's column order
+      .select(strataCols.map(col) :+ col("doc_id") :+ col("n_tok"): _*)
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val schema = StructType(sorted.schema.fields ++ Seq(

@@ -52,6 +52,29 @@ class MiscSpec extends AnyFunSuite {
     assert(r(2).getLong(2) == 0L)
   }
 
+  test("property: chunkDupStats planted copies share fully, others never") {
+    val rnd = new scala.util.Random(31)
+    // doc-unique vocabularies make accidental cross-doc chunks impossible
+    val base = (0L until 30L).map { id =>
+      val n = 10 + rnd.nextInt(25)
+      id -> (0 until n).map(j => s"d${id}w$j").mkString(" ")
+    }
+    val planted = base.filter(_._1 % 5 == 0)
+      .map { case (id, text) => (id + 1000L) -> text }
+    val df = (base ++ planted).toDF("doc_id", "text")
+    val r = Dedup.chunkDupStats(df, k = 10).collect()
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    (base ++ planted).foreach { case (id, text) =>
+      val nChunks = text.split(" ").length / 10
+      val (n, shared, frac) = r(id)
+      assert(n == nChunks, s"doc $id chunk count")
+      val isCopy = id >= 1000L || id % 5 == 0
+      if (isCopy) assert(shared == n && frac == 1.0, s"doc $id shared")
+      else assert(shared == 0L && frac == 0.0, s"doc $id unique")
+    }
+  }
+
   test("TextStats.langGuess argmax with alphabetical tie-break") {
     val d = Seq(
       (0L, "x", 1L, "join merge sort sort"), // de markers dominate

@@ -112,6 +112,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(pids > 1, s"single-stratum cumsum used only $pids partition(s)")
   }
 
+  test("property: runningTokenSum ≡ window cumsum across random shapes") {
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val nStrata = Seq(1, 2, 5, 40)(trial - 1) // incl. the 1-stratum shape
+      val rows = (0 until 300).map { i =>
+        val lang =
+          if (rnd.nextInt(10) == 0) null // null stratum must survive
+          else s"s${rnd.nextInt(nStrata)}"
+        (i.toLong, lang, 1L + rnd.nextInt(9))
+      }
+      val df = rows.toDF("doc_id", "lang", "n_tok")
+      val got = Sampling.runningTokenSum(df, Seq("lang"))
+        .select("lang", "doc_id", "cum").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val expect = rows.groupBy(_._2).flatMap { case (lang, g) =>
+        g.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, _, n)) =>
+          (id, acc + n)
+        }.drop(1).map { case (id, cum) => (Option(lang), id) -> cum }
+      }
+      assert(got == expect, s"trial $trial diverged")
+    }
+  }
+
   test("globalSample: n smallest hashes, bounded top-n plan") {
     val r = Sampling.globalSample(docs, n = 3)
     val rows = r.collect()

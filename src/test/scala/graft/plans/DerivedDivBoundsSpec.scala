@@ -59,6 +59,32 @@ class DerivedDivBoundsSpec extends AnyFunSuite {
       == Set(1500L))
   }
 
+  test("property: random div filters match brute force with rule active") {
+    DerivedDivBounds.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val as = Seq.fill(200)(rnd.nextLong() % 5000L) // mixed-sign longs
+    (1 to 6).foreach { _ =>
+      val c = Seq(1L, 7L, 1000L)(rnd.nextInt(3))
+      val x = rnd.nextLong() % (5000L / c + 2)
+      val d = as.toDF("a").select(col("a"), expr(s"a div ${c}L").as("t"))
+      def brute(p: Long => Boolean): Set[Long] =
+        as.filter(a => p(a / c)).toSet
+      assert(d.where(col("t") >= x).select("a").as[Long].collect().toSet
+        == brute(_ >= x), s"t >= $x with c=$c")
+      assert(d.where(col("t") > x).select("a").as[Long].collect().toSet
+        == brute(_ > x), s"t > $x with c=$c")
+      assert(d.where(col("t") <= x).select("a").as[Long].collect().toSet
+        == brute(_ <= x), s"t <= $x with c=$c")
+      assert(d.where(col("t") < x).select("a").as[Long].collect().toSet
+        == brute(_ < x), s"t < $x with c=$c")
+      assert(d.where(col("t") === x).select("a").as[Long].collect().toSet
+        == brute(_ == x), s"t = $x with c=$c")
+      assert(d.where(lit(x) <= col("t")).select("a").as[Long].collect().toSet
+        == brute(_ >= x), s"$x <= t with c=$c")
+    }
+  }
+
   test("derived bounds are exact at the bucket boundary") {
     DerivedDivBounds.register(spark)
     import spark.implicits._
