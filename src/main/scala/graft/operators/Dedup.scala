@@ -81,15 +81,19 @@ object Dedup {
     * collision count).
     *
     * A DEGENERATE bucket — a band key that stopped discriminating,
-    * e.g. millions of identical boilerplate docs surviving an
-    * imperfect exact-dedup pass — would materialize its full C(n,2)
-    * pair array in ONE task's row: a single-task OOM at scale. The
-    * `maxBucket` cap enforces the contract instead of hoping: buckets
-    * larger than it are EXCLUDED from pair expansion (their members
-    * are near-identical by construction — route them through exact
-    * dedup, which handles them in one digest group-by) and accounted
-    * via an `observe` metric `lsh_buckets_<n>` with `overflow_buckets`
-    * / `max_bucket_size` columns (read it from
+    * e.g. millions of near-identical boilerplate docs — would
+    * materialize its full C(n,2) pair array in ONE task's row: a
+    * single-task OOM at scale. Buckets larger than `maxBucket` are
+    * therefore expanded as a STAR around the minimum doc id (n−1
+    * pairs) instead of all-pairs: every member still reaches the
+    * verify step (paired with the anchor) and connected components
+    * still merges the bucket transitively, so nothing is silently
+    * dropped — the full pair GRAPH is thinned, never the docs. (An
+    * over-cap bucket means the band key stopped discriminating, i.e.
+    * its members are near-copies of each other; anchor-verification
+    * is exactly the comparison that matters for them.) Overflow is
+    * accounted via an `observe` metric `lsh_buckets_<n>` with
+    * `overflow_buckets` / `max_bucket_size` columns (read it from
     * `df.queryExecution.observedMetrics` after an action, or with a
     * `QueryExecutionListener`; the name is uniquified per call so two
     * candidate stages can share one query tree). */
@@ -102,12 +106,15 @@ object Dedup {
         sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L))
           .as("overflow_buckets"),
         coalesce(max(size(col("ds"))), lit(0)).as("max_bucket_size"))
-      .where(size(col("ds")) <= maxBucket)
       .select(explode(expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-          |  i -> transform(slice(ds, i + 1, size(ds) - i),
-          |    j -> struct(element_at(ds, i) as d1, j as d2))))"""
-          .stripMargin)).as("p"))
+        s"""CASE WHEN size(ds) <= $maxBucket THEN
+           |  flatten(transform(sequence(1, size(ds) - 1),
+           |    i -> transform(slice(ds, i + 1, size(ds) - i),
+           |      j -> struct(element_at(ds, i) as d1, j as d2))))
+           |ELSE
+           |  transform(slice(ds, 2, size(ds) - 1),
+           |    j -> struct(element_at(ds, 1) as d1, j as d2))
+           |END""".stripMargin)).as("p"))
       .select(col("p.d1"), col("p.d2")).distinct()
   }
 
@@ -306,21 +313,30 @@ object Dedup {
       // growing lineage (in-loop unpersist of a parent cache is NOT
       // safe — dependents may lazily recompute through it — so caches
       // stay alive until after the final checkpoint below)
-      val (next, qe) = if (sinceCheckpoint >= 16) {
+      val (next, qe, rowCount) = if (sinceCheckpoint >= 16) {
         sinceCheckpoint = 0
-        (nextF.localCheckpoint(true), nextF.queryExecution)
+        val cp = nextF.localCheckpoint(true)
+        (cp, nextF.queryExecution, -1L) // count unknown on this path
       } else {
         val n = nextF.persist()
         val agg = n.agg(count(lit(1))) // materializes the cache
-        agg.head()
-        (n, agg.queryExecution)
+        val cnt = agg.head().getLong(0)
+        (n, agg.queryExecution, cnt)
       }
       val m = qe.observedMetrics
-      // a missing probe means PropagateEmptyRelation proved that frame
-      // empty at plan time — equivalent to a null (empty) sum, so
-      // normalize both to null: an empty label table is a fixpoint
-      def sumOf(name: String): Any = m.get(name).map(_.get(0)).orNull
-      converged = sumOf(probeN) == sumOf(finalN)
+      converged = (m.get(probeN), m.get(finalN)) match {
+        case (Some(p), Some(f)) => p.get(0) == f.get(0)
+        case _ =>
+          // probes only legitimately vanish when PropagateEmptyRelation
+          // proved the frame empty (an empty label table IS a fixpoint);
+          // missing probes over a NON-empty frame would silently fake
+          // convergence, so verify emptiness — cheap count on the
+          // materialized frame — and fail loudly otherwise
+          val empty = if (rowCount >= 0) rowCount == 0 else next.isEmpty
+          require(empty, s"connectedComponents: observe probes missing " +
+            s"on a non-empty label frame — convergence can't be decided")
+          true
+      }
       generations += labels
       labels = next
       round += depth
@@ -368,10 +384,12 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
       .select(col("doc_id"), col("text"))
       .persist()
+    // persisted: connectedComponents' edge table and its convergence
+    // loop would otherwise replay the verify join per materialization
+    // (LRU lifecycle, as in minhashNearDups)
     val pairs = minhashNearDups(kept, spark, shingleK, numPerms,
-      rowsPerBand, threshold)
-    val nonCanonical = connectedComponents(
-      pairs.select(col("d1"), col("d2")))
+      rowsPerBand, threshold).select(col("d1"), col("d2")).persist()
+    val nonCanonical = connectedComponents(pairs)
       .where(col("keep") === 0).select(col("doc_id"))
     // explicit broadcast: the CC output is checkpoint-backed (no
     // catalog stats), so the planner would otherwise default this

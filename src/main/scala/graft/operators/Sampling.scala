@@ -182,7 +182,9 @@ object Sampling {
   def packTokenBudget(docs: DataFrame, strataCols: Seq[String],
       budget: Long): DataFrame = {
     require(budget > 0)
-    val nTok = size(split(col("text"), " ")).cast("long")
+    // null text counts as 0 tokens (keeps its slot in the doc_id
+    // sequence at no budget cost) rather than poisoning cum/bin
+    val nTok = coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
     val base = docs
       .select(strataCols.map(col) :+ col("doc_id") :+ nTok.as("n_tok"): _*)
     runningTokenSum(base, strataCols)
@@ -238,7 +240,9 @@ object Sampling {
       it.map { r =>
         val sk = r.toSeq.take(k)
         if (sk != key) { key = sk; run = 0L }
-        run += r.getLong(nTokIdx)
+        // null n_tok (e.g. a null-text doc) counts as 0 tokens — the
+        // row keeps its position in the sequence without advancing it
+        run += (if (r.isNullAt(nTokIdx)) 0L else r.getLong(nTokIdx))
         org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, run))
       }
     }

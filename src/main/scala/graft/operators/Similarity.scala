@@ -269,8 +269,10 @@ object Similarity {
       .select(col("vec_id"),
         size(col("vs")).cast("long").as("n_dims"),
         col("m"), col("sse_num"),
-        element_at(col("qs"), 1).as("q1"),
-        element_at(col("qs"), 2).as("q2"),
+        // guarded: ANSI-mode element_at throws past the array end,
+        // where the oracle's qs[i] yields NULL — match the oracle
+        when(size(col("qs")) >= 1, element_at(col("qs"), 1)).as("q1"),
+        when(size(col("qs")) >= 2, element_at(col("qs"), 2)).as("q2"),
         when(col("m") === 0, lit(0.0))
           .otherwise(col("sse_num").cast("double") /
             (size(col("vs")).cast("long") * lit(16129L) * col("m") * col("m"))

@@ -76,14 +76,19 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     try os.write(bytes) finally os.close()
   }
 
-  /** Accept-Encoding lists gzip as an acceptable coding (a `gzip;q=0`
-    * entry is an explicit opt-OUT and must not match). */
+  /** Accept-Encoding lists gzip as an acceptable coding (a zero
+    * qvalue — `q=0`, `q=0.0`, `q=0.000` per RFC 7231 — is an explicit
+    * opt-OUT and must not match). */
   private def acceptsGzip(ex: HttpExchange): Boolean =
     Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
       .getOrElse("").toLowerCase.split(',').exists { e =>
         val parts = e.split(';').map(_.trim)
-        parts.headOption.contains("gzip") &&
-          !parts.exists(p => p.replace(" ", "") == "q=0")
+        val q = parts.collectFirst {
+          case p if p.replace(" ", "").startsWith("q=") =>
+            try p.replace(" ", "").stripPrefix("q=").toDouble
+            catch { case _: NumberFormatException => 1.0 }
+        }.getOrElse(1.0)
+        parts.headOption.contains("gzip") && q > 0.0
       }
 
   private def handle(path: String, method: String)(
@@ -265,7 +270,12 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
       }
     }
     handle("/static", "GET") { ex =>
-      serve(ex, ex.getRequestURI.getPath.stripPrefix("/static"))
+      // the JDK server matches contexts by raw string prefix, so
+      // "/staticapp.js" also lands here — only serve real /static/…
+      // segment paths
+      val rel = ex.getRequestURI.getPath.stripPrefix("/static")
+      if (rel.isEmpty || rel.startsWith("/")) serve(ex, rel)
+      else respond(ex, 404, """{"error":"not found"}""")
     }
     handle("/", "GET") { ex =>
       // com.sun.net.httpserver routes unmatched paths to the "/"

@@ -111,6 +111,11 @@ final class ParquetArchiveSource(val spark: SparkSession, root: String,
 final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
     extends ArchiveSource {
 
+  // self-register like the operators do with poly_hash31: a NAIVE
+  // filter on the derived `t` must row-group-prune even in sessions
+  // built without GraftExtensions or the harness entry points
+  graft.plans.DerivedDivBounds.register(spark)
+
   private val eventTypes =
     Seq("click", "error", "purchase", "signup", "view") // sorted, stable ids
 

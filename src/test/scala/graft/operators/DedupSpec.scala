@@ -101,20 +101,22 @@ class DedupSpec extends AnyFunSuite {
     assert(ws.isEmpty)
   }
 
-  test("lshCandidates: degenerate buckets are capped and accounted") {
+  test("lshCandidates: degenerate buckets degrade to star pairs") {
     // one healthy bucket (2 docs) + one degenerate bucket (5 docs)
     val bands = (Seq((0, "k1", 10L), (0, "k1", 11L)) ++
       (0L until 5L).map(i => (1, "boiler", 100L + i)))
       .toDF("band", "bkey", "doc_id")
     val capped = Dedup.lshCandidates(bands, maxBucket = 4)
     val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
-    // the degenerate bucket contributes NO pairs; the healthy one does
-    assert(pairs.toSet == Set((10L, 11L)))
+    // over-cap bucket: STAR around the min doc (n−1 pairs, every
+    // member still reachable), never C(n,2); healthy bucket unchanged
+    assert(pairs.toSet == Set((10L, 11L),
+      (100L, 101L), (100L, 102L), (100L, 103L), (100L, 104L)))
     // …and the overflow is accounted in the observe metric
     val obs = capped.queryExecution.observedMetrics.values
     assert(obs.exists(m => m.getAs[Long]("overflow_buckets") == 1L
       && m.getAs[Int]("max_bucket_size") == 5))
-    // default cap keeps everything: 1 + C(5,2) pairs
+    // default cap keeps all pairs: 1 + C(5,2)
     assert(Dedup.lshCandidates(bands).count() == 11L)
   }
 

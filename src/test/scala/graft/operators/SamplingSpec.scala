@@ -112,6 +112,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(pids > 1, s"single-stratum cumsum used only $pids partition(s)")
   }
 
+  test("packTokenBudget: a null-text doc counts as 0 tokens, no crash") {
+    val d = Seq((0L, "en", "a b c"), (1L, "en", null), (2L, "en", "d e"))
+      .toDF("doc_id", "lang", "text")
+    val r = Sampling.packTokenBudget(d, Seq("lang"), budget = 100L)
+      .collect()
+    assert(r.length == 1)
+    // 3 docs, 5 real tokens, the null doc occupies its slot at 0 cost
+    assert(r.head.getLong(2) == 3L && r.head.getLong(5) == 2L)
+  }
+
   test("property: runningTokenSum ≡ window cumsum across random shapes") {
     val rnd = new scala.util.Random(11)
     (1 to 4).foreach { trial =>

@@ -203,5 +203,10 @@ class SimilaritySpec extends AnyFunSuite {
     val v1 = r(1)
     assert(v1.getLong(2) == 0L && v1.getLong(3) == 0L
       && v1.getDouble(6) == 0.0)
+    // a 1-dim embedding must yield q2 = null (ANSI element_at would
+    // throw), matching the oracle's out-of-range list index
+    val short = Seq((9L, Array(0.5f))).toDF("vec_id", "embedding")
+    val s = Similarity.quantizationStats(short).collect().head
+    assert(s.getLong(4) == 127L && s.isNullAt(5))
   }
 }

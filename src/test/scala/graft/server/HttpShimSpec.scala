@@ -138,14 +138,17 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(gunzip(gz.body()) == plain.body())
       assert(gz.body().length < plain.body().length, s"$path did not shrink")
     }
-    // gzip;q=0 is an explicit opt-out
-    val optOut = client.send(
-      HttpRequest.newBuilder(URI.create(base + "/query"))
-        .header("Accept-Encoding", "gzip;q=0")
-        .POST(HttpRequest.BodyPublishers.ofString(queryReq)).build(),
-      HttpResponse.BodyHandlers.ofString())
-    assert(optOut.headers().firstValue("Content-Encoding").isEmpty)
-    assert(Json.arr(Json.parse(optOut.body())).nonEmpty)
+    // zero qvalues are explicit opt-outs in every RFC 7231 spelling
+    for (enc <- Seq("gzip;q=0", "gzip;q=0.0", "gzip; q=0.000")) {
+      val optOut = client.send(
+        HttpRequest.newBuilder(URI.create(base + "/query"))
+          .header("Accept-Encoding", enc)
+          .POST(HttpRequest.BodyPublishers.ofString(queryReq)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(optOut.headers().firstValue("Content-Encoding").isEmpty,
+        s"'$enc' was not honored as an opt-out")
+      assert(Json.arr(Json.parse(optOut.body())).nonEmpty)
+    }
   }
 
   test("static route serves the client bundle, blocks traversal") {
@@ -174,6 +177,9 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
         .contains("javascript"))
       assert(get2("/static/missing.js").statusCode() == 404)
       assert(get2("/static/../../etc/passwd").statusCode() == 404)
+      // JDK context matching is prefix-based: /staticapp.js lands in
+      // the /static context but must not alias staticDir files
+      assert(get2("/staticapp.js").statusCode() == 404)
       // the no-staticDir shim (the suite's main fixture) has no route
       assert(get("/static/app.js").statusCode() == 404)
     } finally s2.stop()
