@@ -1124,6 +1124,38 @@ object PipelineQueries {
       |      / CAST(n_dims * 16129 * m * m AS DOUBLE) END AS rel_sse
       |FROM er ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- mixture apply
+  /** The mixture plan APPLIED: per-cell rates from p27's arithmetic
+    * drive a deterministic hash-threshold draw per doc — the actual
+    * rebalanced subset, not just the plan. */
+  private def p32(s: SparkSession, dir: String): DataFrame =
+    Sampling.applyMixture(docsSpread(s, dir), Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"), col("doc_id"))
+
+  private val p32Sql =
+    s"""WITH cells AS (
+       |  SELECT lang, source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cell_tokens
+       |  FROM documents GROUP BY lang, source),
+       |totals AS (
+       |  SELECT CAST(sum(cell_tokens) AS BIGINT) AS total_tokens,
+       |         count(*) AS n_cells
+       |  FROM cells),
+       |plan AS (
+       |  SELECT c.lang, c.source,
+       |    least(1.0, CAST(t.total_tokens // t.n_cells AS DOUBLE)
+       |      / c.cell_tokens) AS rate
+       |  FROM cells c CROSS JOIN totals t),
+       |drawn AS (
+       |  SELECT d.lang, d.source, d.doc_id,
+       |    ${polyHashSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |      AS h_mix,
+       |    p.rate
+       |  FROM documents d JOIN plan p USING (lang, source))
+       |SELECT lang, source, doc_id, h_mix, rate FROM drawn
+       |WHERE CAST(h_mix AS DOUBLE) < rate * 1000000.0
+       |ORDER BY lang, source, doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1157,7 +1189,8 @@ object PipelineQueries {
     "p28_incremental_dedup" -> (p28 _),
     "p29_repetition" -> (p29 _),
     "p30_chunk_dedup" -> (p30 _),
-    "p31_quantize" -> (p31 _))
+    "p31_quantize" -> (p31 _),
+    "p32_mixture_apply" -> (p32 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1190,5 +1223,6 @@ object PipelineQueries {
     "p28_incremental_dedup" -> p28Sql,
     "p29_repetition" -> p29Sql,
     "p30_chunk_dedup" -> p30Sql,
-    "p31_quantize" -> p31Sql)
+    "p31_quantize" -> p31Sql,
+    "p32_mixture_apply" -> p32Sql)
 }

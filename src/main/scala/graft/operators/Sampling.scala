@@ -165,6 +165,31 @@ object Sampling {
         col("kept_tokens_est")): _*)
   }
 
+  /** Apply a [[mixturePlan]]: the deterministic per-doc draw that
+    * turns the planned per-cell `rate` into an actual kept subset —
+    * doc survives iff `splitHash(salt, doc_id) mod 10⁶ < rate·10⁶`.
+    * Closes the plan→sample loop the way [[graft.operators.Dedup
+    * .dedupedCorpus]] closes detect→apply for dedup.
+    *
+    * Scale shape: the plan is one row per stratum cell — always the
+    * broadcast side — and the draw itself is a pure per-row
+    * projection, so the corpus pays one broadcast-joined scan. The
+    * threshold comparison is reproducible across engines: `h mod 10⁶`
+    * is exact integer arithmetic and `rate·10⁶` is ONE IEEE multiply
+    * of the plan's deterministic rate. */
+  def applyMixture(docs: DataFrame, strataCols: Seq[String],
+      salt: String = "mix"): DataFrame = {
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val plan = mixturePlan(docs, strataCols)
+      .select(strataCols.map(col) :+ col("rate"): _*)
+    docs
+      .join(broadcast(plan), strataCols)
+      .withColumn("h_mix", splitHash(salt, col("doc_id")) % 1000000L)
+      .where(col("h_mix").cast("double") < col("rate") * 1000000.0)
+      .select(strataCols.map(col) :+ col("doc_id") :+ col("h_mix") :+
+        col("rate"): _*)
+  }
+
   /** Greedy token-budget packing: per stratum, walk docs in doc_id
     * order accumulating token counts; a doc goes to the bin its
     * RUNNING-START offset falls in (`floor(start / budget)`), i.e. docs

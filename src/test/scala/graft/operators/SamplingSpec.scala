@@ -200,6 +200,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(en.getLong(5) == 18L && de.getLong(5) == 13L) // kept est
   }
 
+  test("applyMixture: rate-1 cells keep everything, draw is deterministic") {
+    val r = Sampling.applyMixture(docs, Seq("lang"))
+      .orderBy("doc_id").collect()
+    // de rate is 1.0 (13 < target 18): both de docs survive, rate col 1.0
+    val de = r.filter(_.getString(0) == "de")
+    assert(de.map(_.getLong(1)).toSeq == Seq(3L, 4L))
+    assert(de.forall(_.getDouble(3) == 1.0))
+    // en kept set = exactly the docs whose hash clears the threshold
+    graft.functions.PolyHash31.register(spark)
+    val enRate = 18.0 / 23.0
+    val expect = docs.where(col("lang") === "en")
+      .select(col("doc_id"),
+        (Sampling.splitHash("mix", col("doc_id")) % 1000000L).as("h"))
+      .collect().filter(_.getLong(1).toDouble < enRate * 1000000.0)
+      .map(_.getLong(0)).toSet
+    assert(r.filter(_.getString(0) == "en").map(_.getLong(1)).toSet
+      == expect)
+    // identical on re-invocation (no RNG anywhere)
+    val again = Sampling.applyMixture(docs, Seq("lang"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(again == r.map(_.toSeq).toSeq)
+  }
+
   test("scrub: redacts planted spans, counts them, normalizes whitespace") {
     val d = Seq(
       (0L, "hello  bob@mail.example  call 555-1234 now "),
