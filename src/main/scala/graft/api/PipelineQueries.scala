@@ -1156,6 +1156,71 @@ object PipelineQueries {
        |WHERE CAST(h_mix AS DOUBLE) < rate * 1000000.0
        |ORDER BY lang, source, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- tf-idf
+  /** Per-doc top-3 TF-IDF terms with the integer-exact idf (a float
+    * `ln` would differ across engines in the last ulp). */
+  private def p33(s: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTopTerms(docsSpread(s, dir), k = 3)
+      .orderBy(col("doc_id"), col("rn"))
+
+  private val p33Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+      |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    tf.tf * ((n.n_docs * 1000000) // dfx.df) AS score
+      |  FROM tf JOIN dfx USING (w) CROSS JOIN n),
+      |r AS (SELECT doc_id, w, score,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w)
+      |    AS rn
+      |  FROM sc)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rn, w,
+      |  CAST(score AS BIGINT) AS score
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- corpus diff
+  /** Version diff: the refresh drops doc_id%20 docs, edits doc_id%7
+    * texts, and adds +1000000 copies of doc_id%30 — the audit output
+    * is every non-unchanged doc with its status. */
+  private def p34(s: SparkSession, dir: String): DataFrame = {
+    val old = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val newC = old.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(old.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.corpusDiff(old, newC)
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p34Sql =
+    """WITH old AS (SELECT doc_id, text FROM documents),
+      |newc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END
+      |      AS text
+      |  FROM documents WHERE doc_id % 20 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 30 = 0),
+      |j AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE
+      |      WHEN o.doc_id IS NULL THEN 'added'
+      |      WHEN n.doc_id IS NULL THEN 'removed'
+      |      WHEN sha256(o.text) = sha256(n.text) THEN 'unchanged'
+      |      ELSE 'changed' END AS status
+      |  FROM old o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, status FROM j
+      |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1190,7 +1255,9 @@ object PipelineQueries {
     "p29_repetition" -> (p29 _),
     "p30_chunk_dedup" -> (p30 _),
     "p31_quantize" -> (p31 _),
-    "p32_mixture_apply" -> (p32 _))
+    "p32_mixture_apply" -> (p32 _),
+    "p33_tfidf_terms" -> (p33 _),
+    "p34_corpus_diff" -> (p34 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1224,5 +1291,7 @@ object PipelineQueries {
     "p29_repetition" -> p29Sql,
     "p30_chunk_dedup" -> p30Sql,
     "p31_quantize" -> p31Sql,
-    "p32_mixture_apply" -> p32Sql)
+    "p32_mixture_apply" -> p32Sql,
+    "p33_tfidf_terms" -> p33Sql,
+    "p34_corpus_diff" -> p34Sql)
 }

@@ -538,6 +538,22 @@ object Dedup {
         col("n_shared").cast("double") / col("n_chunks"))
   }
 
+  /** Corpus version diff by content digest: per doc_id across two
+    * corpus versions, `added` / `removed` / `changed` / `unchanged` —
+    * the lineage record an ingest audit needs ("what did this refresh
+    * actually do"). One full-outer join of the two digest projections;
+    * text never shuffles, 32-byte digests do. */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val o = oldCorpus.select(col("doc_id"), sha2(col("text"), 256).as("old_fp"))
+    val n = newCorpus.select(col("doc_id"), sha2(col("text"), 256).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+  }
+
   /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a
     * quadratic threshold hash ((a_j·t² + b_j·t + j) mod 8191 < 4096 →
     * +1 else −1), weighted by token multiplicity; a linear-parity hash

@@ -163,6 +163,35 @@ object TextStats {
         col("p._2").as("w") :+ (-col("p._1")).as("cnt"): _*)
   }
 
+  /** Per-doc TF-IDF top-`k` terms — the keyword-extraction /
+    * quality-signal staple. The idf is INTEGER-EXACT:
+    * `score = tf · ((N·10⁶) div df)` — monotone in the usual tf·log
+    * ranking for fixed tf, and bit-reproducible in any engine (a
+    * float `ln` is NOT: libm implementations differ in the last ulp).
+    *
+    * Scale shape: one postings aggregate (doc, term, tf), one df
+    * aggregate over it, one equi-join postings⋈df on the term (the
+    * df side arrives already hash-partitioned on the term from its
+    * aggregate; stop-word-grade hot terms are AQE skew-join
+    * territory), corpus size via one broadcast single-row aggregate,
+    * and the per-doc top-k on the bounded [[TopK]] aggregator — no
+    * per-doc rank window ever sorts the full postings. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfT, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000000L) div df"))
+      .groupBy(col("doc_id"))
+      .agg(TopK.smallestKStr(k, -col("score"), col("w")).as("ks"))
+      .select(col("doc_id"), posexplode(col("ks")).as(Seq("i", "p")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("rn"),
+        col("p._2").as("w"), (-col("p._1")).as("score"))
+  }
+
   /** Exact per-stratum token-count quantiles (median + p90, "lower"
     * interpolation: the value at 1-based rank ⌊(n−1)·q⌋+1 in (value,
     * …) order). NOT a per-stratum sort: token counts are small

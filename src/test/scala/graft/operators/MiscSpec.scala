@@ -75,6 +75,34 @@ class MiscSpec extends AnyFunSuite {
     }
   }
 
+  test("TextStats.tfidfTopTerms: rare terms outrank common, integer idf") {
+    // 'rare' df=1, 'mid' df=2, 'the' df=3 (N=3)
+    val d = Seq(
+      (0L, "the the rare mid"),
+      (1L, "the mid common words"),
+      (2L, "the filler text")).toDF("doc_id", "text")
+    val r = TextStats.tfidfTopTerms(d, k = 2).orderBy("doc_id", "rn")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3)))
+    // doc 0: rare scores 1·(3e6 div 1)=3e6; mid 1·(3e6 div 2)=1.5e6;
+    // the 2·(3e6 div 3)=2e6 → order: rare, the
+    assert(r.filter(_._1 == 0L).map(t => (t._3, t._4)).toSeq ==
+      Seq(("rare", 3000000L), ("the", 2000000L)))
+    // rank column is 1-based and dense
+    assert(r.filter(_._1 == 1L).map(_._2).toSeq == Seq(1L, 2L))
+  }
+
+  test("Dedup.corpusDiff: added/removed/changed/unchanged by digest") {
+    val old = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "beta"), (2L, "gamma edited"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val r = Dedup.corpusDiff(old, neu).orderBy("doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r == Map(0L -> "removed", 1L -> "unchanged",
+      2L -> "changed", 3L -> "added"))
+  }
+
   test("TextStats.langGuess argmax with alphabetical tie-break") {
     val d = Seq(
       (0L, "x", 1L, "join merge sort sort"), // de markers dominate
