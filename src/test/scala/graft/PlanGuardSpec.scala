@@ -42,6 +42,26 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("small-side broadcast hints survive into the optimized join") {
+    // the dedup/sampling APPLY pipelines anti-join (or equi-join) the
+    // corpus against a small derived side that is checkpoint- or
+    // agg-backed (no catalog stats) — without the surviving hint the
+    // planner would sort-merge the full corpus for a kilobyte side
+    val hinted = Seq("p20_dedup_apply", "p28_incremental_dedup",
+      "p32_mixture_apply")
+    hinted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val ok = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if (j.hint.leftHint ++ j.hint.rightHint)
+            .exists(_.strategy.contains(
+              org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) => j
+      }
+      assert(ok.nonEmpty, s"$name: no broadcast-hinted join survived " +
+        "optimization")
+    }
+  }
+
   test("no query plans an unpartitioned Window or a CartesianProduct") {
     val offenders = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
