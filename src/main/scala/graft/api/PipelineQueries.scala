@@ -1221,6 +1221,53 @@ object PipelineQueries {
       |SELECT doc_id, status FROM j
       |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- winnowing
+  /** Winnowed fingerprint sharing over a corpus with planted
+    * SHIFTED near-copies (first 3 words dropped, +1000000): unlike
+    * p30's aligned chunks, the planted copies still share most
+    * selected minima — the shift-robustness the MOSS rule buys. */
+  private def p35(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val corpus = TextOps.withPlantedNearDups(base, every = 25, dropWords = 3)
+    Dedup.winnowStats(corpus, s).orderBy(col("doc_id"))
+  }
+
+  private val p35Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         array_to_string(string_split(text, ' ')[4:], ' ') AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM corpus WHERE len(string_split(text, ' ')) >= 7),
+       |seq AS (SELECT doc_id, pos, ${polyHashSql("w")} AS tid FROM tok),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |    (((tid * 31 + lead(tid, 1) OVER win) * 31
+       |      + lead(tid, 2) OVER win) * 31 + lead(tid, 3) OVER win)
+       |      % 2147483647 AS h
+       |  FROM seq WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |mins AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM grams WHERE h IS NOT NULL),
+       |fps AS (SELECT DISTINCT doc_id, m AS fp FROM mins WHERE i <= ng - 3),
+       |cnt AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY fp),
+       |per AS (
+       |  SELECT fps.doc_id, count(*) AS n_fps,
+       |    CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared
+       |  FROM fps JOIN cnt USING (fp) GROUP BY fps.doc_id)
+       |SELECT doc_id, n_fps, n_shared,
+       |  CAST(n_shared AS DOUBLE) / n_fps AS shared_frac
+       |FROM per ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1257,7 +1304,8 @@ object PipelineQueries {
     "p31_quantize" -> (p31 _),
     "p32_mixture_apply" -> (p32 _),
     "p33_tfidf_terms" -> (p33 _),
-    "p34_corpus_diff" -> (p34 _))
+    "p34_corpus_diff" -> (p34 _),
+    "p35_winnow" -> (p35 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1293,5 +1341,6 @@ object PipelineQueries {
     "p31_quantize" -> p31Sql,
     "p32_mixture_apply" -> p32Sql,
     "p33_tfidf_terms" -> p33Sql,
-    "p34_corpus_diff" -> p34Sql)
+    "p34_corpus_diff" -> p34Sql,
+    "p35_winnow" -> p35Sql)
 }

@@ -538,6 +538,48 @@ object Dedup {
         col("n_shared").cast("double") / col("n_chunks"))
   }
 
+  /** Winnowing fingerprint sets (the MOSS selection rule): hash every
+    * 4-gram, slide a `w`-gram window, keep each window's MINIMUM hash,
+    * dedup — the shift-ROBUST exact-substring signal ([[chunkDupStats]]
+    * is the aligned, cheaper cousin: drop three words from a copy and
+    * chunks stop matching, while winnowed fingerprints still mostly
+    * agree, because any shared run of ≥ w+3 tokens shares a selected
+    * minimum). Reports per doc the fingerprint-set size and how many
+    * fingerprints other docs also selected.
+    *
+    * Scale shape mirrors [[chunkDupStats]]: gram hashing and window
+    * minima are IN-ROW array transforms (one codegen projection over
+    * the corpus), and only (doc_id, 8-byte fingerprint) rows shuffle —
+    * the counts join reuses the aggregate's partitioning. */
+  def winnowStats(corpus: DataFrame, spark: SparkSession,
+      w: Int = 4): DataFrame = {
+    require(w >= 2, s"window must be >= 2 grams, got $w")
+    graft.functions.PolyHash31.register(spark)
+    val fps = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 4 + (w - 1)) // one full window of 4-grams
+      .select(col("doc_id"),
+        expr("transform(ws, x -> poly_hash31(x))").as("tids"))
+      // same 31-combine + mod as [[fingerprint]]/p05, per gram
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, size(tids) - 3), i ->
+           |  (((element_at(tids, i) * 31 + element_at(tids, i + 1)) * 31
+           |    + element_at(tids, i + 2)) * 31
+           |    + element_at(tids, i + 3)) % ${HashP}L)""".stripMargin)
+        .as("hs"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+           |  i -> array_min(slice(hs, i, $w))))""".stripMargin)).as("fp"))
+    val cnt = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    fps.join(cnt, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_fps"))
+  }
+
   /** Corpus version diff by content digest: per doc_id across two
     * corpus versions, `added` / `removed` / `changed` / `unchanged` —
     * the lineage record an ingest audit needs ("what did this refresh

@@ -148,6 +148,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((0L, 1L))) // same (lang, source) only
   }
 
+  test("winnowStats: shifted near-copies share fingerprints, strangers none") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val d = Seq(
+      (0L, base),
+      (1L, base.split(" ").drop(3).mkString(" ")), // shifted copy
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))      // unrelated
+      .toDF("doc_id", "text")
+    val r = Dedup.winnowStats(d, spark).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // the copy's grams are a suffix of the original's: every one of
+    // its selected minima is also selectable upstream — high overlap
+    assert(r(1L)._2 > 0, "shifted copy shared no fingerprints")
+    assert(r(0L)._2 > 0)
+    // the stranger shares nothing
+    assert(r(2L)._2 == 0)
+    // fingerprint sets are bounded by the window count
+    assert(r(0L)._1 <= 16 - 3 - 3)
+  }
+
   test("fingerprint: equal token sequences agree, shifts differ") {
     val d = Seq(
       (0L, "a b c d e f g h"), (1L, "a b c d e f g h"),
