@@ -1215,7 +1215,8 @@ object PipelineQueries {
       |    CASE
       |      WHEN o.doc_id IS NULL THEN 'added'
       |      WHEN n.doc_id IS NULL THEN 'removed'
-      |      WHEN sha256(o.text) = sha256(n.text) THEN 'unchanged'
+      |      WHEN sha256(o.text) IS NOT DISTINCT FROM sha256(n.text)
+      |        THEN 'unchanged'
       |      ELSE 'changed' END AS status
       |  FROM old o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id)
       |SELECT doc_id, status FROM j

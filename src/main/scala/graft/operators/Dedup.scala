@@ -570,8 +570,10 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
            |  i -> array_min(slice(hs, i, $w))))""".stripMargin)).as("fp"))
-    val cnt = fps.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+    // (doc_id, fp) pairs are unique after the in-row array_distinct,
+    // so a plain count equals countDistinct(doc_id) without the
+    // distinct aggregate's expand phase
+    val cnt = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
     fps.join(cnt, Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fps"),
@@ -586,14 +588,21 @@ object Dedup {
     * actually do"). One full-outer join of the two digest projections;
     * text never shuffles, 32-byte digests do. */
   def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
-    val o = oldCorpus.select(col("doc_id"), sha2(col("text"), 256).as("old_fp"))
-    val n = newCorpus.select(col("doc_id"), sha2(col("text"), 256).as("new_fp"))
+    // presence is tracked by explicit flags, NOT digest nullness — a
+    // null-text doc hashes to a null digest and would masquerade as
+    // absent; likewise the digest compare is null-safe so two
+    // null-text versions of a doc read as unchanged
+    val o = oldCorpus.select(col("doc_id"),
+      sha2(col("text"), 256).as("old_fp"), lit(true).as("_in_old"))
+    val n = newCorpus.select(col("doc_id"),
+      sha2(col("text"), 256).as("new_fp"), lit(true).as("_in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") === col("new_fp"), "unchanged")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(col("old_fp") <=> col("new_fp"), "unchanged")
           .otherwise("changed"))
+      .drop("_in_old", "_in_new")
   }
 
   /** Count-weighted 16-bit SimHash per doc. Bit j's token hash is a

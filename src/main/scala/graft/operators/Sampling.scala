@@ -185,6 +185,11 @@ object Sampling {
     docs
       .join(broadcast(plan), strataCols)
       .withColumn("h_mix", splitHash(salt, col("doc_id")) % 1000000L)
+      // pushdown substitutes h_mix's hash into the filter below the
+      // Project, so survivors hash twice — accepted here: this is ONE
+      // scalar hash of a short string (not the array-expression
+      // double-eval trap), and the pushed filter prunes losers before
+      // any downstream work
       .where(col("h_mix").cast("double") < col("rate") * 1000000.0)
       .select(strataCols.map(col) :+ col("doc_id") :+ col("h_mix") :+
         col("rate"): _*)

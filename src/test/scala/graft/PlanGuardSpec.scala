@@ -43,23 +43,31 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   test("small-side broadcast hints survive into the optimized join") {
-    // the dedup/sampling APPLY pipelines anti-join (or equi-join) the
-    // corpus against a small derived side that is checkpoint- or
-    // agg-backed (no catalog stats) — without the surviving hint the
-    // planner would sort-merge the full corpus for a kilobyte side
-    val hinted = Seq("p20_dedup_apply", "p28_incremental_dedup",
-      "p32_mixture_apply")
-    hinted.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
-      val ok = df.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if (j.hint.leftHint ++ j.hint.rightHint)
-            .exists(_.strategy.contains(
-              org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) => j
-      }
-      assert(ok.nonEmpty, s"$name: no broadcast-hinted join survived " +
-        "optimization")
+    // the dedup/sampling APPLY pipelines join the corpus against a
+    // small derived side that is checkpoint- or agg-backed (no
+    // catalog stats) — without the surviving hint the planner would
+    // sort-merge the full corpus for a kilobyte side. The assertions
+    // pin the SPECIFIC join (an any-hinted-join check would stay green
+    // if the apply hint were dropped while an unrelated one survived)
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    def hintedJoins(name: String): Seq[Join] =
+      SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.collect {
+          case j: Join if (j.hint.leftHint ++ j.hint.rightHint)
+            .exists(_.strategy.contains(BROADCAST)) => j
+        }
+    // p20/p28: the final elimination is a broadcast LEFT ANTI join
+    Seq("p20_dedup_apply", "p28_incremental_dedup").foreach { name =>
+      assert(hintedJoins(name).exists(
+        _.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti),
+        s"$name: broadcast-hinted anti-join missing")
     }
+    // p32: the rate-apply join is the hinted equi-join on the strata
+    // (mixturePlan's internal totals broadcast is a condition-less
+    // cross join, so this cannot be satisfied by it)
+    assert(hintedJoins("p32_mixture_apply").exists(j =>
+      j.condition.exists(_.references.exists(_.name == "lang"))),
+      "p32: broadcast-hinted strata join missing")
   }
 
   test("no query plans an unpartitioned Window or a CartesianProduct") {

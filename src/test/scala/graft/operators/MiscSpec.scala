@@ -93,14 +93,16 @@ class MiscSpec extends AnyFunSuite {
   }
 
   test("Dedup.corpusDiff: added/removed/changed/unchanged by digest") {
-    val old = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
-      .toDF("doc_id", "text")
-    val neu = Seq((1L, "beta"), (2L, "gamma edited"), (3L, "delta"))
-      .toDF("doc_id", "text")
+    val old = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"),
+      (4L, null), (5L, null)).toDF("doc_id", "text")
+    val neu = Seq((1L, "beta"), (2L, "gamma edited"), (3L, "delta"),
+      (5L, null), (6L, null)).toDF("doc_id", "text")
     val r = Dedup.corpusDiff(old, neu).orderBy("doc_id")
       .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    // null-text docs must classify by PRESENCE, not by digest nullness
     assert(r == Map(0L -> "removed", 1L -> "unchanged",
-      2L -> "changed", 3L -> "added"))
+      2L -> "changed", 3L -> "added",
+      4L -> "removed", 5L -> "unchanged", 6L -> "added"))
   }
 
   test("TextStats.langGuess argmax with alphabetical tie-break") {
