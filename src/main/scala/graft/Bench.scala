@@ -78,16 +78,25 @@ object Bench {
         passA.getOrElse(name, Double.MaxValue),
         passB.getOrElse(name, Double.MaxValue))
     }
+    // The harness keeps only the last ~2000 chars of output, so the
+    // metric must survive tail truncation: a short headline line first
+    // (always complete), then the per-query map on its own line with
+    // 3-decimal times so both lines fit the window together. Round 5's
+    // single combined line outgrew the tail at 62 queries and the
+    // driver recorded parsed:null.
+    def d3(v: Double): String = f"$v%.3f"
     val qs = results.collect { case (k, v) if !errors.contains(k) =>
-      Verify.q(k) + ":" + v }.mkString("{", ",", "}")
+      Verify.q(k) + ":" + d3(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
       .mkString("{", ",", "}")
     // total covers successful queries only; failures are listed explicitly
     val total = results.collect {
       case (k, v) if !errors.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""n_queries":${names.size},"n_failed":${errors.size},""" +
-      s""""passes":2,"agg":"min","errors":$errJson,"sf":${Verify.q(sfDir)}}""")
+      s""""passes":2,"agg":"min","sf":${Verify.q(sfDir)}}""")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"sf":${Verify.q(sfDir)}}""")
     spark.stop()
   }
 }

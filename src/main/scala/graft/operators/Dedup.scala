@@ -86,12 +86,17 @@ object Dedup {
     * single-task OOM at scale. Buckets larger than `maxBucket` are
     * therefore expanded as a STAR around the minimum doc id (n−1
     * pairs) instead of all-pairs: every member still reaches the
-    * verify step (paired with the anchor) and connected components
-    * still merges the bucket transitively, so nothing is silently
-    * dropped — the full pair GRAPH is thinned, never the docs. (An
-    * over-cap bucket means the band key stopped discriminating, i.e.
-    * its members are near-copies of each other; anchor-verification
-    * is exactly the comparison that matters for them.) Overflow is
+    * verify step (paired with the anchor), and connected components
+    * merges the bucket transitively WHEN the anchor pairs pass
+    * verification. That is a RECALL caveat, not just a cost one:
+    * members B and C of an over-cap bucket merge only if BOTH
+    * anchor–B and anchor–C survive jaccardVerify, so a B~C duplicate
+    * whose anchor pair falls below the threshold is missed — the
+    * thinning can change the clustering, not only the pair count.
+    * (In practice an over-cap bucket means the band key stopped
+    * discriminating — its members are near-copies — so anchor pairs
+    * usually verify; but callers needing full recall inside
+    * degenerate buckets must raise `maxBucket`.) Overflow is
     * accounted via an `observe` metric `lsh_buckets_<n>` with
     * `overflow_buckets` / `max_bucket_size` columns (read it from
     * `df.queryExecution.observedMetrics` after an action, or with a
@@ -327,15 +332,24 @@ object Dedup {
       converged = (m.get(probeN), m.get(finalN)) match {
         case (Some(p), Some(f)) => p.get(0) == f.get(0)
         case _ =>
-          // probes only legitimately vanish when PropagateEmptyRelation
-          // proved the frame empty (an empty label table IS a fixpoint);
-          // missing probes over a NON-empty frame would silently fake
-          // convergence, so verify emptiness — cheap count on the
-          // materialized frame — and fail loudly otherwise
+          // probes legitimately vanish when PropagateEmptyRelation
+          // proved the frame empty (an empty label table IS a fixpoint)
           val empty = if (rowCount >= 0) rowCount == 0 else next.isEmpty
-          require(empty, s"connectedComponents: observe probes missing " +
-            s"on a non-empty label frame — convergence can't be decided")
-          true
+          if (empty) true
+          else {
+            // Probes missing over a NON-empty frame means Spark stopped
+            // surfacing CollectMetrics through this execution shape
+            // (cache scan / localCheckpoint — internal behavior that a
+            // Spark upgrade could change). Faking convergence would
+            // corrupt the clustering, and aborting would turn every CC
+            // call into a runtime error; instead decide convergence the
+            // slow-but-spec'd way: explicit aggregates over the
+            // penultimate frame (replays its composed chain once) and
+            // the materialized final frame.
+            val p = cur.agg(lblSum).head().getDecimal(0)
+            val f = next.agg(lblSum).head().getDecimal(0)
+            p.compareTo(f) == 0
+          }
       }
       generations += labels
       labels = next
@@ -389,6 +403,23 @@ object Dedup {
     // (LRU lifecycle, as in minhashNearDups)
     val pairs = minhashNearDups(kept, spark, shingleK, numPerms,
       rowsPerBand, threshold).select(col("d1"), col("d2")).persist()
+    // Materialize the pair cache eagerly (CC's first job would do it
+    // lazily anyway) so the LSH bucket-cap observe metric is readable
+    // HERE: over-cap buckets degrade to star pairs, which can reduce
+    // near-dup recall (see lshCandidates), and an end-to-end corpus
+    // build should say so out loud rather than silently return a
+    // slightly under-deduplicated corpus.
+    val pairsAgg = pairs.agg(count(lit(1)))
+    pairsAgg.head()
+    val overflow = pairsAgg.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("lsh_buckets_") =>
+        row.getAs[Long]("overflow_buckets")
+    }.sum
+    if (overflow > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupedCorpus: $overflow LSH bucket(s) exceeded the pair cap " +
+          "and were star-expanded; near-dup recall inside those buckets " +
+          "may be reduced (raise maxBucket for full recall)")
     val nonCanonical = connectedComponents(pairs)
       .where(col("keep") === 0).select(col("doc_id"))
     // explicit broadcast: the CC output is checkpoint-backed (no
