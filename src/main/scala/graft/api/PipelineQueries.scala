@@ -926,9 +926,9 @@ object PipelineQueries {
     * words dropped at +4000000, plus genuinely-new docs: the reversed
     * token sequence of doc_id%35 docs at +5000000) deduped against the
     * existing corpus. Only the reversed docs survive. */
-  private def p28(s: SparkSession, dir: String): DataFrame = {
-    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
-    val batch = base.where(col("doc_id") % 40 === 0)
+  /** The synthetic ingest batch p28/p36 share (see [[p28]] scaladoc). */
+  private def incBatch(base: DataFrame): DataFrame =
+    base.where(col("doc_id") % 40 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
       .unionByName(base.where(col("doc_id") % 30 === 0)
         .select((col("doc_id") + 4000000L).as("doc_id"),
@@ -938,7 +938,26 @@ object PipelineQueries {
       .unionByName(base.where(col("doc_id") % 35 === 0)
         .select((col("doc_id") + 5000000L).as("doc_id"),
           array_join(reverse(split(col("text"), " ")), " ").as("text")))
-    Dedup.incrementalDedup(batch, base, s).orderBy(col("doc_id"))
+
+  private def p28(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    Dedup.incrementalDedup(incBatch(base), base, s).orderBy(col("doc_id"))
+  }
+
+  /** p28's ingest routed through the PERSISTED corpus state: the
+    * digests/bands/meta tables round-trip through parquet on disk
+    * ([[Dedup.writeDedupState]] → the state-path
+    * [[Dedup.incrementalDedup]]), so the state serialization itself is
+    * hash-pinned against the oracle — not just parity-tested against
+    * the two-frame form. Same oracle SQL as p28 by construction: the
+    * state round-trip must be semantically invisible. */
+  private def p36(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedup-state").toString
+    Dedup.writeDedupState(base, root)
+    Dedup.incrementalDedup(incBatch(base), root, s, threshold = 0.5)
+      .orderBy(col("doc_id"))
   }
 
   private val p28Sql =
@@ -1306,7 +1325,8 @@ object PipelineQueries {
     "p32_mixture_apply" -> (p32 _),
     "p33_tfidf_terms" -> (p33 _),
     "p34_corpus_diff" -> (p34 _),
-    "p35_winnow" -> (p35 _))
+    "p35_winnow" -> (p35 _),
+    "p36_state_dedup" -> (p36 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1343,5 +1363,8 @@ object PipelineQueries {
     "p32_mixture_apply" -> p32Sql,
     "p33_tfidf_terms" -> p33Sql,
     "p34_corpus_diff" -> p34Sql,
-    "p35_winnow" -> p35Sql)
+    "p35_winnow" -> p35Sql,
+    // identical oracle by design: the persisted-state path must be
+    // indistinguishable from the two-frame computation
+    "p36_state_dedup" -> p28Sql)
 }

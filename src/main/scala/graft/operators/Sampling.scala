@@ -264,11 +264,20 @@ object Sampling {
       StructField("pid", IntegerType, nullable = false),
       StructField("local_cum", LongType, nullable = false)))
     val nTokIdx = k + 1 // layout: strata…, doc_id, n_tok
+    // Stratum values surface as JVM objects here, and BinaryType
+    // becomes Array[Byte], whose == is reference identity — an
+    // un-normalized Seq[Any] comparison would reset the accumulator
+    // on EVERY row and silently corrupt cum. Wrap arrays (recursively,
+    // for array-of-array strata) in Seqs, which compare by value.
+    def normEl(v: Any): Any = v match {
+      case a: Array[_] => a.toSeq.map(normEl)
+      case x => x
+    }
     val localRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var key: Seq[Any] = null
       var run = 0L
       it.map { r =>
-        val sk = r.toSeq.take(k)
+        val sk = r.toSeq.take(k).map(normEl)
         if (sk != key) { key = sk; run = 0L }
         // null n_tok (e.g. a null-text doc) counts as 0 tokens — the
         // row keeps its position in the sequence without advancing it

@@ -76,20 +76,53 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     try os.write(bytes) finally os.close()
   }
 
-  /** Accept-Encoding lists gzip as an acceptable coding (a zero
-    * qvalue — `q=0`, `q=0.0`, `q=0.000` per RFC 7231 — is an explicit
-    * opt-OUT and must not match). */
-  private def acceptsGzip(ex: HttpExchange): Boolean =
-    Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
-      .getOrElse("").toLowerCase.split(',').exists { e =>
+  /** Accept-Encoding lists gzip as an acceptable coding. Per RFC 7231
+    * §5.3.4 content-coding matching: the `x-gzip` legacy alias and the
+    * `*` wildcard (matching any coding) count as gzip-acceptable; a
+    * zero qvalue — `q=0`, `q=0.0`, `q=0.000` — is an explicit opt-OUT
+    * and must not match. An explicit gzip/x-gzip entry outranks `*`
+    * (so `gzip;q=0, *;q=1` stays identity). */
+  private def acceptsGzip(ex: HttpExchange): Boolean = {
+    val entries = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+      .getOrElse("").toLowerCase.split(',').flatMap { e =>
         val parts = e.split(';').map(_.trim)
         val q = parts.collectFirst {
           case p if p.replace(" ", "").startsWith("q=") =>
             try p.replace(" ", "").stripPrefix("q=").toDouble
             catch { case _: NumberFormatException => 1.0 }
         }.getOrElse(1.0)
-        parts.headOption.contains("gzip") && q > 0.0
+        parts.headOption.filter(_.nonEmpty).map(_ -> q)
+      }.toMap
+    entries.get("gzip").orElse(entries.get("x-gzip"))
+      .orElse(entries.get("*")).exists(_ > 0.0)
+  }
+
+  /** 200-with-ETag / 304 conditional response. The viewer re-requests
+    * an identical grid whenever the user pans away and back (the
+    * reference's stale-response fencing, plot.js, exists because of
+    * exactly that re-fetch pattern); the render is deterministic for a
+    * given request, so a strong ETag over the response body lets the
+    * client skip the base64-PNG transfer entirely on a hit. The Spark
+    * work still runs — the ETag is computed from its output — but the
+    * dominant cost for pan-return, the payload, goes to zero. */
+  private def respondCacheable(ex: HttpExchange, bodyJson: String): Unit = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bodyJson.getBytes(UTF_8))
+    val etag = "\"" + digest.take(16).map("%02x".format(_)).mkString + "\""
+    ex.getResponseHeaders.set("ETag", etag)
+    val matches = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+      .exists { v =>
+        // RFC 7232 §3.2: comma list; W/ weak prefix compares equal for
+        // If-None-Match (weak comparison); bare * matches anything
+        v.trim == "*" ||
+          v.split(',').map(_.trim.stripPrefix("W/")).contains(etag)
       }
+    if (matches) {
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+      ex.sendResponseHeaders(304, -1L) // 304 carries no body
+      ex.getResponseBody.close()
+    } else respond(ex, 200, bodyJson)
+  }
 
   private def handle(path: String, method: String)(
       f: HttpExchange => Unit): Unit =
@@ -243,7 +276,7 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
         "timestamps" -> d.timestamps,
         "counts" -> d.counts.map(_.toDouble))
     }
-    respond(ex, 200,
+    respondCacheable(ex,
       Json.write(Map("images" -> images, "descs" -> descs)))
   }
 

@@ -238,7 +238,9 @@ final class CassandraArchiveSource(val spark: SparkSession,
 
   private def read(t: String): DataFrame =
     spark.read.format(CassandraArchiveSource.Format)
-      .options(Map("keyspace" -> keyspace, "table" -> t))
+      .options(Map(
+        CassandraArchiveSource.KeyspaceOption -> keyspace,
+        CassandraArchiveSource.TableOption -> t))
       .load()
 
   def points(attConfIds: Seq[Int], p0: String, p1: String): DataFrame =
@@ -278,7 +280,19 @@ final class CassandraArchiveSource(val spark: SparkSession,
 }
 
 object CassandraArchiveSource {
+  /** The wire contract with the (offline-unresolvable) connector jar,
+    * pinned as constants so ArchiveSourceSpec's compile-fence test can
+    * assert them without the jar present. An ONLINE build must
+    * additionally verify: (1) `Class.forName(ConnectorClass)` resolves
+    * from `com.datastax.spark:spark-cassandra-connector_2.13`, (2)
+    * `spark.read.format(Format)` plans a scan against a live keyspace,
+    * and (3) `EXPLAIN` of [[points]] shows both partition-key `IN`
+    * filters in the connector's pushed-predicate list (see README
+    * §"Online validation"). */
   val Format = "org.apache.spark.sql.cassandra"
+  val ConnectorClass = "org.apache.spark.sql.cassandra.DefaultSource"
+  val KeyspaceOption = "keyspace"
+  val TableOption = "table"
 
   /** Inclusive day enumeration "YYYY-MM-DD" — the reference's
     * `timestamp_to_period_range` (`hdbpp.py:16-21`). */

@@ -51,9 +51,23 @@ object CorpusSource {
     (clean, corrupt)
   }
 
+  /** LOSSLESS widenings accepted by [[readParquet]]: an external
+    * producer that wrote int32 ids or float32 counts reads fine (the
+    * cast cannot lose information); anything else — string↔numeric,
+    * long→int, double→float — still fails loudly (a silent narrowing
+    * or string coercion surfaces as nulls mid-pipeline). */
+  private val SafeWiden: Set[(DataType, DataType)] = Set(
+    (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+    (ShortType, IntegerType), (ShortType, LongType),
+    (IntegerType, LongType),
+    (ByteType, DoubleType), (ShortType, DoubleType),
+    (IntegerType, DoubleType), (FloatType, DoubleType))
+
   /** Parquet read with schema enforcement: extra columns are pruned,
-    * missing or mistyped columns fail loudly up front (a silent cast
-    * would coerce e.g. a string doc_id to long and surface as nulls
+    * losslessly-widenable columns (e.g. an int32 `doc_id` from an
+    * external producer) are cast up, and missing or incompatibly
+    * typed columns fail loudly up front (a silent lossy cast would
+    * coerce e.g. a string doc_id to long and surface as nulls
     * mid-pipeline instead). */
   def readParquet(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
@@ -61,7 +75,7 @@ object CorpusSource {
     val problems = DocumentsSchema.fields.flatMap { f =>
       actual.get(f.name) match {
         case None => Some(s"${f.name}: missing")
-        case Some(dt) if dt != f.dataType =>
+        case Some(dt) if dt != f.dataType && !SafeWiden((dt, f.dataType)) =>
           Some(s"${f.name}: expected ${f.dataType.simpleString}, " +
             s"found ${dt.simpleString}")
         case _ => None
@@ -69,7 +83,10 @@ object CorpusSource {
     }
     require(problems.isEmpty,
       s"$path does not match the documents schema — ${problems.mkString("; ")}")
-    df.select(DocumentsSchema.fieldNames.map(col).toSeq: _*)
+    df.select(DocumentsSchema.fields.map { f =>
+      if (actual(f.name) == f.dataType) col(f.name)
+      else col(f.name).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
   }
 
   /** JSONL write (one JSON object per line, splittable at scale). */

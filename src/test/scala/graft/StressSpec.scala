@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.operators.{Dedup, Sampling, TimeJoins}
+
+/** Scale/skew stress harness over SELF-GENERATED pathological data
+  * (never touches /root/testdata): each scenario plants the exact
+  * degeneracy the operator scaladocs claim to survive at 100 TB —
+  * a corpus that is one giant stratum, an LSH band that stops
+  * discriminating, a whale key holding most of a join's rows, a
+  * duplicate CHAIN deeper than any single propagation round — and
+  * asserts BOTH the answer and the distribution contract (work spread
+  * across partitions/tasks, max ≤ 2× mean; candidate counts O(n), not
+  * O(n²)). These turn the scaladoc scale arguments into measurements.
+  *
+  * Sizes are tuned to the shared local[2]/4-shuffle-partition test
+  * session (seconds, not minutes); the SHAPES are scale-free — the
+  * same assertions hold with more executors because every bound here
+  * is per-partition, never global.
+  */
+class StressSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val timings = ArrayBuffer[(String, Double)]()
+  private def timed[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    timings += label -> sec
+    info(f"$label: $sec%.2f s")
+    r
+  }
+
+  /** Collects per-task shuffle-read record counts while `body` runs,
+    * grouped by stage. The listener bus is async — poll until the
+    * captured set stabilizes before returning. */
+  private def withTaskReads[A](body: => A): (A, Map[Int, Seq[Long]]) = {
+    val reads = ArrayBuffer[(Int, Long)]()
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && t.taskInfo != null && t.taskInfo.successful)
+          reads.synchronized {
+            reads += ((t.stageId, m.shuffleReadMetrics.recordsRead))
+          }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = reads.synchronized(reads.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      (r, reads.synchronized(reads.toSeq).groupBy(_._1)
+        .map { case (s, xs) => s -> xs.map(_._2) })
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  /** The heaviest shuffle stage must spread its reads: max per-task
+    * records ≤ 2× the mean over that stage's tasks. */
+  private def assertBalanced(reads: Map[Int, Seq[Long]],
+      label: String): Unit = {
+    val (sid, rs) = reads.filter(_._2.sum > 0).maxBy(_._2.sum)
+    val mean = rs.sum.toDouble / rs.length
+    assert(rs.max <= 2.0 * mean,
+      s"$label: stage $sid skewed — max task read ${rs.max} rows vs " +
+        f"mean $mean%.0f over ${rs.length} task(s)")
+    info(s"$label: stage $sid — ${rs.length} task(s), " +
+      f"max/mean = ${rs.max / mean}%.2f")
+  }
+
+  // ------------------------------------------------- one-stratum corpus
+  test("stress: a one-stratum corpus spreads across partitions " +
+    "(runningTokenSum / packTokenBudget)") {
+    // 120k docs, ALL lang='en' — a per-stratum window would serialize
+    // the whole corpus through one sort task; the two-pass prefix sum
+    // must instead range-spread it and still be exactly right
+    val docs = spark.range(120000).select(
+      col("id").as("doc_id"), lit("en").as("lang"),
+      (col("id") % 7 + 1).cast("long").as("n_tok"))
+    val cum = timed("one-stratum runningTokenSum")(
+      Sampling.runningTokenSum(docs, Seq("lang"))
+        .persist())
+    try {
+      val perPid = cum.groupBy(col("pid")).count()
+        .collect().map(r => r.get(0) -> r.getLong(1))
+      assert(perPid.length > 1,
+        s"single stratum landed in ${perPid.length} partition(s)")
+      val counts = perPid.map(_._2)
+      val mean = counts.sum.toDouble / counts.length
+      assert(counts.max <= 2.0 * mean,
+        f"partition skew: max ${counts.max} vs mean $mean%.0f")
+      // exactness under the pathology: final cum = total token mass,
+      // and a spot doc's cum = closed-form prefix over id%7+1
+      val total = docs.agg(sum(col("n_tok"))).head().getLong(0)
+      assert(cum.agg(max(col("cum"))).head().getLong(0) == total)
+      val at = cum.where(col("doc_id") === 6999).select(col("cum"))
+        .head().getLong(0)
+      assert(at == 1000L * (1 + 2 + 3 + 4 + 5 + 6 + 7))
+      info(f"${counts.length} partitions, max/mean = ${counts.max / mean}%.2f")
+    } finally { cum.unpersist(); () }
+  }
+
+  // ------------------------------------------------ collapsed LSH band
+  test("stress: a collapsed LSH band yields O(n) star pairs, one cluster") {
+    // 3000 IDENTICAL docs: every band key is the same bucket of 3000
+    // (> maxBucket=1000), so all-pairs would be ~4.5M; the cap must
+    // degrade to a 2999-pair star that still clusters everything
+    val n = 3000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same thirty word document body repeated verbatim for " +
+        "every single row of this degenerate corpus so each band key " +
+        "collapses into one bucket").as("text"))
+    val pairs = timed("collapsed-band minhashNearDups")(
+      Dedup.minhashNearDups(docs, spark).persist())
+    try {
+      val np = pairs.count()
+      assert(np == (n - 1).toLong,
+        s"expected ${n - 1} star pairs, got $np (all-pairs would be " +
+          s"${n.toLong * (n - 1) / 2})")
+      // identical texts: every verified pair is jaccard 1 on the anchor
+      assert(pairs.where(col("jaccard") =!= 1.0).isEmpty)
+      val cc = timed("collapsed-band connectedComponents")(
+        Dedup.connectedComponents(pairs.select(col("d1"), col("d2"))))
+      val byKeep = cc.groupBy(col("keep")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byKeep(1L) == 1L && byKeep(0L) == (n - 1).toLong,
+        s"star must collapse to ONE canonical doc: $byKeep")
+    } finally { pairs.unpersist(); () }
+  }
+
+  // ---------------------------------------------------- whale-key asof
+  test("stress: asofJoinBucketed bounds the whale key's task size") {
+    // one key holds ~83% of both sides — asofJoin would sort all of it
+    // in ONE window task; the bucketed form must hash (key, bucket)
+    // cells across tasks with no task reading > 2× the mean
+    val whaleN = 120000
+    val bucketUs = 4000L // whale spans 300 cells of ~400 rows/side
+    def side(isLeft: Boolean): DataFrame = {
+      val off = if (isLeft) 5L else 0L // left probes sit between rights
+      val whale = spark.range(whaleN).select(
+        lit("whale").as("k"), (col("id") * 10 + off).as("t"),
+        col("id").as("rid"))
+      val rest = spark.range(4000).select(
+        concat(lit("k"), (col("id") % 5).cast("string")).as("k"),
+        (col("id") * 10 + off).as("t"),
+        (col("id") + 1000000).as("rid"))
+      whale.unionByName(rest)
+    }
+    val left = side(isLeft = true)
+    val right = side(isLeft = false).withColumn("v", col("rid") * 3)
+      .drop("rid")
+    // AQE's small-output coalescing would fold this local-sized shuffle
+    // into one task and blind the balance measurement; at real scale
+    // the stage is far past the advisory size and never coalesces
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val (got, reads) = withTaskReads {
+        timed("whale-key asofJoinBucketed")(
+          TimeJoins.asofJoinBucketed(left, right, Seq("k"), "t", "t",
+            Seq("v"), "t", bucketUs)
+            .agg(count(lit(1)), sum(col("v"))).head())
+      }
+      assertBalanced(reads, "asofJoinBucketed")
+      // parity with the single-window reference implementation: same
+      // row count, same total matched payload
+      val want = TimeJoins.asofJoin(left, right, Seq("k"), "t", "t",
+        Seq("v"), "t").agg(count(lit(1)), sum(col("v"))).head()
+      assert(got.getLong(0) == want.getLong(0) &&
+        got.getLong(1) == want.getLong(1),
+        s"bucketed/plain divergence: $got vs $want")
+    } finally spark.conf.set(coalesceKey, saved)
+  }
+
+  // ------------------------------------------------ diameter-20 chain
+  test("stress: connectedComponents closes a diameter-20 dup chain") {
+    // a 21-doc path graph (diameter 20) among 500 two-doc islands:
+    // min-label propagation moves ONE hop per round, so the chain
+    // forces the composed 2/4/8-round escalation to actually compose —
+    // a single materialization cannot finish it
+    val chain = (0 until 20).map(i => (1000L + i, 1000L + i + 1))
+    val islands = (0 until 500).map(i => (2000L + 2 * i, 2001L + 2 * i))
+    val pairs = (chain ++ islands).toDF("d1", "d2")
+    val cc = timed("diameter-20 connectedComponents")(
+      Dedup.connectedComponents(pairs).persist())
+    try {
+      // the whole chain must collapse to its minimum label…
+      val chainLabels = cc.where(col("doc_id").between(1000L, 1020L))
+        .select(col("cluster_id")).distinct().as[Long].collect().toSeq
+      assert(chainLabels == Seq(1000L),
+        s"chain did not converge to one cluster: $chainLabels")
+      // …while every island keeps its own
+      val islandClusters = cc.where(col("doc_id") >= 2000L)
+        .select(col("cluster_id")).distinct().count()
+      assert(islandClusters == 500L)
+      val keeps = cc.where(col("keep") === 1).count()
+      assert(keeps == 501L) // 1 chain canonical + 500 island canonicals
+    } finally { cc.unpersist(); () }
+  }
+
+  test("stress timings summary") {
+    // recorded for STATUS.md; scalatest orders tests in declaration
+    // order within a suite, so everything above has run
+    timings.foreach { case (l, s) => info(f"$l: $s%.2f s") }
+    assert(timings.nonEmpty)
+  }
+}

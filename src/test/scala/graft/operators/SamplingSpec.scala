@@ -146,6 +146,27 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("runningTokenSum: binary stratum column compares by value") {
+    // BinaryType strata surface in the per-partition pass as
+    // Array[Byte], whose == is reference identity — without key
+    // normalization the accumulator resets every row and cum is wrong
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array[Byte]((i % 2).toByte), 3L)
+    }
+    val df = rows.toDF("doc_id", "grp", "n_tok")
+    val got = Sampling.runningTokenSum(df, Seq("grp"))
+      .select(conv(hex(col("grp")), 16, 10).cast("int").as("g"),
+        col("doc_id"), col("cum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.groupBy(_._2(0).toInt).foreach { case (g, docs) =>
+      docs.map(_._1).sorted.zipWithIndex.foreach { case (id, rank) =>
+        assert(got((g, id)) == 3L * (rank + 1),
+          s"stratum $g doc $id: got ${got((g, id))}, want ${3L * (rank + 1)}")
+      }
+    }
+  }
+
   test("globalSample: n smallest hashes, bounded top-n plan") {
     val r = Sampling.globalSample(docs, n = 3)
     val rows = r.collect()

@@ -149,6 +149,60 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"'$enc' was not honored as an opt-out")
       assert(Json.arr(Json.parse(optOut.body())).nonEmpty)
     }
+    // RFC 7231 content-coding matching: the legacy x-gzip alias and
+    // the * wildcard are gzip-acceptable; an explicit gzip;q=0
+    // outranks a wildcard
+    for (enc <- Seq("x-gzip", "*", "identity;q=0.5, *;q=1")) {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(base + "/query"))
+          .header("Accept-Encoding", enc)
+          .POST(HttpRequest.BodyPublishers.ofString(queryReq)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.headers().firstValue("Content-Encoding").orElse("") == "gzip",
+        s"'$enc' should negotiate gzip")
+      assert(gunzip(r.body()).nonEmpty)
+    }
+    val wildcardOptOut = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/query"))
+        .header("Accept-Encoding", "gzip;q=0, *;q=1")
+        .POST(HttpRequest.BodyPublishers.ofString(queryReq)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(wildcardOptOut.headers().firstValue("Content-Encoding").isEmpty,
+      "explicit gzip;q=0 must outrank the * wildcard")
+  }
+
+  test("/image sets a strong ETag; If-None-Match round-trips 304") {
+    val req =
+      """{"attributes": [{"name": "u1/click", "color": "#00ff00",
+        |                 "y_axis": 0}],
+        |"time_range": ["2024-01-05", "2024-01-20"],
+        |"size": [100, 50]}""".stripMargin
+    val first = post("/image", req)
+    assert(first.statusCode() == 200)
+    val etag = first.headers().firstValue("ETag").orElse("")
+    assert(etag.startsWith("\"") && etag.endsWith("\""), s"bad ETag '$etag'")
+    // identical request, conditional: 304, no body, ETag still present
+    val cond = client.send(HttpRequest.newBuilder(URI.create(base + "/image"))
+      .header("If-None-Match", etag)
+      .POST(HttpRequest.BodyPublishers.ofString(req)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(cond.statusCode() == 304)
+    assert(cond.body().isEmpty)
+    assert(cond.headers().firstValue("ETag").orElse("") == etag)
+    // weak-prefix and list forms match too (RFC 7232 weak comparison)
+    val weak = client.send(HttpRequest.newBuilder(URI.create(base + "/image"))
+      .header("If-None-Match", "\"zzz\", W/" + etag)
+      .POST(HttpRequest.BodyPublishers.ofString(req)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(weak.statusCode() == 304)
+    // a different request must produce a different ETag and a 200
+    val other = client.send(HttpRequest.newBuilder(URI.create(base + "/image"))
+      .header("If-None-Match", etag)
+      .POST(HttpRequest.BodyPublishers.ofString(
+        req.replace("[100, 50]", "[80, 40]"))).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(other.statusCode() == 200)
+    assert(other.headers().firstValue("ETag").orElse("") != etag)
   }
 
   test("static route serves the client bundle, blocks traversal") {

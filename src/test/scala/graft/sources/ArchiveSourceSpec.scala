@@ -132,6 +132,61 @@ class ArchiveSourceSpec extends AnyFunSuite {
     assert(probe.where(pred).collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("cassandra connector compile-fence: pinned wire contract") {
+    // These constants ARE the wire contract with the connector jar the
+    // offline build cannot resolve; a rename here must be a conscious
+    // protocol change, never a refactor accident. An online CI
+    // additionally verifies ConnectorClass resolves and a live EXPLAIN
+    // shows both IN filters pushed (README §"Online validation").
+    assert(CassandraArchiveSource.Format ==
+      "org.apache.spark.sql.cassandra")
+    assert(CassandraArchiveSource.ConnectorClass ==
+      "org.apache.spark.sql.cassandra.DefaultSource")
+    assert(CassandraArchiveSource.KeyspaceOption == "keyspace")
+    assert(CassandraArchiveSource.TableOption == "table")
+    // the predicate must survive translation into data-source filters —
+    // the same entry point scan planning feeds to the connector's
+    // unhandledFilters — as In filters on BOTH partition-key columns
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+    import org.apache.spark.sql.sources
+    val pred = CassandraArchiveSource
+      .pointsPredicate(Seq(1, 2), "2024-01-01", "2024-01-02")
+    val probe = Seq((1, "2024-01-01")).toDF("att_conf_id", "period")
+    // analyzed, not optimized: ConvertToLocalRelation folds the filter
+    // into the tiny probe relation before translation could see it
+    val cond = probe.where(pred).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.get
+    // translateFilter is protected[sql] in Scala but public in
+    // bytecode — reflection is the sanctioned way to reach Spark's own
+    // pushdown translation from outside the sql package
+    val translate = DataSourceStrategy.getClass.getMethod("translateFilter",
+      classOf[org.apache.spark.sql.catalyst.expressions.Expression],
+      java.lang.Boolean.TYPE)
+    translate.invoke(DataSourceStrategy, cond, java.lang.Boolean.FALSE)
+      .asInstanceOf[Option[sources.Filter]] match {
+      case Some(sources.And(sources.In(a, ids), sources.In(p, ps))) =>
+        assert(a == "att_conf_id" && ids.toSeq == Seq(1, 2))
+        assert(p == "period" &&
+          ps.toSeq == Seq("2024-01-01", "2024-01-02"))
+      case other => fail(s"predicate did not translate to pushable " +
+        s"partition-key In filters: $other")
+    }
+    // reflection probe: absent in this offline sandbox by construction;
+    // when the jar IS present the format string must resolve to it
+    val present =
+      try { Class.forName(CassandraArchiveSource.ConnectorClass); true }
+      catch { case _: ClassNotFoundException => false }
+    if (present) {
+      val cls = org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource(CassandraArchiveSource.Format,
+          spark.sessionState.conf)
+      assert(cls.getName.startsWith("org.apache.spark.sql.cassandra"))
+    }
+    info(s"connector on classpath: $present")
+  }
+
   test("PeriodCache over the parquet source serves closed days from cache") {
     val root = writeArchive()
     val src = new ParquetArchiveSource(spark, root)

@@ -46,4 +46,23 @@ class CorpusSourceSpec extends AnyFunSuite {
     assert(r.schema == CorpusSource.DocumentsSchema)
     assert(r.count() == 2)
   }
+
+  test("parquet read widens lossless types, rejects lossy ones") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("corpus-widen").toString
+    // int32 doc_id / n_chars from an external producer: lossless widen
+    docs.withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/widen")
+    val r = CorpusSource.readParquet(spark, s"$dir/widen")
+    assert(r.schema == CorpusSource.DocumentsSchema)
+    assert(r.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    // string doc_id: lossy coercion must still fail loudly
+    docs.withColumn("doc_id", col("doc_id").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/lossy")
+    val e = intercept[IllegalArgumentException] {
+      CorpusSource.readParquet(spark, s"$dir/lossy")
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
 }
