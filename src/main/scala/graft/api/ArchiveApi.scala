@@ -123,7 +123,8 @@ object ArchiveApi {
   def imageQuery(points: DataFrame, attrs: Seq[AttrSpec],
       t0Us: Long, t1Us: Long, width: Int, height: Int,
       axes: Map[Int, AxisSpec] = Map.empty,
-      tieCol: String = "point_id"): ImageResult = {
+      tieCol: String = "point_id",
+      antialias: Boolean = false): ImageResult = {
     val byAxis = attrs.groupBy(_.yAxis)
     val images = Map.newBuilder[String, AxisImage]
     val descs = Map.newBuilder[String, HoverDesc]
@@ -150,12 +151,21 @@ object ArchiveApi {
         // A3 axis limits + 5%-pad / constant-range (plot.py:112-188)
         val (yLo, yHi) = Extrema.padRange(vmins.min, vmaxs.max, spec.isLog)
 
-        // phase 2 — grids: lines for the image, points for hover
-        val lineCells = Raster.binLines(
-          axisPoints.where(col("att_name").isin(present: _*)),
-          Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
-          spec.isLog).collect()
-        val pointGrid = Raster.binPoints(
+        // phase 2 — grids: lines for the image, points for hover.
+        // AA opt-in swaps the per-cell statistic (coverage w256 vs hit
+        // count) — eq-hist shading is rank-based, so both feed it
+        // unchanged
+        val lineRaster =
+          if (antialias) Raster.binLinesAA(
+            axisPoints.where(col("att_name").isin(present: _*)),
+            Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
+            spec.isLog)
+          else Raster.binLines(
+            axisPoints.where(col("att_name").isin(present: _*)),
+            Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
+            spec.isLog)
+        val lineCells = lineRaster.collect()
+        val pointGrid = graft.plans.RasterFusion.binPoints(
           axisPoints.where(col("att_name").isin(present: _*)),
           Seq("att_name"), t0Us, t1Us, yLo, yHi, width, height,
           spec.isLog).collect()

@@ -146,7 +146,11 @@ object EventQueries {
   private val VMax = 330.0
 
   private def q07(s: SparkSession, dir: String): DataFrame =
-    Raster.binPoints(
+    // the FUSED raster path (plans/RasterFusion.scala): one custom
+    // operator for filter+pixel-bin+partial-agg; value parity with
+    // Raster.binPoints is plan-asserted in RasterFusionSpec and
+    // hash-pinned here against the same oracle
+    graft.plans.RasterFusion.binPoints(
       pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
       Seq("event_type"), Epoch2024, TEnd, 0.0, VMax, W, H)
       .withColumn("vmean", round(col("vmean"), 6))

@@ -180,6 +180,135 @@ object Raster {
       .select(keyCols ++ Seq(col("px"), col("py"), col("cnt")): _*)
   }
 
+  /** Cells+weights of the segment prev→cur for the AA path; same
+    * key/NaN gating as [[segCells]]. */
+  private def segCellsAA(a: LP, b: LP): Seq[(String, Long, Long, Long)] =
+    if (a.k == b.k && a.py.isDefined && b.py.isDefined)
+      lineAA(a.px.toInt, a.py.get.toInt, b.px.toInt, b.py.get.toInt)
+        .toSeq.map { case (x, y, w) => (b.k, x.toLong, y.toLong, w) }
+    else Nil
+
+  /** A4 (opt-in variant) — ANTI-ALIASED line rasterization: per-cell
+    * summed coverage weight in 1/256 units (`w256`) instead of a hit
+    * count, mirroring datashader's coverage-weighted AA kernels
+    * (reference `plot.py:22-27` — the one place the default
+    * [[binLines]] deliberately diverges for golden-test stability).
+    * Determinism survives because the coverage split is computed in
+    * INTEGER-RATIONAL arithmetic ([[lineAA]]): the crossing ordinate at
+    * each major-axis step is the exact rational (num/den) of the
+    * segment endpoints, and the 256-unit split rounds half-up in
+    * integer math — no float accumulates anywhere, so goldens are as
+    * stable as Bresenham's.
+    *
+    * Distribution shape is identical to [[binLines]] (range-spread
+    * partitions, per-partition emit, O(#partitions) driver stitch);
+    * only the per-segment kernel and the final SUM (vs count) differ.
+    * Output: key columns, px, py, `w256` (≥ 1; a fully-covered cell
+    * contributes 256 per crossing segment). */
+  def binLinesAA(points: DataFrame, keys: Seq[String], tieCol: String,
+      t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
+      width: Int, height: Int, logScale: Boolean = false): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val prepared = points
+      .where(col("t").between(t0Us, t1Us))
+      .select(
+        concat_ws(KeySep, keys.map(col(_).cast("string")): _*).as("k"),
+        pxCol(col("t"), t0Us, t1Us, width).as("px"),
+        when(isnan(col("value_r")), lit(null))
+          .otherwise(pyCol(col("value_r"), vmin, vmax, height, logScale))
+          .cast("long").as("py"),
+        col("t").cast("long").as("t"),
+        col(tieCol).cast("long").as("tie"))
+      .as[LP]
+    val sorted = prepared
+      .repartitionByRange(col("k"), col("t"), col("tie"))
+      .sortWithinPartitions(col("k"), col("t"), col("tie"))
+      .persist()
+    val inner = sorted.mapPartitions { it =>
+      var prev: LP = null
+      it.flatMap { cur =>
+        val out = if (prev != null) segCellsAA(prev, cur) else Nil
+        prev = cur
+        out
+      }
+    }
+    val edges = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val first = it.next(); var last = first
+        while (it.hasNext) last = it.next()
+        Iterator.single((i, first, last))
+      }
+    }.collect().sortBy(_._1)
+    val boundary = edges.toSeq.sliding(2).flatMap {
+      case Seq((_, _, last), (_, first, _)) => segCellsAA(last, first)
+      case _ => Nil
+    }.toSeq
+    val cells = inner.toDF("k", "px", "py", "w")
+      .unionByName(spark.createDataFrame(boundary)
+        .toDF("k", "px", "py", "w"))
+    val keyCols = keys.zipWithIndex.map { case (name, i) =>
+      split(col("k"), KeySep).getItem(i).as(name)
+    }
+    cells
+      .where(col("px").between(0, width - 1)
+        && col("py").between(0, height - 1))
+      .groupBy(col("k"), col("px"), col("py"))
+      .agg(sum(col("w")).as("w256"))
+      .select(keyCols ++ Seq(col("px"), col("py"), col("w256")): _*)
+  }
+
+  /** Anti-aliased line kernel in integer-rational arithmetic: for each
+    * major-axis step from (x0,y0) → (x1,y1) (start excluded, like
+    * [[bresenham]]), the exact crossing ordinate is the rational
+    * `num/den` of the endpoints; its fractional part splits 256
+    * coverage units between the two straddled cells (rounded half-up
+    * in integer math — the two weights always sum to 256). An exact
+    * integer crossing puts all 256 units in one cell, so axis-aligned
+    * and 45° lines reproduce Bresenham's cells with w=256.
+    * Wu-style endpoint fractional coverage is NOT applied (endpoints
+    * land on cell centers here by construction — px/py are already
+    * quantized), which keeps the kernel a pure function of the cell
+    * coordinates. */
+  def lineAA(x0: Int, y0: Int, x1: Int, y1: Int): Array[(Int, Int, Long)] = {
+    val out = Array.newBuilder[(Int, Int, Long)]
+    val dx = x1 - x0; val dy = y1 - y0
+    if (dx == 0 && dy == 0) return out.result()
+    val steep = math.abs(dy) > math.abs(dx)
+    // (a, b): major/minor axis; emit maps back to (x, y)
+    val (a0, b0, a1, b1) = if (steep) (y0, x0, y1, x1) else (x0, y0, x1, y1)
+    val da = a1 - a0; val db = b1 - b0
+    val sa = if (da >= 0) 1 else -1
+    val steps = math.abs(da)
+    var i = 1
+    while (i <= steps) {
+      val m = a0 + i * sa
+      // exact crossing: b = b0 + (m - a0) * db / da, normalized to a
+      // positive denominator
+      var num = b0.toLong * da + (m - a0).toLong * db
+      var den = da.toLong
+      if (den < 0) { num = -num; den = -den }
+      val ib = Math.floorDiv(num, den)
+      val rem = num - ib * den // 0 ≤ rem < den
+      if (rem == 0L) {
+        out += emitAA(steep, m, ib.toInt, 256L)
+      } else {
+        // upper-cell share of the 256 units, rounded half-up
+        val wHi = (256L * rem * 2 + den) / (2 * den)
+        val wLo = 256L - wHi
+        if (wLo > 0) out += emitAA(steep, m, ib.toInt, wLo)
+        if (wHi > 0) out += emitAA(steep, m, ib.toInt + 1, wHi)
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  @inline private def emitAA(steep: Boolean, major: Int, minor: Int,
+      w: Long): (Int, Int, Long) =
+    if (steep) (minor, major, w) else (major, minor, w)
+
   /** Integer Bresenham line: all cells covered from (x0,y0) to (x1,y1),
     * excluding the start cell (so consecutive segments don't double-count
     * their shared endpoint). */

@@ -1,0 +1,288 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** SURVEY §4's raster-fusion strategy: the `/image` hot path's
+  * filter → pixel-project → partial-aggregate chain collapsed into ONE
+  * custom physical operator pair, registered through
+  * `spark.experimental.extraStrategies` (the same public hook
+  * [[DerivedDivBounds]] uses for its optimizer rule).
+  *
+  * Why a whole-operator plan node (preference (c) in the build rules):
+  * the declarative [[graft.operators.Raster.binPoints]] chain is
+  * already codegen-friendly, but it materializes a projected row per
+  * POINT between the filter/projection stage and the generic hash
+  * aggregate. The fused operator exploits what the planner cannot
+  * know: the aggregate's key domain is a bounded PIXEL GRID, so a
+  * single pass can filter, project t→px / value→py and accumulate
+  * (cnt, sum, min, max) into a per-partition hash grid without ever
+  * emitting the intermediate row — one operator, zero intermediate
+  * materialization, partial state bounded by #keys × width × height
+  * cells per task (never by point count).
+  *
+  * Plan shape: [[RasterBinPlan]] (logical) →
+  * [[RasterBinPartialExec]] (narrow: one pass per child partition) →
+  * hash exchange on (keys, px, py) inserted automatically by
+  * `EnsureRequirements` against [[RasterBinMergeExec]]'s required
+  * distribution → merge combines cells and emits
+  * `keys…, px, py, cnt, vmean, vmin, vmax`. Every px/py/filter rule
+  * replicates [[graft.operators.Raster.binPoints]] EXACTLY —
+  * RasterFusionSpec pins value parity on fixtures and asserts the
+  * fused operators appear in the executed plan. */
+object RasterFusion {
+
+  /** Idempotent strategy registration (mirrors
+    * [[DerivedDivBounds.register]]). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(RasterStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RasterStrategy
+
+  /** Fused drop-in for [[graft.operators.Raster.binPoints]]: same
+    * arguments, same output schema `(keys…, px, py, cnt, vmean, vmin,
+    * vmax)`, same values — different physical plan. */
+  def binPoints(points: DataFrame, keys: Seq[String],
+      t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
+      width: Int, height: Int, logScale: Boolean = false): DataFrame = {
+    require(t1Us > t0Us && width > 0 && height > 0)
+    val spark = points.sparkSession
+    register(spark)
+    val child = points
+      .select(keys.map(col) :+ col("t") :+ col("value_r"): _*)
+    val plan = RasterBinPlan(
+      RasterParams(keys.length, t0Us, t1Us, vmin, vmax, width, height,
+        logScale),
+      child.queryExecution.analyzed)
+    GraftPlanBridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  }
+}
+
+/** The scalar grid parameters, serializable into task closures. The
+  * scalar functions replicate `Raster.pxCol` / `Raster.pyCol` / the
+  * `binPoints` filter bit for bit (same op order, same coercions). */
+final case class RasterParams(numKeys: Int, t0: Long, t1: Long,
+    vmin: Double, vmax: Double, width: Int, height: Int,
+    logScale: Boolean) {
+
+  def px(t: Long): Long = {
+    val num = (t - t0) * width.toLong
+    val span = t1 - t0
+    val m = ((num % span) + span) % span
+    math.min(((num - m).toDouble / span.toDouble).toLong, width - 1L)
+  }
+
+  def py(v: Double): Long = {
+    val (value, lo, hi) =
+      if (logScale) (math.log10(v), math.log10(vmin), math.log10(vmax))
+      else (v, vmin, vmax)
+    math.min(math.floor((value - lo) / (hi - lo) * height),
+      (height - 1L).toDouble).toLong
+  }
+
+  def keep(t: Long, v: Double): Boolean = {
+    val lo = if (logScale) math.max(vmin, java.lang.Double.MIN_VALUE)
+             else vmin
+    t >= t0 && t <= t1 && !v.isNaN && v >= lo && v <= vmax
+  }
+}
+
+/** Logical raster-bin node. The child MUST produce `keys…, t, value_r`
+  * positionally ([[RasterFusion.binPoints]] guarantees it). The six
+  * grid attributes are constructor state so `copy`/`transform` keep
+  * their exprIds stable — downstream resolution binds to them. */
+final case class RasterBinPlan(params: RasterParams, child: LogicalPlan,
+    gridAttrs: Seq[Attribute] = RasterBinPlan.freshGridAttrs())
+  extends UnaryNode {
+
+  override def output: Seq[Attribute] =
+    child.output.take(params.numKeys) ++ gridAttrs
+  // gridAttrs are produced here, not consumed from the child — without
+  // this the planner would flag them as missing inputs
+  override def producedAttributes: AttributeSet = AttributeSet(gridAttrs)
+  // the exec reads the child POSITIONALLY (keys…, t, value_r), so every
+  // child column is semantically referenced even though no expression
+  // names t/value_r — without this, ColumnPruning inserts a Project
+  // under the node and the positional reads land on pruned slots
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): RasterBinPlan = copy(child = newChild)
+}
+
+object RasterBinPlan {
+  private[plans] def freshGridAttrs(): Seq[Attribute] = Seq(
+    AttributeReference("px", LongType, nullable = false)(),
+    AttributeReference("py", LongType, nullable = false)(),
+    AttributeReference("cnt", LongType, nullable = false)(),
+    AttributeReference("vmean", DoubleType, nullable = false)(),
+    AttributeReference("vmin", DoubleType, nullable = false)(),
+    AttributeReference("vmax", DoubleType, nullable = false)())
+}
+
+/** Plans [[RasterBinPlan]] into the partial/merge exec pair. */
+object RasterStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case r: RasterBinPlan =>
+      val partial = RasterBinPartialExec(r.params, planLater(r.child))
+      RasterBinMergeExec(r.output, r.params.numKeys, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One pixel cell's running (cnt, sum, min, max). */
+private[plans] final class CellAgg(var cnt: Long, var sum: Double,
+    var mn: Double, var mx: Double) {
+  def add(v: Double): Unit = {
+    cnt += 1; sum += v
+    if (v < mn) mn = v
+    if (v > mx) mx = v
+  }
+  def merge(o: CellAgg): Unit = {
+    cnt += o.cnt; sum += o.sum
+    if (o.mn < mn) mn = o.mn
+    if (o.mx > mx) mx = o.mx
+  }
+}
+
+/** One pass over each child partition: filter + pixel projection +
+  * grid accumulation, emitting one partial row per non-empty cell —
+  * `keys…, px, py, cnt, sum, mn, mx`. */
+final case class RasterBinPartialExec(params: RasterParams,
+    child: SparkPlan,
+    aggAttrs: Seq[Attribute] = RasterBinPartialExec.freshAggAttrs())
+  extends UnaryExecNode {
+
+  // aggAttrs are constructor state, NOT derived per call: the merge
+  // parent's distribution and the inserted exchange reference them by
+  // exprId, and plan copies (codegen wrapping, AQE stage re-planning)
+  // must preserve them
+  override def output: Seq[Attribute] =
+    child.output.take(params.numKeys) ++ aggAttrs
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val p = params
+    val k = p.numKeys
+    val keyTypes: Array[DataType] =
+      child.output.take(k).map(_.dataType).toArray
+    val outTypes: Array[DataType] = output.map(_.dataType).toArray
+    child.execute().mapPartitions({ rows =>
+      // map key: UnsafeRow over (keys…, px, py) — value-based equality
+      // and hashing; copied once on first sight (the projection reuses
+      // its buffer)
+      val keyProj = UnsafeProjection.create(
+        keyTypes ++ Array[DataType](LongType, LongType))
+      val grid = new java.util.HashMap[InternalRow, CellAgg]()
+      rows.foreach { row =>
+        if (!row.isNullAt(k) && !row.isNullAt(k + 1)) {
+          val t = row.getLong(k)
+          val v = row.getDouble(k + 1)
+          if (p.keep(t, v)) {
+            val keyVals = new Array[Any](k + 2)
+            var i = 0
+            while (i < k) { keyVals(i) = row.get(i, keyTypes(i)); i += 1 }
+            keyVals(k) = p.px(t)
+            keyVals(k + 1) = p.py(v)
+            val uKey = keyProj(InternalRow.fromSeq(keyVals.toIndexedSeq))
+            val agg = grid.get(uKey)
+            if (agg == null) grid.put(uKey.copy(), new CellAgg(1L, v, v, v))
+            else agg.add(v)
+          }
+        }
+      }
+      val outProj = UnsafeProjection.create(outTypes)
+      val it = grid.entrySet().iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = {
+          val e = it.next()
+          val key = e.getKey; val a = e.getValue
+          val vals = new Array[Any](k + 6)
+          var i = 0
+          while (i < k) { vals(i) = key.get(i, keyTypes(i)); i += 1 }
+          vals(k) = key.getLong(k)
+          vals(k + 1) = key.getLong(k + 1)
+          vals(k + 2) = a.cnt; vals(k + 3) = a.sum
+          vals(k + 4) = a.mn; vals(k + 5) = a.mx
+          outProj(InternalRow.fromSeq(vals.toIndexedSeq))
+        }
+      }
+    }, preservesPartitioning = false)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): RasterBinPartialExec = copy(child = newChild)
+}
+
+object RasterBinPartialExec {
+  private[plans] def freshAggAttrs(): Seq[Attribute] = Seq(
+    AttributeReference("px", LongType, nullable = false)(),
+    AttributeReference("py", LongType, nullable = false)(),
+    AttributeReference("cnt", LongType, nullable = false)(),
+    AttributeReference("sum", DoubleType, nullable = false)(),
+    AttributeReference("mn", DoubleType, nullable = false)(),
+    AttributeReference("mx", DoubleType, nullable = false)())
+}
+
+/** Final merge: requires clustering on (keys, px, py) — the planner
+  * inserts the hash exchange — then combines partial cells and emits
+  * `keys…, px, py, cnt, vmean, vmin, vmax`. */
+final case class RasterBinMergeExec(output: Seq[Attribute], numKeys: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(child.output.take(numKeys + 2)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val k = numKeys
+    val keyTypes: Array[DataType] =
+      child.output.take(k).map(_.dataType).toArray
+    val outTypes: Array[DataType] = output.map(_.dataType).toArray
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(
+        keyTypes ++ Array[DataType](LongType, LongType))
+      val grid = new java.util.HashMap[InternalRow, CellAgg]()
+      rows.foreach { row =>
+        val keyVals = new Array[Any](k + 2)
+        var i = 0
+        while (i < k) { keyVals(i) = row.get(i, keyTypes(i)); i += 1 }
+        keyVals(k) = row.getLong(k)
+        keyVals(k + 1) = row.getLong(k + 1)
+        val uKey = keyProj(InternalRow.fromSeq(keyVals.toIndexedSeq))
+        val incoming = new CellAgg(row.getLong(k + 2),
+          row.getDouble(k + 3), row.getDouble(k + 4), row.getDouble(k + 5))
+        val agg = grid.get(uKey)
+        if (agg == null) grid.put(uKey.copy(), incoming)
+        else agg.merge(incoming)
+      }
+      val outProj = UnsafeProjection.create(outTypes)
+      val it = grid.entrySet().iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = {
+          val e = it.next()
+          val key = e.getKey; val a = e.getValue
+          val vals = new Array[Any](k + 6)
+          var i = 0
+          while (i < k) { vals(i) = key.get(i, keyTypes(i)); i += 1 }
+          vals(k) = key.getLong(k)
+          vals(k + 1) = key.getLong(k + 1)
+          vals(k + 2) = a.cnt
+          vals(k + 3) = a.sum / a.cnt // Spark avg: final sum / count
+          vals(k + 4) = a.mn; vals(k + 5) = a.mx
+          outProj(InternalRow.fromSeq(vals.toIndexedSeq))
+        }
+      }
+    }, preservesPartitioning = false)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): RasterBinMergeExec = copy(child = newChild)
+}

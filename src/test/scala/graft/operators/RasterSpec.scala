@@ -115,4 +115,60 @@ class RasterSpec extends AnyFunSuite {
       .toSeq.sorted
     assert(fast.toSeq == slow)
   }
+
+  test("lineAA: axis-aligned and 45° lines reproduce bresenham at w=256") {
+    assert(Raster.lineAA(0, 0, 3, 0).toSeq ==
+      Seq((1, 0, 256L), (2, 0, 256L), (3, 0, 256L)))
+    assert(Raster.lineAA(2, 1, 2, 4).toSeq ==
+      Seq((2, 2, 256L), (2, 3, 256L), (2, 4, 256L)))
+    assert(Raster.lineAA(0, 0, 3, 3).toSeq ==
+      Seq((1, 1, 256L), (2, 2, 256L), (3, 3, 256L)))
+    assert(Raster.lineAA(5, 5, 5, 5).toSeq == Seq.empty)
+  }
+
+  test("lineAA: fractional crossings split 256 units exactly (golden)") {
+    // slope 1/2 from (0,0) to (4,2): crossings at y = 0.5, 1, 1.5, 2
+    assert(Raster.lineAA(0, 0, 4, 2).toSeq == Seq(
+      (1, 0, 128L), (1, 1, 128L), // y=0.5 splits evenly
+      (2, 1, 256L),               // y=1 exact
+      (3, 1, 128L), (3, 2, 128L), // y=1.5
+      (4, 2, 256L)))              // y=2 exact
+    // slope 2 is steep: same splits along y, emitted as (x, y)
+    assert(Raster.lineAA(0, 0, 2, 4).toSeq == Seq(
+      (0, 1, 128L), (1, 1, 128L),
+      (1, 2, 256L),
+      (1, 3, 128L), (2, 3, 128L),
+      (2, 4, 256L)))
+    // slope 1/3: thirds round half-up — 256/3 → 85, 171; weights per
+    // column always sum to 256
+    val thirds = Raster.lineAA(0, 0, 3, 1)
+    assert(thirds.toSeq == Seq(
+      (1, 0, 171L), (1, 1, 85L),
+      (2, 0, 85L), (2, 1, 171L),
+      (3, 1, 256L)))
+    assert(thirds.groupBy(_._1).forall(_._2.map(_._3).sum == 256L))
+    // direction-reversal covers the same columns with mirrored splits
+    val fwd = Raster.lineAA(0, 0, 4, 2).filter(_._1 == 2)
+    val back = Raster.lineAA(4, 2, 0, 0).filter(_._1 == 2)
+    assert(fwd.map(c => (c._2, c._3)).sorted sameElements
+      back.map(c => (c._2, c._3)).sorted)
+  }
+
+  test("binLinesAA: golden cells, NaN breaks, determinism") {
+    val pts = Seq(
+      ("a", 0L, 100L, 0.5), ("a", 1L, 300L, 2.5), // diagonal up
+      ("a", 2L, 500L, Double.NaN), // break
+      ("a", 3L, 700L, 0.5), ("a", 4L, 900L, 0.5)) // horizontal after break
+      .toDF("att_name", "point_id", "t", "value_r")
+    def run() = Raster.binLinesAA(pts, Seq("att_name"), "point_id",
+      0L, 1000L, 0.0, 4.0, 8, 4).orderBy("px", "py").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // same geometry as the binLines golden: the 45° and horizontal
+    // segments carry full 256-unit coverage; NaN still kills both
+    // adjacent segments
+    val want = Seq((1L, 1L, 256L), (2L, 2L, 256L), (6L, 0L, 256L),
+      (7L, 0L, 256L))
+    assert(run().toSeq == want)
+    assert(run().toSeq == want) // deterministic across executions
+  }
 }

@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.operators.Raster
+
+class RasterFusionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("event_type", "px", "py").collect()
+      .map(_.toSeq).toSeq
+
+  private def fixture = (0 until 500).map { i =>
+    val v = i match {
+      case 13 => Double.NaN          // NaN guard
+      case 77 => -3.0                // below vmin → filtered
+      case 191 => 99.0               // above vmax → filtered
+      case _ => (i % 40) * 0.25
+    }
+    (if (i % 3 == 0) "click" else "view", i.toLong, i.toLong * 2000, v)
+  }.toDF("event_type", "point_id", "t", "value_r")
+
+  test("fused binPoints matches the declarative operator exactly") {
+    val (t0, t1, vmin, vmax, w, h) = (0L, 1000000L, 0.0, 9.75, 32, 16)
+    val fused = RasterFusion.binPoints(fixture, Seq("event_type"),
+      t0, t1, vmin, vmax, w, h)
+    val plain = Raster.binPoints(fixture, Seq("event_type"),
+      t0, t1, vmin, vmax, w, h)
+    assert(fused.columns.toSeq == plain.columns.toSeq)
+    assert(canon(fused) == canon(plain))
+  }
+
+  test("fused binPoints matches on a log scale and on empty input") {
+    val logf = RasterFusion.binPoints(fixture.where(col("value_r") > 0),
+      Seq("event_type"), 0L, 1000000L, 0.25, 9.75, 16, 8, logScale = true)
+    val logp = Raster.binPoints(fixture.where(col("value_r") > 0),
+      Seq("event_type"), 0L, 1000000L, 0.25, 9.75, 16, 8, logScale = true)
+    assert(canon(logf) == canon(logp))
+    val empty = RasterFusion.binPoints(
+      fixture.where(col("t") < 0), Seq("event_type"),
+      0L, 1000000L, 0.0, 10.0, 16, 8)
+    assert(empty.collect().isEmpty)
+  }
+
+  test("the executed plan shows the fused operator pair + exchange") {
+    val fused = RasterFusion.binPoints(fixture, Seq("event_type"),
+      0L, 1000000L, 0.0, 9.75, 32, 16)
+    fused.collect() // materialize so AQE finalizes the plan
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("RasterBinPartial"),
+      s"partial operator missing from plan:\n$plan")
+    assert(plan.contains("RasterBinMerge"),
+      s"merge operator missing from plan:\n$plan")
+    assert(plan.contains("Exchange"),
+      s"expected the auto-inserted exchange:\n$plan")
+  }
+
+  test("fused output composes downstream (filter + order + agg)") {
+    val fused = RasterFusion.binPoints(fixture, Seq("event_type"),
+      0L, 1000000L, 0.0, 9.75, 32, 16)
+    // grid attributes must resolve downstream by exprId
+    val top = fused.where(col("cnt") > 0)
+      .groupBy(col("event_type")).agg(sum(col("cnt")).as("total"))
+      .orderBy(col("event_type")).collect()
+    val want = Raster.binPoints(fixture, Seq("event_type"),
+      0L, 1000000L, 0.0, 9.75, 32, 16)
+      .groupBy(col("event_type")).agg(sum(col("cnt")).as("total"))
+      .orderBy(col("event_type")).collect()
+    assert(top.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+}

@@ -140,6 +140,27 @@ class RenderSpec extends AnyFunSuite {
     assert(img0.xRangeMs == (0.0, 1.0))
   }
 
+  test("imageQuery antialias opt-in renders a valid PNG, same envelope") {
+    val pts = (0 until 50).map { i =>
+      ("sensor/a", i.toLong, i.toLong * 20, 1.0 + (i % 10))
+    }
+    val df = pts.toDF("att_name", "point_id", "t", "value_r")
+    val attrs = Seq(ArchiveApi.AttrSpec("sensor/a", 0xff0000, 0))
+    val aa = ArchiveApi.imageQuery(df, attrs, 0L, 1000L, 16, 8,
+      antialias = true)
+    val plain = ArchiveApi.imageQuery(df, attrs, 0L, 1000L, 16, 8)
+    // envelope identical (ranges, descs come from the same phases)…
+    assert(aa.images("0").yRange == plain.images("0").yRange)
+    assert(aa.descs("sensor/a").totalPoints == 50)
+    val decoded = javax.imageio.ImageIO.read(new ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(aa.images("0").imageBase64)))
+    assert(decoded.getWidth == 16 && decoded.getHeight == 8)
+    // …and the AA render is deterministic across executions
+    val aa2 = ArchiveApi.imageQuery(df, attrs, 0L, 1000L, 16, 8,
+      antialias = true)
+    assert(aa2.images("0").imageBase64 == aa.images("0").imageBase64)
+  }
+
   test("imageQuery honors manual axis min/max overrides (plot.py:102-104)") {
     val df = (0 until 20).map(i => ("a", i.toLong, i.toLong * 50, 1.0 + i % 5))
       .toDF("att_name", "point_id", "t", "value_r")
