@@ -452,6 +452,75 @@ object EventQueries {
        |GROUP BY event_type, px, py
        |ORDER BY event_type, px, py""".stripMargin
 
+  /** A4-AA — the anti-aliased line raster as a first-class oracled
+    * query: same segments as q21, coverage split per major-axis step
+    * in closed-form integer-rational arithmetic. Unlike Bresenham's
+    * stateful walk (recursive CTE), the AA kernel is a direct function
+    * of the step index, so the oracle is plain generate_series SQL
+    * mirroring [[Raster.lineAA]] term by term. */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Raster.binLinesAA(
+      pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
+      Seq("event_type"), "point_id", Epoch2024, TEnd, 0.0, VMax, W, H)
+      .orderBy(col("event_type"), col("px"), col("py"))
+
+  private val q28Sql =
+    s"""${PtsSql}, proj AS (
+       |  SELECT event_type, point_id, t,
+       |    least(((t - $Epoch2024) * $W) // ${TEnd - Epoch2024}, ${W - 1}) AS px,
+       |    CASE WHEN isnan(value_r) THEN NULL
+       |         ELSE least(CAST(floor((value_r - 0.0) / $VMax * $H) AS BIGINT),
+       |                    ${H - 1}) END AS py
+       |  FROM pts WHERE t BETWEEN $Epoch2024 AND $TEnd),
+       |segs AS (
+       |  SELECT event_type,
+       |    lag(px) OVER win AS x0, lag(py) OVER win AS y0,
+       |    px AS x1, py AS y1
+       |  FROM proj WINDOW win AS (PARTITION BY event_type ORDER BY t, point_id)),
+       |oriented AS (
+       |  SELECT event_type, abs(y1 - y0) > abs(x1 - x0) AS steep,
+       |    CASE WHEN abs(y1 - y0) > abs(x1 - x0) THEN y0 ELSE x0 END AS a0,
+       |    CASE WHEN abs(y1 - y0) > abs(x1 - x0) THEN x0 ELSE y0 END AS b0,
+       |    CASE WHEN abs(y1 - y0) > abs(x1 - x0) THEN y1 ELSE x1 END AS a1,
+       |    CASE WHEN abs(y1 - y0) > abs(x1 - x0) THEN x1 ELSE y1 END AS b1
+       |  FROM segs
+       |  WHERE x0 IS NOT NULL AND y0 IS NOT NULL AND y1 IS NOT NULL
+       |    AND NOT (x0 = x1 AND y0 = y1)),
+       |steps AS (
+       |  SELECT event_type, steep, a0, b0, a1 - a0 AS da, b1 - b0 AS db,
+       |    CASE WHEN a1 >= a0 THEN 1 ELSE -1 END AS sa,
+       |    unnest(generate_series(1, abs(a1 - a0))) AS i
+       |  FROM oriented),
+       |walk AS (
+       |  SELECT event_type, steep, a0 + i * sa AS m,
+       |    CASE WHEN da < 0 THEN -(b0 * da + i * sa * db)
+       |         ELSE b0 * da + i * sa * db END AS num,
+       |    abs(da) AS den
+       |  FROM steps),
+       |split AS (
+       |  SELECT event_type, steep, m, num // den AS ib, num % den AS rem,
+       |    (256 * (num % den) * 2 + den) // (2 * den) AS w_hi
+       |  FROM walk),
+       |cells AS (
+       |  SELECT event_type, steep, m, ib AS b, 256 AS w
+       |  FROM split WHERE rem = 0
+       |  UNION ALL
+       |  SELECT event_type, steep, m, ib AS b, 256 - w_hi AS w
+       |  FROM split WHERE rem > 0 AND 256 - w_hi > 0
+       |  UNION ALL
+       |  SELECT event_type, steep, m, ib + 1 AS b, w_hi AS w
+       |  FROM split WHERE rem > 0 AND w_hi > 0),
+       |grid AS (
+       |  SELECT event_type,
+       |    CASE WHEN steep THEN b ELSE m END AS px,
+       |    CASE WHEN steep THEN m ELSE b END AS py, w
+       |  FROM cells)
+       |SELECT event_type, px, py, CAST(sum(w) AS BIGINT) AS w256
+       |FROM grid
+       |WHERE px BETWEEN 0 AND ${W - 1} AND py BETWEEN 0 AND ${H - 1}
+       |GROUP BY event_type, px, py
+       |ORDER BY event_type, px, py""".stripMargin
+
   // ---------------------------------------------------------------- star-schema joins
   /** Multi-way broadcast join over the TPC-H-ish dimensions: revenue
     * rollup orders ⋈ customer ⋈ nation (both dims broadcast — at 100 TB
@@ -632,6 +701,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_naive_time_range" -> (q27 _),
+    "q28_raster_line_aa" -> (q28 _),
     "q01_scan_project" -> (q01 _),
     "q02_resample_5m" -> (resampleQ("5m") _),
     "q03_resample_30s" -> (resampleQ("30s") _),
@@ -661,6 +731,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q27_naive_time_range" -> q27Sql,
+    "q28_raster_line_aa" -> q28Sql,
     "q01_scan_project" -> q01Sql,
     "q02_resample_5m" -> resampleSql("5m"),
     "q03_resample_30s" -> resampleSql("30s"),
