@@ -186,6 +186,29 @@ class StressSpec extends AnyFunSuite {
     } finally spark.conf.set(coalesceKey, saved)
   }
 
+  // -------------------------------------------------- fused raster
+  test("stress: fused raster keeps partial state O(pixels) on 1M points") {
+    // 1M points into a 64×32 grid: the partial rows per task are
+    // bounded by keys × pixels (≤ 2×2048 cells), so total shuffle rows
+    // ≤ #partitions × cells regardless of the 1M input — the property
+    // that makes the /image path interactive at archive scale
+    val n = 1000000L
+    val pts = spark.range(n).select(
+      when(col("id") % 2 === 0, "a").otherwise("b").as("event_type"),
+      col("id").as("point_id"),
+      (col("id") * 3).as("t"),
+      (col("id") % 97).cast("double").as("value_r"))
+    val grid = graft.plans.RasterFusion.binPoints(pts, Seq("event_type"),
+      0L, 3000000L, 0.0, 96.0, 64, 32)
+    val rows = timed("fused raster 1M points")(grid.collect())
+    assert(rows.length <= 2 * 64 * 32,
+      s"grid exploded past the pixel bound: ${rows.length}")
+    assert(rows.map(_.getLong(3)).sum == n) // every point binned once
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(plan.contains("RasterBinPartial") &&
+      plan.contains("RasterBinMerge"))
+  }
+
   // ------------------------------------------------ diameter-20 chain
   test("stress: connectedComponents closes a diameter-20 dup chain") {
     // a 21-doc path graph (diameter 20) among 500 two-doc islands:

@@ -45,6 +45,16 @@ class RasterFusionSpec extends AnyFunSuite {
     assert(empty.collect().isEmpty)
   }
 
+  test("fused binPoints with NO key columns (whole-canvas grid)") {
+    val fused = RasterFusion.binPoints(fixture, Seq.empty,
+      0L, 1000000L, 0.0, 9.75, 32, 16)
+    val plain = Raster.binPoints(fixture, Seq.empty,
+      0L, 1000000L, 0.0, 9.75, 32, 16)
+    val f = fused.orderBy("px", "py").collect().map(_.toSeq).toSeq
+    val p = plain.orderBy("px", "py").collect().map(_.toSeq).toSeq
+    assert(f == p && f.nonEmpty)
+  }
+
   test("the executed plan shows the fused operator pair + exchange") {
     val fused = RasterFusion.binPoints(fixture, Seq("event_type"),
       0L, 1000000L, 0.0, 9.75, 32, 16)
