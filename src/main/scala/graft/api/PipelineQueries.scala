@@ -1288,6 +1288,28 @@ object PipelineQueries {
        |  CAST(n_shared AS DOUBLE) / n_fps AS shared_frac
        |FROM per ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- rare tokens
+  /** Per-doc rare-token rate vs the corpus vocabulary (freq < 3) —
+    * the integer-exact perplexity-proxy quality filter
+    * ([[TextStats.rareTokenStats]]). */
+  private def p37(s: SparkSession, dir: String): DataFrame =
+    TextStats.rareTokenStats(docsSpread(s, dir), minCount = 3L)
+      .orderBy(col("doc_id"))
+
+  private val p37Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok)
+      |SELECT t.doc_id, count(*) AS n_tok,
+      |  CAST(sum(CASE WHEN f.freq < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rare,
+      |  CAST(CAST(sum(CASE WHEN f.freq < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS DOUBLE) / count(*) AS rare_frac
+      |FROM toks t JOIN freq f USING (tok)
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1326,7 +1348,8 @@ object PipelineQueries {
     "p33_tfidf_terms" -> (p33 _),
     "p34_corpus_diff" -> (p34 _),
     "p35_winnow" -> (p35 _),
-    "p36_state_dedup" -> (p36 _))
+    "p36_state_dedup" -> (p36 _),
+    "p37_rare_tokens" -> (p37 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1366,5 +1389,6 @@ object PipelineQueries {
     "p35_winnow" -> p35Sql,
     // identical oracle by design: the persisted-state path must be
     // indistinguishable from the two-frame computation
-    "p36_state_dedup" -> p28Sql)
+    "p36_state_dedup" -> p28Sql,
+    "p37_rare_tokens" -> p37Sql)
 }

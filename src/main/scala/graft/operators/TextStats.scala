@@ -192,6 +192,34 @@ object TextStats {
         col("p._2").as("w"), (-col("p._1")).as("score"))
   }
 
+  /** Per-doc RARE-TOKEN rate against the corpus vocabulary: the
+    * fraction of a doc's token occurrences whose corpus-wide frequency
+    * falls below `minCount` — the integer-exact stand-in for an LM
+    * perplexity filter (gibberish, OCR noise and mojibake score high
+    * because their tokens barely recur anywhere; a real LM's float
+    * `log` never hash-matches across engines, this does).
+    *
+    * Scale shape: one postings projection feeds BOTH the corpus
+    * frequency aggregate and the per-doc join probe; the join is a
+    * token-keyed equi-join where the frequency side arrives already
+    * hash-partitioned on the token from its own aggregate (exchange
+    * elided — the p33 TF-IDF pattern), and stop-word-grade hot tokens
+    * are AQE skew-join territory. The rare SET is never collected or
+    * broadcast: at corpus scale the rare tail IS most of the
+    * vocabulary, so it must stay distributed. */
+  def rareTokenStats(docs: DataFrame, minCount: Long = 3L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    toks.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("freq") < minCount, 1L).otherwise(0L)).as("n_rare"))
+      // exact integer counts, one IEEE division — engine-deterministic
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_tok"))
+  }
+
   /** Exact per-stratum token-count quantiles (median + p90, "lower"
     * interpolation: the value at 1-based rank ⌊(n−1)·q⌋+1 in (value,
     * …) order). NOT a per-stratum sort: token counts are small
