@@ -259,8 +259,12 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
           o.get("min").map(Json.num),
           o.get("max").map(Json.num))
       }
+    // opt-in anti-aliased rendering (Raster.binLinesAA); default stays
+    // the reference-parity Bresenham raster
+    val aa = b.get("antialias").collect { case v: Boolean => v }
+      .getOrElse(false)
     val result = ArchiveApi.imageQuery(points, attrs.toSeq, t0, t1, w, h,
-      axes)
+      axes, antialias = aa)
     val images = result.images.map { case (axis, img) =>
       axis -> Map(
         "image" -> img.imageBase64,

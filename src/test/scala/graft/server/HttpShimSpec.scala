@@ -171,6 +171,24 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
       "explicit gzip;q=0 must outrank the * wildcard")
   }
 
+  test("/image antialias flag renders a valid PNG with its own ETag") {
+    def req(aa: Boolean) =
+      s"""{"attributes": [{"name": "u1/click", "color": "#00ff00",
+         |                 "y_axis": 0}],
+         |"time_range": ["2024-01-05", "2024-01-20"],
+         |"size": [100, 50], "antialias": $aa}""".stripMargin
+    val aaResp = post("/image", req(aa = true))
+    assert(aaResp.statusCode() == 200)
+    val img = Json.obj(Json.obj(Json.obj(
+      Json.parse(aaResp.body()))("images"))("0"))
+    val png = java.util.Base64.getDecoder.decode(Json.str(img("image")))
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P', 'N', 'G'))
+    // the AA render is a different representation → different ETag
+    val plain = post("/image", req(aa = false))
+    assert(aaResp.headers().firstValue("ETag").orElse("a") !=
+      plain.headers().firstValue("ETag").orElse("b"))
+  }
+
   test("/image sets a strong ETag; If-None-Match round-trips 304") {
     val req =
       """{"attributes": [{"name": "u1/click", "color": "#00ff00",
