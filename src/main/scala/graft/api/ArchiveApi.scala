@@ -156,15 +156,11 @@ object ArchiveApi {
         // count) — eq-hist shading is rank-based, so both feed it
         // unchanged
         val lineRaster =
-          if (antialias) Raster.binLinesAA(
-            axisPoints.where(col("att_name").isin(present: _*)),
-            Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
-            spec.isLog)
-          else Raster.binLines(
-            axisPoints.where(col("att_name").isin(present: _*)),
-            Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
-            spec.isLog)
-        val lineCells = lineRaster.collect()
+          if (antialias) Raster.binLinesAA _ else Raster.binLines _
+        val lineCells = lineRaster(
+          axisPoints.where(col("att_name").isin(present: _*)),
+          Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
+          spec.isLog).collect()
         val pointGrid = graft.plans.RasterFusion.binPoints(
           axisPoints.where(col("att_name").isin(present: _*)),
           Seq("att_name"), t0Us, t1Us, yLo, yHi, width, height,

@@ -498,8 +498,15 @@ object EventQueries {
        |    abs(da) AS den
        |  FROM steps),
        |split AS (
-       |  SELECT event_type, steep, m, num // den AS ib, num % den AS rem,
-       |    (256 * (num % den) * 2 + den) // (2 * den) AS w_hi
+       |  -- DuckDB's % takes the dividend's sign while lineAA's
+       |  -- floorDiv keeps rem in [0, den); normalize with a positive
+       |  -- modulo (num can be negative when a segment dips below the
+       |  -- canvas) and recover the floor quotient from it exactly
+       |  SELECT event_type, steep, m,
+       |    (num - ((num % den) + den) % den) // den AS ib,
+       |    ((num % den) + den) % den AS rem,
+       |    (256 * (((num % den) + den) % den) * 2 + den) // (2 * den)
+       |      AS w_hi
        |  FROM walk),
        |cells AS (
        |  SELECT event_type, steep, m, ib AS b, 256 AS w

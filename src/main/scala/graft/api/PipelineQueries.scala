@@ -953,8 +953,19 @@ object PipelineQueries {
     * state round-trip must be semantically invisible. */
   private def p36(s: SparkSession, dir: String): DataFrame = {
     val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-dedup-state").toString
+    val rootPath = java.nio.file.Files
+      .createTempDirectory("graft-dedup-state")
+    // the returned frame reads this state lazily, so it cannot be
+    // deleted here; a shutdown hook stops repeated harness runs from
+    // accumulating orphaned band tables under /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }))
+    val root = rootPath.toString
     Dedup.writeDedupState(base, root)
     Dedup.incrementalDedup(incBatch(base), root, s, threshold = 0.5)
       .orderBy(col("doc_id"))

@@ -87,14 +87,21 @@ object Raster {
 
   private val KeySep = "\u0000"
 
-  /** Cells of the segment prev→cur, or none when the pair spans keys
-    * or touches a NaN (None) endpoint. Object-scoped so task closures
-    * capture nothing but this serializable object. */
-  private def segCells(a: LP, b: LP): Seq[(String, Long, Long)] =
-    if (a.k == b.k && a.py.isDefined && b.py.isDefined)
-      bresenham(a.px.toInt, a.py.get.toInt, b.px.toInt, b.py.get.toInt)
-        .toSeq.map { case (x, y) => (b.k, x.toLong, y.toLong) }
-    else Nil
+  /** Weighted cells of the segment prev→cur, or none when the pair
+    * spans keys or touches a NaN (None) endpoint. Both kernels emit
+    * (key, px, py, w): Bresenham at w=1 (so the summed column IS the
+    * hit count) and the AA kernel at w∈[1,256] coverage units.
+    * Object-scoped so task closures capture nothing but this
+    * serializable object. */
+  private def segCells(aa: Boolean)(a: LP, b: LP): Seq[(String, Long, Long, Long)] =
+    if (a.k == b.k && a.py.isDefined && b.py.isDefined) {
+      if (aa)
+        lineAA(a.px.toInt, a.py.get.toInt, b.px.toInt, b.py.get.toInt)
+          .toSeq.map { case (x, y, w) => (b.k, x.toLong, y.toLong, w) }
+      else
+        bresenham(a.px.toInt, a.py.get.toInt, b.px.toInt, b.py.get.toInt)
+          .toSeq.map { case (x, y) => (b.k, x.toLong, y.toLong, 1L) }
+    } else Nil
 
   /** A4 — Canvas.line equivalent: per-cell count of pixels covered by
     * the polyline connecting consecutive points of each series
@@ -122,7 +129,20 @@ object Raster {
     * from the extrema phase). */
   def binLines(points: DataFrame, keys: Seq[String], tieCol: String,
       t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
-      width: Int, height: Int, logScale: Boolean = false): DataFrame = {
+      width: Int, height: Int, logScale: Boolean = false): DataFrame =
+    linesRaster(points, keys, tieCol, t0Us, t1Us, vmin, vmax, width,
+      height, logScale, aa = false, outCol = "cnt")
+
+  /** Shared distribution scaffold for [[binLines]] / [[binLinesAA]]:
+    * only the per-segment kernel (Bresenham at w=1 vs AA coverage
+    * units) and the summed column's name differ — the partitioning,
+    * boundary stitching, clipping and aggregation are one code path.
+    * Summing w=1 is exactly the hit count, so binLines' output is
+    * bit-identical to its original count(*) form. */
+  private def linesRaster(points: DataFrame, keys: Seq[String],
+      tieCol: String, t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
+      width: Int, height: Int, logScale: Boolean, aa: Boolean,
+      outCol: String): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val prepared = points
@@ -144,11 +164,12 @@ object Raster {
       .repartitionByRange(col("k"), col("t"), col("tie"))
       .sortWithinPartitions(col("k"), col("t"), col("tie"))
       .persist()
+    val kernel = segCells(aa) _
     // within-partition consecutive pairs
     val inner = sorted.mapPartitions { it =>
       var prev: LP = null
       it.flatMap { cur =>
-        val out = if (prev != null) segCells(prev, cur) else Nil
+        val out = if (prev != null) kernel(prev, cur) else Nil
         prev = cur
         out
       }
@@ -164,11 +185,12 @@ object Raster {
       }
     }.collect().sortBy(_._1)
     val boundary = edges.toSeq.sliding(2).flatMap {
-      case Seq((_, _, last), (_, first, _)) => segCells(last, first)
+      case Seq((_, _, last), (_, first, _)) => kernel(last, first)
       case _ => Nil
     }.toSeq
-    val cells = inner.toDF("k", "px", "py")
-      .unionByName(spark.createDataFrame(boundary).toDF("k", "px", "py"))
+    val cells = inner.toDF("k", "px", "py", "w")
+      .unionByName(spark.createDataFrame(boundary)
+        .toDF("k", "px", "py", "w"))
     val keyCols = keys.zipWithIndex.map { case (name, i) =>
       split(col("k"), KeySep).getItem(i).as(name)
     }
@@ -176,17 +198,9 @@ object Raster {
       .where(col("px").between(0, width - 1)
         && col("py").between(0, height - 1))
       .groupBy(col("k"), col("px"), col("py"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(keyCols ++ Seq(col("px"), col("py"), col("cnt")): _*)
+      .agg(sum(col("w")).as(outCol))
+      .select(keyCols ++ Seq(col("px"), col("py"), col(outCol)): _*)
   }
-
-  /** Cells+weights of the segment prev→cur for the AA path; same
-    * key/NaN gating as [[segCells]]. */
-  private def segCellsAA(a: LP, b: LP): Seq[(String, Long, Long, Long)] =
-    if (a.k == b.k && a.py.isDefined && b.py.isDefined)
-      lineAA(a.px.toInt, a.py.get.toInt, b.px.toInt, b.py.get.toInt)
-        .toSeq.map { case (x, y, w) => (b.k, x.toLong, y.toLong, w) }
-    else Nil
 
   /** A4 (opt-in variant) — ANTI-ALIASED line rasterization: per-cell
     * summed coverage weight in 1/256 units (`w256`) instead of a hit
@@ -207,57 +221,9 @@ object Raster {
     * contributes 256 per crossing segment). */
   def binLinesAA(points: DataFrame, keys: Seq[String], tieCol: String,
       t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
-      width: Int, height: Int, logScale: Boolean = false): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-    val prepared = points
-      .where(col("t").between(t0Us, t1Us))
-      .select(
-        concat_ws(KeySep, keys.map(col(_).cast("string")): _*).as("k"),
-        pxCol(col("t"), t0Us, t1Us, width).as("px"),
-        when(isnan(col("value_r")), lit(null))
-          .otherwise(pyCol(col("value_r"), vmin, vmax, height, logScale))
-          .cast("long").as("py"),
-        col("t").cast("long").as("t"),
-        col(tieCol).cast("long").as("tie"))
-      .as[LP]
-    val sorted = prepared
-      .repartitionByRange(col("k"), col("t"), col("tie"))
-      .sortWithinPartitions(col("k"), col("t"), col("tie"))
-      .persist()
-    val inner = sorted.mapPartitions { it =>
-      var prev: LP = null
-      it.flatMap { cur =>
-        val out = if (prev != null) segCellsAA(prev, cur) else Nil
-        prev = cur
-        out
-      }
-    }
-    val edges = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val first = it.next(); var last = first
-        while (it.hasNext) last = it.next()
-        Iterator.single((i, first, last))
-      }
-    }.collect().sortBy(_._1)
-    val boundary = edges.toSeq.sliding(2).flatMap {
-      case Seq((_, _, last), (_, first, _)) => segCellsAA(last, first)
-      case _ => Nil
-    }.toSeq
-    val cells = inner.toDF("k", "px", "py", "w")
-      .unionByName(spark.createDataFrame(boundary)
-        .toDF("k", "px", "py", "w"))
-    val keyCols = keys.zipWithIndex.map { case (name, i) =>
-      split(col("k"), KeySep).getItem(i).as(name)
-    }
-    cells
-      .where(col("px").between(0, width - 1)
-        && col("py").between(0, height - 1))
-      .groupBy(col("k"), col("px"), col("py"))
-      .agg(sum(col("w")).as("w256"))
-      .select(keyCols ++ Seq(col("px"), col("py"), col("w256")): _*)
-  }
+      width: Int, height: Int, logScale: Boolean = false): DataFrame =
+    linesRaster(points, keys, tieCol, t0Us, t1Us, vmin, vmax, width,
+      height, logScale, aa = true, outCol = "w256")
 
   /** Anti-aliased line kernel in integer-rational arithmetic: for each
     * major-axis step from (x0,y0) → (x1,y1) (start excluded, like

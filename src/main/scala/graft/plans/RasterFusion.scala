@@ -55,8 +55,13 @@ object RasterFusion {
     require(t1Us > t0Us && width > 0 && height > 0)
     val spark = points.sparkSession
     register(spark)
-    val child = points
-      .select(keys.map(col) :+ col("t") :+ col("value_r"): _*)
+    // explicit casts: the exec reads t/value_r POSITIONALLY as
+    // long/double — an int t or float value_r that the declarative
+    // operator would coerce via expression analysis must be coerced
+    // here too, or the raw slot reads return garbage
+    val child = points.select(keys.map(col) :+
+      col("t").cast("long").as("t") :+
+      col("value_r").cast("double").as("value_r"): _*)
     val plan = RasterBinPlan(
       RasterParams(keys.length, t0Us, t1Us, vmin, vmax, width, height,
         logScale),
@@ -180,17 +185,24 @@ final case class RasterBinPartialExec(params: RasterParams,
       val keyProj = UnsafeProjection.create(
         keyTypes ++ Array[DataType](LongType, LongType))
       val grid = new java.util.HashMap[InternalRow, CellAgg]()
+      // one reusable scratch row for the whole partition: the generic
+      // row WRAPS the array (no copy), and keyProj serializes it into
+      // the projection's own buffer — per-row allocation would defeat
+      // the zero-materialization point of the fused operator
+      val keyVals = new Array[Any](k + 2)
+      val keyRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          keyVals)
       rows.foreach { row =>
         if (!row.isNullAt(k) && !row.isNullAt(k + 1)) {
           val t = row.getLong(k)
           val v = row.getDouble(k + 1)
           if (p.keep(t, v)) {
-            val keyVals = new Array[Any](k + 2)
             var i = 0
             while (i < k) { keyVals(i) = row.get(i, keyTypes(i)); i += 1 }
             keyVals(k) = p.px(t)
             keyVals(k + 1) = p.py(v)
-            val uKey = keyProj(InternalRow.fromSeq(keyVals.toIndexedSeq))
+            val uKey = keyProj(keyRow)
             val agg = grid.get(uKey)
             if (agg == null) grid.put(uKey.copy(), new CellAgg(1L, v, v, v))
             else agg.add(v)
@@ -249,13 +261,16 @@ final case class RasterBinMergeExec(output: Seq[Attribute], numKeys: Int,
       val keyProj = UnsafeProjection.create(
         keyTypes ++ Array[DataType](LongType, LongType))
       val grid = new java.util.HashMap[InternalRow, CellAgg]()
+      val keyVals = new Array[Any](k + 2)
+      val keyRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          keyVals)
       rows.foreach { row =>
-        val keyVals = new Array[Any](k + 2)
         var i = 0
         while (i < k) { keyVals(i) = row.get(i, keyTypes(i)); i += 1 }
         keyVals(k) = row.getLong(k)
         keyVals(k + 1) = row.getLong(k + 1)
-        val uKey = keyProj(InternalRow.fromSeq(keyVals.toIndexedSeq))
+        val uKey = keyProj(keyRow)
         val incoming = new CellAgg(row.getLong(k + 2),
           row.getDouble(k + 3), row.getDouble(k + 4), row.getDouble(k + 5))
         val agg = grid.get(uKey)
