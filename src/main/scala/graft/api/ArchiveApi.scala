@@ -89,30 +89,51 @@ object ArchiveApi {
     attHistory.where(col("att_conf_id") === attConfId)
       .orderBy(col("time").asc)
 
+  /** Default row cap for [[rawQuery]]'s driver-side render. The
+    * reference's raw path has no bound at all (`data.py:63-66` carries
+    * its own OOM note); like O6's `/attributes` fix, the dead flaw is
+    * fixed rather than ported — an un-intervaled query over a wide
+    * range renders at most this many rows. */
+  val DefaultRawRowCap: Int = 1000000
+
   /** §3.2 `POST /query` — inclusive time filter, optional resample,
     * rendered as the reference's CSV block or Grafana JSON format.
-    * `points` needs att_name, t (µs), value_r. */
+    * `points` needs att_name, t (µs), value_r.
+    *
+    * Driver-memory bound: the sorted result is capped via a real
+    * `limit(maxRows)` — Spark plans `TakeOrderedAndProject`, so the
+    * top-k runs DISTRIBUTED (per-partition bounded heaps, merge of k
+    * rows) and the driver never holds more than `maxRows` rows — and
+    * the render consumes a `toLocalIterator` rather than a collected
+    * array, so peak memory is the rendered series themselves, O(cap).
+    * `value_r` breaks (att_name, t) ties so the cap boundary is
+    * deterministic on raw data with duplicate timestamps. */
   def rawQuery(points: DataFrame, attrNames: Seq[String],
       t0Us: Long, t1Us: Long, interval: Option[String],
-      asCsv: Boolean): String = {
+      asCsv: Boolean, maxRows: Int = DefaultRawRowCap): String = {
+    require(maxRows > 0, s"maxRows must be positive: $maxRows")
     val filtered = points.where(col("att_name").isin(attrNames: _*))
     val resampled = Resample
       .rawQuery(filtered, t0Us, t1Us, interval, Seq("att_name"))
-    val rows = (interval match {
+    val ordered = interval match {
       case Some(_) => resampled.select(col("att_name"), col("t"),
         col("value_r")).orderBy(col("att_name"), col("t"))
       case None => resampled.select(col("att_name"),
         col("t").cast("double").as("t"), col("value_r"))
-        .orderBy(col("att_name"), col("t"))
-    }).collect()
-    val byAttr = rows.groupBy(_.getString(0))
+        .orderBy(col("att_name"), col("t"), col("value_r"))
+    }
+    val it = ordered.limit(maxRows).toLocalIterator()
+    val byAttr = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Option[Double])]]
+    while (it.hasNext) {
+      val r = it.next()
+      val v = r.getDouble(2)
+      byAttr.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.ArrayBuffer.empty) +=
+        ((r.getDouble(1), if (v.isNaN) None else Some(v)))
+    }
     val series = attrNames.flatMap { name =>
-      byAttr.get(name).map { rs =>
-        Render.Series(name, rs.toSeq.map { r =>
-          val v = r.getDouble(2)
-          (r.getDouble(1), if (v.isNaN) None else Some(v))
-        })
-      }
+      byAttr.get(name).map(rs => Render.Series(name, rs.toSeq))
     }
     if (asCsv) Render.csv(series) else Render.grafanaJson(series)
   }

@@ -951,20 +951,36 @@ object PipelineQueries {
     * hash-pinned against the oracle — not just parity-tested against
     * the two-frame form. Same oracle SQL as p28 by construction: the
     * state round-trip must be semantically invisible. */
+  /** Temp dedup-state dirs awaiting JVM-exit cleanup. ONE shutdown
+    * hook drains the whole list — registering a hook per [[p36]] call
+    * would retain a thread (and its dir path) per harness invocation. */
+  private val pendingStateDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val stateDirCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var dir = pendingStateDirs.poll()
+      while (dir != null) {
+        try {
+          val walk = java.nio.file.Files.walk(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } finally walk.close()
+        } catch { case _: java.io.IOException => () }
+        dir = pendingStateDirs.poll()
+      }
+    }))
+
   private def p36(s: SparkSession, dir: String): DataFrame = {
     val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
     val rootPath = java.nio.file.Files
       .createTempDirectory("graft-dedup-state")
     // the returned frame reads this state lazily, so it cannot be
-    // deleted here; a shutdown hook stops repeated harness runs from
-    // accumulating orphaned band tables under /tmp
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () }))
+    // deleted here; the shared shutdown hook stops repeated harness
+    // runs from accumulating orphaned band tables under /tmp
+    stateDirCleanupHook
+    pendingStateDirs.add(rootPath)
     val root = rootPath.toString
     Dedup.writeDedupState(base, root)
     Dedup.incrementalDedup(incBatch(base), root, s, threshold = 0.5)

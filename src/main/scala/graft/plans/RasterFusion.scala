@@ -40,11 +40,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 object RasterFusion {
 
   /** Idempotent strategy registration (mirrors
-    * [[DerivedDivBounds.register]]). */
-  def register(spark: SparkSession): Unit =
+    * [[DerivedDivBounds.register]]). `extraStrategies` is a plain
+    * read-modify-write seq, and the HTTP shim calls this from a request
+    * thread pool — serialize the check-and-append or two first requests
+    * can double-register (or drop) a strategy. */
+  def register(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(RasterStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RasterStrategy
+  }
 
   /** Fused drop-in for [[graft.operators.Raster.binPoints]]: same
     * arguments, same output schema `(keys…, px, py, cnt, vmean, vmin,
@@ -53,6 +57,11 @@ object RasterFusion {
       t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
       width: Int, height: Int, logScale: Boolean = false): DataFrame = {
     require(t1Us > t0Us && width > 0 && height > 0)
+    // the exec reads (keys…, t, value_r) POSITIONALLY off the select
+    // below; a key literally named "t" or "value_r" would make that
+    // select duplicate/shift columns and silently bin the wrong slots
+    require(!keys.exists(Set("t", "value_r")),
+      s"raster key columns may not be named 't' or 'value_r': $keys")
     val spark = points.sparkSession
     register(spark)
     // explicit casts: the exec reads t/value_r POSITIONALLY as

@@ -103,6 +103,30 @@ class RenderSpec extends AnyFunSuite {
       """[{"target": "u2/view", "datapoints": [[3.0, 0.15]]}]""")
   }
 
+  test("rawQuery bounds an un-intervaled render with a real top-k cap") {
+    // 5000 raw points, no interval — the reference path would collect
+    // them all (data.py:63-66); the cap must keep the render bounded
+    // AND deterministic: the k smallest (att_name, t), not arbitrary
+    val pts = (0 until 5000)
+      .map(i => ("big/attr", i.toLong, i.toLong * 3, i.toDouble))
+      .toDF("att_name", "point_id", "t", "value_r")
+    val csv = ArchiveApi.rawQuery(pts, Seq("big/attr"), 0L, 100000L,
+      None, asCsv = true, maxRows = 7)
+    val lines = csv.split("\n")
+    assert(lines.length == 9) // series name + header + exactly 7 rows
+    assert(lines.drop(2).map(_.split(",")(0).toDouble).toSeq ==
+      (0 until 7).map(_ * 3.0))
+    val json = ArchiveApi.rawQuery(pts, Seq("big/attr"), 0L, 100000L,
+      None, asCsv = false, maxRows = 5)
+    val dps = graft.server.Json.arr(graft.server.Json.obj(
+      graft.server.Json.arr(graft.server.Json.parse(json))(0))("datapoints"))
+    assert(dps.length == 5)
+    // the default cap leaves small results untouched
+    val full = ArchiveApi.rawQuery(pts, Seq("big/attr"), 0L, 100000L,
+      None, asCsv = true)
+    assert(full.split("\n").length == 5002)
+  }
+
   test("rawQuery with interval resamples before rendering (A1 + K2)") {
     val pts = Seq(("a", 1L, 400L, 2.0), ("a", 2L, 600L, 4.0),
       ("a", 3L, 1400L, 6.0)).toDF("att_name", "point_id", "t", "value_r")

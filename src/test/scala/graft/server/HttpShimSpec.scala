@@ -87,6 +87,17 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("text/csv"))
   }
 
+  test("POST /query honors the max row cap on un-intervaled raw data") {
+    val req =
+      """{"targets": [{"cs": "events.cs:10000", "target": "u1/click"}],
+        |"range": {"from": "2024-01-05", "to": "2024-01-20"},
+        |"max": 3}""".stripMargin
+    val r = post("/query", req)
+    assert(r.statusCode() == 200)
+    val first = Json.obj(Json.arr(Json.parse(r.body()))(0))
+    assert(Json.arr(first("datapoints")).length == 3)
+  }
+
   test("POST /httpquery takes the browser-style body") {
     val r = post("/httpquery",
       """{"attributes": ["u1/click"],
