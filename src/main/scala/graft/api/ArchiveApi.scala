@@ -182,7 +182,10 @@ object ArchiveApi {
           axisPoints.where(col("att_name").isin(present: _*)),
           Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
           spec.isLog).collect()
-        val pointGrid = graft.plans.RasterFusion.binPoints(
+        // hover reductions run FUSED end-to-end (one exchange, merged
+        // per pixel column in the exec): the driver receives O(width)
+        // rows per attribute, not the O(width×height) grid
+        val hoverGrid = graft.plans.RasterFusion.hoverColumns(
           axisPoints.where(col("att_name").isin(present: _*)),
           Seq("att_name"), t0Us, t1Us, yLo, yHi, width, height,
           spec.isLog).collect()
@@ -199,21 +202,20 @@ object ArchiveApi {
         images += axis.toString -> AxisImage(Render.pngBase64(img),
           (yLo, yHi), (t0Us / 1000.0, t1Us / 1000.0))
 
-        // hover reductions (A6, plot.py:44-60) from the points grid
+        // hover reductions (A6, plot.py:44-60) — already column-level
+        // rows (att_name, px, col_min, col_max, col_count)
         present.foreach { name =>
-          val cols = pointGrid.filter(_.getString(0) == name)
-            .groupBy(_.getLong(1).toInt)
-          val indices = cols.keys.toSeq.sorted
-          def colAgg[T](f: Iterable[org.apache.spark.sql.Row] => T): Seq[T] =
-            indices.map(i => f(cols(i)))
+          val cols = hoverGrid.filter(_.getString(0) == name)
+            .sortBy(_.getLong(1))
+          val indices = cols.map(_.getLong(1).toInt).toSeq
           descs += name -> HoverDesc(
             totalPoints.getOrElse(name, 0L),
             indices,
-            colAgg(_.map(_.getDouble(5)).min), // vmin per column
-            colAgg(_.map(_.getDouble(6)).max), // vmax per column
+            cols.map(_.getDouble(2)).toSeq, // col_min
+            cols.map(_.getDouble(3)).toSeq, // col_max
             indices.map(i =>
               t0Us + (i + 0.5) * (t1Us - t0Us) / width), // column centers, µs
-            colAgg(_.map(_.getLong(3)).sum)) // summed count
+            cols.map(_.getLong(4)).toSeq) // col_count
         }
       }
     }

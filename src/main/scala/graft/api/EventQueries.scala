@@ -175,11 +175,14 @@ object EventQueries {
 
   // ---------------------------------------------------------------- A6 hover
   private def q08(s: SparkSession, dir: String): DataFrame =
-    Raster.hoverColumns(
-      Raster.binPoints(
-        pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
-        Seq("event_type"), Epoch2024, TEnd, 0.0, VMax, W, H),
-      Seq("event_type"))
+    // the FUSED hover path (plans/RasterFusion.hoverColumns): one
+    // exchange on (keys, px) instead of grid + second aggregate; value
+    // parity with the declarative Raster.binPoints ∘ hoverColumns
+    // composition is plan-asserted in RasterFusionSpec and hash-pinned
+    // here against the unchanged oracle
+    graft.plans.RasterFusion.hoverColumns(
+      pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
+      Seq("event_type"), Epoch2024, TEnd, 0.0, VMax, W, H)
       .orderBy(col("event_type"), col("px"))
 
   private val q08Sql =
@@ -464,13 +467,15 @@ object EventQueries {
       Seq("event_type"), "point_id", Epoch2024, TEnd, 0.0, VMax, W, H)
       .orderBy(col("event_type"), col("px"), col("py"))
 
-  private val q28Sql =
+  /** Shared AA-walk oracle chain (q28 linear-y / q29 log-y): the
+    * segment pairing, orientation, closed-form coverage split and
+    * clipping are py-agnostic — only the projection's py expression
+    * differs between the two axes. */
+  private def aaSql(pySql: String): String =
     s"""${PtsSql}, proj AS (
        |  SELECT event_type, point_id, t,
        |    least(((t - $Epoch2024) * $W) // ${TEnd - Epoch2024}, ${W - 1}) AS px,
-       |    CASE WHEN isnan(value_r) THEN NULL
-       |         ELSE least(CAST(floor((value_r - 0.0) / $VMax * $H) AS BIGINT),
-       |                    ${H - 1}) END AS py
+       |    $pySql AS py
        |  FROM pts WHERE t BETWEEN $Epoch2024 AND $TEnd),
        |segs AS (
        |  SELECT event_type,
@@ -527,6 +532,39 @@ object EventQueries {
        |WHERE px BETWEEN 0 AND ${W - 1} AND py BETWEEN 0 AND ${H - 1}
        |GROUP BY event_type, px, py
        |ORDER BY event_type, px, py""".stripMargin
+
+  private val q28Sql = aaSql(
+    s"""CASE WHEN isnan(value_r) THEN NULL
+       |         ELSE least(CAST(floor((value_r - 0.0) / $VMax * $H) AS BIGINT),
+       |                    ${H - 1}) END""".stripMargin)
+
+  /** A4-AA × C8-log — the anti-aliased raster on a LOG y-axis (the
+    * reference's log-scale rendering, `imageplot.js:194-216`),
+    * hash-pinned; before this only goldens covered the combination.
+    * vmin=1 / vmax=100 put the log-space bounds at exactly 0.0 and 2.0
+    * in BOTH engines (log10 of a power of ten is exact — Java
+    * documents it, C libms honor it), so the only shared float op is
+    * `log10(v)` itself; a py boundary flip would need log10(v)·H/2
+    * within an ulp of an integer, i.e. v within ~1e-13 of some
+    * 10^(k/16) — no synthetic value sits there. The q05 `-100` shift
+    * synthesizes non-positive values, which a log axis cannot project:
+    * linesRaster's explicit guard nulls their py and the polyline
+    * BREAKS there (adding this query caught the guard's absence —
+    * pyCol's null-skipping `least` used to clamp them to the top row). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Raster.binLinesAA(
+      pts(s, dir)
+        .withColumn("value_r", col("value_r") - 100)
+        .where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
+      Seq("event_type"), "point_id", Epoch2024, TEnd, 1.0, 100.0, W, H,
+      logScale = true)
+      .orderBy(col("event_type"), col("px"), col("py"))
+
+  private val q29Sql = aaSql(
+    s"""CASE WHEN isnan(value_r) OR value_r - 100 <= 0 THEN NULL
+       |         ELSE least(CAST(floor((log10(value_r - 100) - 0.0)
+       |                          / 2.0 * $H) AS BIGINT),
+       |                    ${H - 1}) END""".stripMargin)
 
   // ---------------------------------------------------------------- star-schema joins
   /** Multi-way broadcast join over the TPC-H-ish dimensions: revenue
@@ -709,6 +747,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_naive_time_range" -> (q27 _),
     "q28_raster_line_aa" -> (q28 _),
+    "q29_raster_line_aa_log" -> (q29 _),
     "q01_scan_project" -> (q01 _),
     "q02_resample_5m" -> (resampleQ("5m") _),
     "q03_resample_30s" -> (resampleQ("30s") _),
@@ -739,6 +778,7 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "q27_naive_time_range" -> q27Sql,
     "q28_raster_line_aa" -> q28Sql,
+    "q29_raster_line_aa_log" -> q29Sql,
     "q01_scan_project" -> q01Sql,
     "q02_resample_5m" -> resampleSql("5m"),
     "q03_resample_30s" -> resampleSql("30s"),

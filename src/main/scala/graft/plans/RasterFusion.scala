@@ -78,6 +78,38 @@ object RasterFusion {
     GraftPlanBridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   }
+
+  /** Fused drop-in for [[graft.operators.Raster.binPoints]] ∘
+    * [[graft.operators.Raster.hoverColumns]] — the `/image` hover path
+    * end-to-end as ONE custom plan: filter + pixel-project + partial
+    * grid accumulation ([[RasterBinPartialExec]], unchanged), then a
+    * single exchange clustered on (keys, px) into
+    * [[RasterHoverMergeExec]], which folds the partial CELLS straight
+    * into per-pixel-column reductions. The declarative form pays two
+    * exchanges (grid on (keys, px, py), then a second generic aggregate
+    * on (keys, px)); this pays one, and its partial state is the same
+    * O(keys × pixels) bound. Output `keys…, px, col_min, col_max,
+    * col_count` — value-identical to the declarative composition
+    * (min/max/sum are associative over partials, so the py level never
+    * needs finalizing first; RasterFusionSpec pins parity). */
+  def hoverColumns(points: DataFrame, keys: Seq[String],
+      t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
+      width: Int, height: Int, logScale: Boolean = false): DataFrame = {
+    require(t1Us > t0Us && width > 0 && height > 0)
+    require(!keys.exists(Set("t", "value_r")),
+      s"raster key columns may not be named 't' or 'value_r': $keys")
+    val spark = points.sparkSession
+    register(spark)
+    val child = points.select(keys.map(col) :+
+      col("t").cast("long").as("t") :+
+      col("value_r").cast("double").as("value_r"): _*)
+    val plan = RasterHoverPlan(
+      RasterParams(keys.length, t0Us, t1Us, vmin, vmax, width, height,
+        logScale),
+      child.queryExecution.analyzed)
+    GraftPlanBridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  }
 }
 
 /** The scalar grid parameters, serializable into task closures. The
@@ -141,12 +173,38 @@ object RasterBinPlan {
     AttributeReference("vmax", DoubleType, nullable = false)())
 }
 
-/** Plans [[RasterBinPlan]] into the partial/merge exec pair. */
+/** Logical fused-hover node — same child contract as [[RasterBinPlan]]
+  * (positional `keys…, t, value_r`), column-reduction output. */
+final case class RasterHoverPlan(params: RasterParams, child: LogicalPlan,
+    hoverAttrs: Seq[Attribute] = RasterHoverPlan.freshHoverAttrs())
+  extends UnaryNode {
+
+  override def output: Seq[Attribute] =
+    child.output.take(params.numKeys) ++ hoverAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(hoverAttrs)
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): RasterHoverPlan = copy(child = newChild)
+}
+
+object RasterHoverPlan {
+  private[plans] def freshHoverAttrs(): Seq[Attribute] = Seq(
+    AttributeReference("px", LongType, nullable = false)(),
+    AttributeReference("col_min", DoubleType, nullable = false)(),
+    AttributeReference("col_max", DoubleType, nullable = false)(),
+    AttributeReference("col_count", LongType, nullable = false)())
+}
+
+/** Plans [[RasterBinPlan]] / [[RasterHoverPlan]] into exec pairs —
+  * both share [[RasterBinPartialExec]]; only the merge differs. */
 object RasterStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case r: RasterBinPlan =>
       val partial = RasterBinPartialExec(r.params, planLater(r.child))
       RasterBinMergeExec(r.output, r.params.numKeys, partial) :: Nil
+    case h: RasterHoverPlan =>
+      val partial = RasterBinPartialExec(h.params, planLater(h.child))
+      RasterHoverMergeExec(h.output, h.params.numKeys, partial) :: Nil
     case _ => Nil
   }
 }
@@ -309,4 +367,64 @@ final case class RasterBinMergeExec(output: Seq[Attribute], numKeys: Int,
 
   override protected def withNewChildInternal(
       newChild: SparkPlan): RasterBinMergeExec = copy(child = newChild)
+}
+
+/** Hover merge: requires clustering on (keys, px) only — coarser than
+  * the grid merge — and folds partial CELL rows (`keys…, px, py, cnt,
+  * sum, mn, mx`) directly into per-pixel-column reductions, emitting
+  * `keys…, px, col_min, col_max, col_count`. The py slot is simply
+  * ignored: min-of-mins / max-of-maxes / sum-of-counts over partials
+  * equal the reductions over finalized cells (associativity), so the
+  * grid never materializes. State is bounded by keys × width per task. */
+final case class RasterHoverMergeExec(output: Seq[Attribute], numKeys: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(child.output.take(numKeys + 1)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val k = numKeys
+    val keyTypes: Array[DataType] =
+      child.output.take(k).map(_.dataType).toArray
+    val outTypes: Array[DataType] = output.map(_.dataType).toArray
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(
+        keyTypes ++ Array[DataType](LongType))
+      val cols = new java.util.HashMap[InternalRow, CellAgg]()
+      val keyVals = new Array[Any](k + 1)
+      val keyRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          keyVals)
+      rows.foreach { row =>
+        var i = 0
+        while (i < k) { keyVals(i) = row.get(i, keyTypes(i)); i += 1 }
+        keyVals(k) = row.getLong(k) // px; the py slot (k+1) is ignored
+        val uKey = keyProj(keyRow)
+        // sum slot reused as 0 — only cnt/mn/mx feed the hover columns
+        val incoming = new CellAgg(row.getLong(k + 2), 0.0,
+          row.getDouble(k + 4), row.getDouble(k + 5))
+        val agg = cols.get(uKey)
+        if (agg == null) cols.put(uKey.copy(), incoming)
+        else agg.merge(incoming)
+      }
+      val outProj = UnsafeProjection.create(outTypes)
+      val it = cols.entrySet().iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = {
+          val e = it.next()
+          val key = e.getKey; val a = e.getValue
+          val vals = new Array[Any](k + 4)
+          var i = 0
+          while (i < k) { vals(i) = key.get(i, keyTypes(i)); i += 1 }
+          vals(k) = key.getLong(k)
+          vals(k + 1) = a.mn; vals(k + 2) = a.mx; vals(k + 3) = a.cnt
+          outProj(InternalRow.fromSeq(vals.toIndexedSeq))
+        }
+      }
+    }, preservesPartitioning = false)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): RasterHoverMergeExec = copy(child = newChild)
 }

@@ -68,6 +68,47 @@ class RasterFusionSpec extends AnyFunSuite {
       s"expected the auto-inserted exchange:\n$plan")
   }
 
+  test("fused hoverColumns matches binPoints ∘ hoverColumns exactly") {
+    val (t0, t1, vmin, vmax, w, h) = (0L, 1000000L, 0.0, 9.75, 32, 16)
+    val fused = RasterFusion.hoverColumns(fixture, Seq("event_type"),
+      t0, t1, vmin, vmax, w, h)
+    val plain = Raster.hoverColumns(
+      Raster.binPoints(fixture, Seq("event_type"), t0, t1, vmin, vmax,
+        w, h), Seq("event_type"))
+    assert(fused.columns.toSeq == plain.columns.toSeq)
+    def c(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "px").collect().map(_.toSeq).toSeq
+    assert(c(fused) == c(plain) && c(fused).nonEmpty)
+    // log scale + no-key variants share the same partial; spot-check
+    val logF = RasterFusion.hoverColumns(fixture.where(col("value_r") > 0),
+      Seq.empty, t0, t1, 0.25, vmax, 16, 8, logScale = true)
+    val logP = Raster.hoverColumns(
+      Raster.binPoints(fixture.where(col("value_r") > 0), Seq.empty,
+        t0, t1, 0.25, vmax, 16, 8, logScale = true), Seq.empty)
+    def cx(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("px").collect().map(_.toSeq).toSeq
+    assert(cx(logF) == cx(logP))
+  }
+
+  test("fused hover plan: ONE exchange, hover merge operator") {
+    val fused = RasterFusion.hoverColumns(fixture, Seq("event_type"),
+      0L, 1000000L, 0.0, 9.75, 32, 16)
+    fused.collect()
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("RasterBinPartial"),
+      s"partial operator missing from plan:\n$plan")
+    assert(plan.contains("RasterHoverMerge"),
+      s"hover merge operator missing from plan:\n$plan")
+    // the whole point of the fusion: exactly one shuffle — the
+    // declarative composition pays two (grid, then column aggregate).
+    // AQE's toString prints the initial plan after the final one, so
+    // count only the final section
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val nExchanges = "(?m)\\bExchange\\b".r.findAllIn(finalPlan).size
+    assert(nExchanges == 1,
+      s"expected exactly 1 exchange, saw $nExchanges:\n$plan")
+  }
+
   test("fused output composes downstream (filter + order + agg)") {
     val fused = RasterFusion.binPoints(fixture, Seq("event_type"),
       0L, 1000000L, 0.0, 9.75, 32, 16)
