@@ -145,12 +145,21 @@ object Raster {
       outCol: String): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // a NaN value breaks the line; so does a non-positive value on a
+    // log axis (datashader: log10 of it is NaN → the segment is
+    // dropped). The explicit guard matters: pyCol's log10 returns null
+    // for v ≤ 0, but its `least(…, height-1)` SKIPS nulls (Spark
+    // least/greatest semantics) and would silently clamp those points
+    // to the TOP row instead of breaking
+    val breakValue =
+      if (logScale) isnan(col("value_r")) || col("value_r") <= 0
+      else isnan(col("value_r"))
     val prepared = points
       .where(col("t").between(t0Us, t1Us))
       .select(
         concat_ws(KeySep, keys.map(col(_).cast("string")): _*).as("k"),
         pxCol(col("t"), t0Us, t1Us, width).as("px"),
-        when(isnan(col("value_r")), lit(null))
+        when(breakValue, lit(null))
           .otherwise(pyCol(col("value_r"), vmin, vmax, height, logScale))
           .cast("long").as("py"),
         col("t").cast("long").as("t"),
