@@ -170,10 +170,10 @@ object TextStats {
     * float `ln` is NOT: libm implementations differ in the last ulp).
     *
     * Scale shape: one postings aggregate (doc, term, tf), one df
-    * aggregate over it, one equi-join postings⋈df on the term (the
-    * df side arrives already hash-partitioned on the term from its
-    * aggregate; stop-word-grade hot terms are AQE skew-join
-    * territory), corpus size via one broadcast single-row aggregate,
+    * aggregate over it, one term-keyed equi-join postings⋈df SALTED
+    * against Zipf heads ([[saltedFreqJoin]] — a stop-word-grade term
+    * lands in most docs and nothing generic splits that join),
+    * corpus size via one broadcast single-row aggregate,
     * and the per-doc top-k on the bounded [[TopK]] aggregator — no
     * per-doc rank window ever sorts the full postings. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
@@ -182,7 +182,7 @@ object TextStats {
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfT, Seq("w"))
+    saltedFreqJoin(tf, dfT, "w")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * expr("(n_docs * 1000000L) div df"))
       .groupBy(col("doc_id"))
@@ -190,6 +190,29 @@ object TextStats {
       .select(col("doc_id"), posexplode(col("ks")).as(Seq("i", "p")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("rn"),
         col("p._2").as("w"), (-col("p._1")).as("score"))
+  }
+
+  /** The p33/p37 postings⋈frequency join, Zipf-proofed. A stop-word
+    * lands in a constant fraction of all docs, so its probe rows are a
+    * constant fraction of the postings — and no generic mechanism
+    * splits that here: the frequency side reuses its own aggregate's
+    * hash partitioning (exchange elided), and AQE's skew split only
+    * rewrites joins whose BOTH sides are ENSURE_REQUIREMENTS shuffles.
+    * [[SkewOps.saltedJoin]] instead salts the probe on `doc_id`
+    * (deterministic — retries repartition identically) over
+    * `spark.sql.shuffle.partitions` buckets and replicates the
+    * frequency side per salt: the hot token spreads across every
+    * reducer, the probe shuffle volume is UNCHANGED, and the only new
+    * cost is a vocabulary×buckets replication — at corpus scale the
+    * vocabulary is orders of magnitude smaller than the postings, so
+    * that is noise. Value-identical to `probe.join(freq, key)`;
+    * per-task balance under an 80%-hot token is listener-measured in
+    * StressSpec. */
+  private def saltedFreqJoin(probe: DataFrame, freq: DataFrame,
+      key: String): DataFrame = {
+    val buckets = math.max(2, probe.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt)
+    SkewOps.saltedJoin(probe, freq, key, "doc_id", buckets)
   }
 
   /** Per-doc RARE-TOKEN rate against the corpus vocabulary: the
@@ -201,17 +224,16 @@ object TextStats {
     *
     * Scale shape: one postings projection feeds BOTH the corpus
     * frequency aggregate and the per-doc join probe; the join is a
-    * token-keyed equi-join where the frequency side arrives already
-    * hash-partitioned on the token from its own aggregate (exchange
-    * elided — the p33 TF-IDF pattern), and stop-word-grade hot tokens
-    * are AQE skew-join territory. The rare SET is never collected or
-    * broadcast: at corpus scale the rare tail IS most of the
-    * vocabulary, so it must stay distributed. */
+    * token-keyed equi-join SALTED against Zipf heads (see
+    * [[saltedFreqJoin]] — a stop-word lands in 80% of docs, and
+    * nothing generic splits that here). The rare SET is never
+    * collected or broadcast: at corpus scale the rare tail IS most of
+    * the vocabulary, so it must stay distributed. */
   def rareTokenStats(docs: DataFrame, minCount: Long = 3L): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    toks.join(freq, Seq("tok"))
+    saltedFreqJoin(toks, freq, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("freq") < minCount, 1L).otherwise(0L)).as("n_rare"))

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.operators.{Dedup, Sampling, TimeJoins}
+import graft.operators.{Catalog, Dedup, Sampling, TextStats, TimeJoins}
 
 /** Scale/skew stress harness over SELF-GENERATED pathological data
   * (never touches /root/testdata): each scenario plants the exact
@@ -207,6 +207,83 @@ class StressSpec extends AnyFunSuite {
     val plan = grid.queryExecution.executedPlan.toString
     assert(plan.contains("RasterBinPartial") &&
       plan.contains("RasterBinMerge"))
+  }
+
+  // ------------------------------------------- hot-token (Zipf) joins
+  test("stress: an 80%-hot token spreads across the salted freq join " +
+    "(rareTokenStats / tfidfTopTerms shape)") {
+    // 60k docs; 'the' appears THRICE in 80% of docs (stop-word-grade:
+    // 144k of 288k postings), plus one mid-frequency w<k> (df=3) and
+    // one unique u<id> token per doc. Unsalted, every 'the' probe row
+    // hashes to ONE reducer — and AQE cannot split it (the freq side's
+    // exchange is elided, so the join isn't a two-shuffle pattern).
+    // The salted join must spread it; broadcast is disabled so the
+    // shuffle path (the 100 TB regime, where the vocabulary outgrows
+    // any broadcast) is what gets measured.
+    val n = 60000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        when(col("id") % 5 =!= 0, lit("the the the ")).otherwise(lit("")),
+        lit("w"), (col("id") % 20000).cast("string"),
+        lit(" u"), col("id").cast("string")).as("text"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (res, reads) = withTaskReads {
+        timed("hot-token rareTokenStats")(
+          TextStats.rareTokenStats(docs)
+            .agg(count(lit(1)), sum(col("n_rare")), sum(col("n_tok")))
+            .head())
+      }
+      val hot = n - n / 5
+      assert(res.getLong(0) == n) // every doc scored
+      assert(res.getLong(1) == n) // exactly the u<id> token is rare
+      assert(res.getLong(2) == 5L * hot + 2L * (n / 5)) // total postings
+      assertBalanced(reads, "rareTokenStats hot-token join")
+      val (tfid, reads2) = withTaskReads {
+        timed("hot-token tfidfTopTerms")(
+          TextStats.tfidfTopTerms(docs)
+            .agg(count(lit(1)), countDistinct(col("doc_id"))).head())
+      }
+      // 3 distinct terms in hot docs, 2 in the rest; top-k keeps all
+      assert(tfid.getLong(0) == 3L * hot + 2L * (n / 5))
+      assert(tfid.getLong(1) == n)
+      assertBalanced(reads2, "tfidfTopTerms hot-term join")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  // --------------------------------------------- catalog-scale search
+  test("stress: glob search over a 1M-row catalog stays a codegen " +
+    "filter, no pre-filter collect") {
+    // the reference sizes wildcard search at ~100k attributes fetched
+    // whole into Python (hdbpp.py:216-218); 10× that must remain ONE
+    // distributed filter+sort with the regex inside codegen
+    val names = spark.range(1000000).select(
+      concat(lit("r"), (col("id") % 3).cast("string")).as("domain"),
+      concat(lit("fam"), (col("id") % 1000).cast("string")).as("family"),
+      concat(lit("m"), (col("id") % 97).cast("string")).as("member"),
+      concat(lit("attr"), col("id").cast("string")).as("name"))
+    val q = Catalog.search(names, "r1/fam7/*/attr1*")
+    val rows = timed("1M-row glob search")(q.collect())
+    // closed form: id%3==1 ∧ id%1000==7 → id ≡ 1007 (mod 3000), and
+    // name must start with attr1
+    val want = (0 until 1000000).count(i =>
+      i % 3 == 1 && i % 1000 == 7 && s"attr$i".startsWith("attr1"))
+    assert(rows.length == want && want > 0)
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    val plan = q.queryExecution.executedPlan.toString
+    // executedPlan.toString marks whole-stage-codegen spans "*(n) "
+    assert(plan.contains("*(1) Filter"),
+      s"glob filter fell out of codegen:\n$plan")
+    // no driver round-trip before the filter: the only collect is the
+    // final result; the plan must contain a Filter over the projection,
+    // not a LocalTableScan of pre-collected rows
+    assert(plan.contains("Filter"), s"no distributed filter in:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"catalog was materialized driver-side before filtering:\n$plan")
   }
 
   // ------------------------------------------------ diameter-20 chain
