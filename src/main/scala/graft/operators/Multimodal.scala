@@ -57,13 +57,17 @@ object Multimodal {
     docs.select(col("doc_id"), lit("image/fake").as("kind"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** Decode + feature-extract, one codec per partition. */
+  /** Decode + feature-extract, one codec per partition. Codec choice
+    * goes through the [[MediaCodec]] ServiceLoader INSIDE the task —
+    * one lookup per kind per task, held across rows (real decoders are
+    * stateful and expensive to init). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-task codec init would go here (real decoders are stateful)
-      rows.map(FakeCodec.decode)
+      val codecs = scala.collection.mutable.Map.empty[String, MediaCodec]
+      rows.map(r =>
+        codecs.getOrElseUpdate(r.kind, MediaCodec.forKind(r.kind)).decode(r))
     }
   }
 
@@ -86,13 +90,15 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      val codecs = scala.collection.mutable.Map.empty[String, MediaCodec]
       rows.flatMap { row =>
+        val codec = codecs.getOrElseUpdate(row.kind, MediaCodec.forKind(row.kind))
         val len = row.payload.length
         (0 until n).iterator.map { i =>
           val from = i * len / n
           val until = (i + 1) * len / n
           val slice = java.util.Arrays.copyOfRange(row.payload, from, until)
-          val d = FakeCodec.decode(MediaRow(row.doc_id, row.kind, slice))
+          val d = codec.decode(MediaRow(row.doc_id, row.kind, slice))
           Frame(row.doc_id, i, d.byte_len, d.checksum)
         }
       }
@@ -106,12 +112,57 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
+      val codecs = scala.collection.mutable.Map.empty[String, MediaCodec]
       rows.map { row =>
         val small = row.payload.indices.collect {
           case i if i % keepEvery == 0 => row.payload(i)
         }.toArray
-        FakeCodec.decode(MediaRow(row.doc_id, s"${row.kind};thumb", small))
+        val kind = s"${row.kind};thumb"
+        codecs.getOrElseUpdate(kind, MediaCodec.forKind(kind))
+          .decode(MediaRow(row.doc_id, kind, small))
       }
     }
   }
 }
+
+/** Decoder SPI: an online build drops a real decoder (javax.imageio,
+  * JavaCPP/FFmpeg) on the classpath as a `java.util.ServiceLoader`
+  * provider of this trait — registered via a
+  * `META-INF/services/graft.operators.MediaCodec` entry, zero operator
+  * changes. Providers need a no-arg constructor; resolution happens
+  * INSIDE each task (real decoders hold native state and don't
+  * serialize), so implementations never cross a closure boundary. */
+trait MediaCodec {
+  /** MIME-ish kinds this codec handles, e.g. `image/png`. The first
+    * provider claiming a kind wins; [[FakeCodecProvider]] backstops
+    * every kind no provider claims. */
+  def claims(kind: String): Boolean
+  def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures
+}
+
+object MediaCodec {
+  // per-JVM provider list, resolved lazily on first decode in a task
+  private lazy val providers: Seq[MediaCodec] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[MediaCodec],
+      classOf[MediaCodec].getClassLoader).iterator().asScala.toSeq
+  }
+
+  /** Resolve the codec for `kind`: registered providers in discovery
+    * order, [[FakeCodecProvider]] as the guaranteed sandbox fallback. */
+  def forKind(kind: String): MediaCodec =
+    providers.find(_.claims(kind)).getOrElse(FakeCodecProvider)
+}
+
+/** [[Multimodal.FakeCodec]] as a ServiceLoader provider (also the hard
+  * fallback when no provider claims a kind — the sandbox default). */
+class FakeCodecProvider extends MediaCodec {
+  override def claims(kind: String): Boolean =
+    kind.startsWith("image/fake")
+  override def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures =
+    Multimodal.FakeCodec.decode(row)
+}
+
+/** Singleton fallback instance (class form above is what ServiceLoader
+  * instantiates). */
+object FakeCodecProvider extends FakeCodecProvider

@@ -126,6 +126,26 @@ class MiscSpec extends AnyFunSuite {
     assert(math.abs(r(0).getSeq[Float](6).sum - 1.0f) < 1e-6)
   }
 
+  test("MediaCodec ServiceLoader: test codec claims its kind, fake backstops") {
+    // direct resolution: the loader found the test-classpath provider…
+    assert(MediaCodec.forKind("image/test").isInstanceOf[TestMediaCodec])
+    // …the sandbox default still owns its kind and any unclaimed kind
+    assert(MediaCodec.forKind("image/fake").isInstanceOf[FakeCodecProvider])
+    assert(MediaCodec.forKind("audio/unknown").isInstanceOf[FakeCodecProvider])
+    // through the operator: per-kind dispatch inside one partition
+    val media = Seq(
+      (1L, "image/test", "abc".getBytes("UTF-8")),
+      (2L, "image/fake", "abc".getBytes("UTF-8")),
+      (3L, "audio/unknown", "abc".getBytes("UTF-8")))
+      .toDF("doc_id", "kind", "payload").coalesce(1)
+    val r = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(r(0).width == 7 && r(0).height == 9 && r(0).checksum == 42L)
+    val fake = Multimodal.FakeCodec.decode(
+      Multimodal.MediaRow(2L, "image/fake", "abc".getBytes("UTF-8")))
+    assert(r(1).checksum == fake.checksum && r(1).width == fake.width)
+    assert(r(2).checksum == fake.checksum) // fallback decode, same math
+  }
+
   test("Multimodal.sampleFrames fans one payload into n decoded frames") {
     val d = Seq((0L, "en", "s", 10L, "abcdefghij"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
