@@ -46,17 +46,19 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     val names = selected.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Two timed passes, per-query MIN. One pass is at the mercy of
+    // Three timed passes, per-query MIN. One pass is at the mercy of
     // whatever else the host runs during those exact seconds: the
     // round-3 driver run charged 10-25× to the alphabetically-first
     // queries from a transient external load that had subsided by the
     // q* half of the suite (the same binary re-run quietly measured
-    // 3× lower overall). Min-of-two-passes-separated-in-time reports
+    // 3× lower overall). Min-of-passes-separated-in-time reports
     // steady-state execution — what a long-lived session experiences —
-    // instead of one snapshot of host contention. The cache is cleared
-    // between queries: every query call builds (and may persist) fresh
-    // frames, so cached blocks never carry between measurements, and
-    // pass 2 re-executes everything from the scan up.
+    // instead of one snapshot of host contention; the third pass
+    // (round-6 review: ±25% residual drift on untouched queries at
+    // passes=2) tightens the band at ~+50 s wall cost. The cache is
+    // cleared between queries: every query call builds (and may
+    // persist) fresh frames, so cached blocks never carry between
+    // measurements, and later passes re-execute from the scan up.
     def pass(): Map[String, Double] = names.flatMap { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -71,12 +73,9 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       if (ok) Some(name -> dt) else None
     }.toMap
-    val passA = pass()
-    val passB = pass()
+    val passes = Seq(pass(), pass(), pass())
     val results = names.map { name =>
-      name -> math.min(
-        passA.getOrElse(name, Double.MaxValue),
-        passB.getOrElse(name, Double.MaxValue))
+      name -> passes.map(_.getOrElse(name, Double.MaxValue)).min
     }
     // The harness keeps only the last ~2000 chars of output, so the
     // metric must survive tail truncation: a short headline line first
@@ -94,7 +93,7 @@ object Bench {
       case (k, v) if !errors.contains(k) => v }.sum
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""n_queries":${names.size},"n_failed":${errors.size},""" +
-      s""""passes":2,"agg":"min","sf":${Verify.q(sfDir)}}""")
+      s""""passes":3,"agg":"min","sf":${Verify.q(sfDir)}}""")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"sf":${Verify.q(sfDir)}}""")
     spark.stop()
