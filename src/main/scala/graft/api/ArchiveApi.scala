@@ -106,8 +106,15 @@ object ArchiveApi {
     * rows) and the driver never holds more than `maxRows` rows — and
     * the render consumes a `toLocalIterator` rather than a collected
     * array, so peak memory is the rendered series themselves, O(cap).
-    * `value_r` breaks (att_name, t) ties so the cap boundary is
-    * deterministic on raw data with duplicate timestamps. */
+    * The sort is TIME-FIRST (t, att_name, value_r — the trailing
+    * columns make the cap boundary deterministic under duplicate
+    * timestamps), so hitting the cap behaves exactly like querying a
+    * shorter range: the render covers [t0, t_cap] uniformly across
+    * EVERY requested attribute. An attribute-first sort would instead
+    * silently drop whole later-sorted attributes — indistinguishable
+    * from "no data" on the client. The cap bounds the intervaled
+    * (resampled) path too: a micro-interval over a wide range explodes
+    * the same way raw points do. */
   def rawQuery(points: DataFrame, attrNames: Seq[String],
       t0Us: Long, t1Us: Long, interval: Option[String],
       asCsv: Boolean, maxRows: Int = DefaultRawRowCap): String = {
@@ -117,10 +124,10 @@ object ArchiveApi {
       .rawQuery(filtered, t0Us, t1Us, interval, Seq("att_name"))
     val ordered = interval match {
       case Some(_) => resampled.select(col("att_name"), col("t"),
-        col("value_r")).orderBy(col("att_name"), col("t"))
+        col("value_r")).orderBy(col("t"), col("att_name"))
       case None => resampled.select(col("att_name"),
         col("t").cast("double").as("t"), col("value_r"))
-        .orderBy(col("att_name"), col("t"), col("value_r"))
+        .orderBy(col("t"), col("att_name"), col("value_r"))
     }
     val it = ordered.limit(maxRows).toLocalIterator()
     val byAttr = scala.collection.mutable.LinkedHashMap

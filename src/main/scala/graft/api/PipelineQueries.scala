@@ -944,13 +944,6 @@ object PipelineQueries {
     Dedup.incrementalDedup(incBatch(base), base, s).orderBy(col("doc_id"))
   }
 
-  /** p28's ingest routed through the PERSISTED corpus state: the
-    * digests/bands/meta tables round-trip through parquet on disk
-    * ([[Dedup.writeDedupState]] → the state-path
-    * [[Dedup.incrementalDedup]]), so the state serialization itself is
-    * hash-pinned against the oracle — not just parity-tested against
-    * the two-frame form. Same oracle SQL as p28 by construction: the
-    * state round-trip must be semantically invisible. */
   /** Temp dedup-state dirs awaiting JVM-exit cleanup. ONE shutdown
     * hook drains the whole list — registering a hook per [[p36]] call
     * would retain a thread (and its dir path) per harness invocation. */
@@ -972,6 +965,13 @@ object PipelineQueries {
       }
     }))
 
+  /** p28's ingest routed through the PERSISTED corpus state: the
+    * digests/bands/meta tables round-trip through parquet on disk
+    * ([[Dedup.writeDedupState]] → the state-path
+    * [[Dedup.incrementalDedup]]), so the state serialization itself is
+    * hash-pinned against the oracle — not just parity-tested against
+    * the two-frame form. Same oracle SQL as p28 by construction: the
+    * state round-trip must be semantically invisible. */
   private def p36(s: SparkSession, dir: String): DataFrame = {
     val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
     val rootPath = java.nio.file.Files

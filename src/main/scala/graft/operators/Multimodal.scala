@@ -141,17 +141,32 @@ trait MediaCodec {
 }
 
 object MediaCodec {
-  // per-JVM provider list, resolved lazily on first decode in a task
-  private lazy val providers: Seq[MediaCodec] = {
-    import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader.load(classOf[MediaCodec],
-      classOf[MediaCodec].getClassLoader).iterator().asScala.toSeq
+  /** Provider list per classloader. The TASK CONTEXT loader must be
+    * preferred: a decoder jar shipped with `--jars` lives in the
+    * executor's child URL classloader, which Spark installs as the
+    * thread context loader during task execution — resolving against
+    * this class's own (possibly system/extraClassPath) loader would
+    * never see that jar's `META-INF/services` entry and every image
+    * would silently fall back to the fake codec. Keyed per loader (not
+    * one per JVM) so a driver-side call and task-side calls each see
+    * their own visibility. */
+  private val providersByLoader =
+    new java.util.concurrent.ConcurrentHashMap[ClassLoader, Seq[MediaCodec]]
+
+  private def providers(): Seq[MediaCodec] = {
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[MediaCodec].getClassLoader)
+    providersByLoader.computeIfAbsent(loader, l => {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[MediaCodec], l)
+        .iterator().asScala.toSeq
+    })
   }
 
   /** Resolve the codec for `kind`: registered providers in discovery
     * order, [[FakeCodecProvider]] as the guaranteed sandbox fallback. */
   def forKind(kind: String): MediaCodec =
-    providers.find(_.claims(kind)).getOrElse(FakeCodecProvider)
+    providers().find(_.claims(kind)).getOrElse(FakeCodecProvider)
 }
 
 /** [[Multimodal.FakeCodec]] as a ServiceLoader provider (also the hard

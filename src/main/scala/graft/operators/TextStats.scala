@@ -205,13 +205,18 @@ object TextStats {
     * reducer, the probe shuffle volume is UNCHANGED, and the only new
     * cost is a vocabulary×buckets replication — at corpus scale the
     * vocabulary is orders of magnitude smaller than the postings, so
-    * that is noise. Value-identical to `probe.join(freq, key)`;
-    * per-task balance under an 80%-hot token is listener-measured in
-    * StressSpec. */
+    * that is noise. Buckets track the shuffle-partition count (balance
+    * needs bucket count ~ reducer count) but cap at 1024: past that,
+    * replication grows linearly with cluster width while the residual
+    * imbalance of even an 80%-share key is already ≤ 0.08% of the
+    * corpus per reducer — insurance priced at ≤ vocabulary×1024 rows,
+    * paid flat on skew-free corpora too. Value-identical to
+    * `probe.join(freq, key)`; per-task balance under an 80%-hot token
+    * is listener-measured in StressSpec. */
   private def saltedFreqJoin(probe: DataFrame, freq: DataFrame,
       key: String): DataFrame = {
-    val buckets = math.max(2, probe.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt)
+    val buckets = math.min(1024, math.max(2, probe.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt))
     SkewOps.saltedJoin(probe, freq, key, "doc_id", buckets)
   }
 

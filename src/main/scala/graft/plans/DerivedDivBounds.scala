@@ -106,9 +106,13 @@ object DerivedDivBounds extends Rule[LogicalPlan] with PredicateHelper {
     * `spark.sql.extensions=graft.functions.GraftExtensions`:
     * experimental optimizations run as their own optimizer batch, and
     * the transformed Filter still sits directly above the relation, so
-    * physical planning's pushdown sees the derived bounds. Idempotent. */
-  def register(spark: SparkSession): Unit =
+    * physical planning's pushdown sees the derived bounds. Idempotent —
+    * and synchronized: `extraOptimizations` is a plain
+    * read-modify-write seq and adapters register from arbitrary
+    * threads (same race [[RasterFusion.register]] guards against). */
+  def register(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
+  }
 }

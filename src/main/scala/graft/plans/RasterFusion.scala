@@ -224,6 +224,41 @@ private[plans] final class CellAgg(var cnt: Long, var sum: Double,
   }
 }
 
+/** Shared partial-cell fold for the two merge execs: groups incoming
+  * partial rows (`keys…, px, py, cnt, sum, mn, mx`) by their first
+  * `groupWidth` columns — k+2 for the grid merge, k+1 for the hover
+  * merge (py ignored) — and merges the trailing [[CellAgg]] slots,
+  * whose positions are fixed by [[RasterBinPartialExec]]'s layout.
+  * One fold implementation means the UnsafeRow key-copy discipline
+  * can never diverge between the merges. */
+private[plans] object CellFold {
+  def fold(rows: Iterator[InternalRow], childTypes: Array[DataType],
+      numKeys: Int,
+      groupWidth: Int): java.util.HashMap[InternalRow, CellAgg] = {
+    // map key: UnsafeRow over the group prefix — value-based equality
+    // and hashing; copied once on first sight (the projection reuses
+    // its buffer). The scratch row WRAPS the array (no per-row alloc).
+    val keyProj = UnsafeProjection.create(childTypes.take(groupWidth))
+    val grid = new java.util.HashMap[InternalRow, CellAgg]()
+    val keyVals = new Array[Any](groupWidth)
+    val keyRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        keyVals)
+    rows.foreach { row =>
+      var i = 0
+      while (i < groupWidth) { keyVals(i) = row.get(i, childTypes(i)); i += 1 }
+      val uKey = keyProj(keyRow)
+      val incoming = new CellAgg(row.getLong(numKeys + 2),
+        row.getDouble(numKeys + 3), row.getDouble(numKeys + 4),
+        row.getDouble(numKeys + 5))
+      val agg = grid.get(uKey)
+      if (agg == null) grid.put(uKey.copy(), incoming)
+      else agg.merge(incoming)
+    }
+    grid
+  }
+}
+
 /** One pass over each child partition: filter + pixel projection +
   * grid accumulation, emitting one partial row per non-empty cell —
   * `keys…, px, py, cnt, sum, mn, mx`. */
@@ -321,29 +356,10 @@ final case class RasterBinMergeExec(output: Seq[Attribute], numKeys: Int,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val k = numKeys
-    val keyTypes: Array[DataType] =
-      child.output.take(k).map(_.dataType).toArray
+    val childTypes: Array[DataType] = child.output.map(_.dataType).toArray
     val outTypes: Array[DataType] = output.map(_.dataType).toArray
     child.execute().mapPartitions({ rows =>
-      val keyProj = UnsafeProjection.create(
-        keyTypes ++ Array[DataType](LongType, LongType))
-      val grid = new java.util.HashMap[InternalRow, CellAgg]()
-      val keyVals = new Array[Any](k + 2)
-      val keyRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          keyVals)
-      rows.foreach { row =>
-        var i = 0
-        while (i < k) { keyVals(i) = row.get(i, keyTypes(i)); i += 1 }
-        keyVals(k) = row.getLong(k)
-        keyVals(k + 1) = row.getLong(k + 1)
-        val uKey = keyProj(keyRow)
-        val incoming = new CellAgg(row.getLong(k + 2),
-          row.getDouble(k + 3), row.getDouble(k + 4), row.getDouble(k + 5))
-        val agg = grid.get(uKey)
-        if (agg == null) grid.put(uKey.copy(), incoming)
-        else agg.merge(incoming)
-      }
+      val grid = CellFold.fold(rows, childTypes, k, groupWidth = k + 2)
       val outProj = UnsafeProjection.create(outTypes)
       val it = grid.entrySet().iterator()
       new Iterator[InternalRow] {
@@ -353,7 +369,7 @@ final case class RasterBinMergeExec(output: Seq[Attribute], numKeys: Int,
           val key = e.getKey; val a = e.getValue
           val vals = new Array[Any](k + 6)
           var i = 0
-          while (i < k) { vals(i) = key.get(i, keyTypes(i)); i += 1 }
+          while (i < k) { vals(i) = key.get(i, childTypes(i)); i += 1 }
           vals(k) = key.getLong(k)
           vals(k + 1) = key.getLong(k + 1)
           vals(k + 2) = a.cnt
@@ -384,29 +400,12 @@ final case class RasterHoverMergeExec(output: Seq[Attribute], numKeys: Int,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val k = numKeys
-    val keyTypes: Array[DataType] =
-      child.output.take(k).map(_.dataType).toArray
+    val childTypes: Array[DataType] = child.output.map(_.dataType).toArray
     val outTypes: Array[DataType] = output.map(_.dataType).toArray
     child.execute().mapPartitions({ rows =>
-      val keyProj = UnsafeProjection.create(
-        keyTypes ++ Array[DataType](LongType))
-      val cols = new java.util.HashMap[InternalRow, CellAgg]()
-      val keyVals = new Array[Any](k + 1)
-      val keyRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          keyVals)
-      rows.foreach { row =>
-        var i = 0
-        while (i < k) { keyVals(i) = row.get(i, keyTypes(i)); i += 1 }
-        keyVals(k) = row.getLong(k) // px; the py slot (k+1) is ignored
-        val uKey = keyProj(keyRow)
-        // sum slot reused as 0 — only cnt/mn/mx feed the hover columns
-        val incoming = new CellAgg(row.getLong(k + 2), 0.0,
-          row.getDouble(k + 4), row.getDouble(k + 5))
-        val agg = cols.get(uKey)
-        if (agg == null) cols.put(uKey.copy(), incoming)
-        else agg.merge(incoming)
-      }
+      // groupWidth k+1: group on (keys…, px) — the py slot is ignored,
+      // the per-cell sums fold straight into column reductions
+      val cols = CellFold.fold(rows, childTypes, k, groupWidth = k + 1)
       val outProj = UnsafeProjection.create(outTypes)
       val it = cols.entrySet().iterator()
       new Iterator[InternalRow] {
@@ -416,7 +415,7 @@ final case class RasterHoverMergeExec(output: Seq[Attribute], numKeys: Int,
           val key = e.getKey; val a = e.getValue
           val vals = new Array[Any](k + 4)
           var i = 0
-          while (i < k) { vals(i) = key.get(i, keyTypes(i)); i += 1 }
+          while (i < k) { vals(i) = key.get(i, childTypes(i)); i += 1 }
           vals(k) = key.getLong(k)
           vals(k + 1) = a.mn; vals(k + 2) = a.mx; vals(k + 3) = a.cnt
           outProj(InternalRow.fromSeq(vals.toIndexedSeq))

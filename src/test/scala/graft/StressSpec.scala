@@ -213,7 +213,7 @@ class StressSpec extends AnyFunSuite {
   test("stress: an 80%-hot token spreads across the salted freq join " +
     "(rareTokenStats / tfidfTopTerms shape)") {
     // 60k docs; 'the' appears THRICE in 80% of docs (stop-word-grade:
-    // 144k of 288k postings), plus one mid-frequency w<k> (df=3) and
+    // 144k of 264k postings), plus one mid-frequency w<k> (df=3) and
     // one unique u<id> token per doc. Unsalted, every 'the' probe row
     // hashes to ONE reducer — and AQE cannot split it (the freq side's
     // exchange is elided, so the join isn't a two-shuffle pattern).

@@ -106,7 +106,7 @@ class RenderSpec extends AnyFunSuite {
   test("rawQuery bounds an un-intervaled render with a real top-k cap") {
     // 5000 raw points, no interval — the reference path would collect
     // them all (data.py:63-66); the cap must keep the render bounded
-    // AND deterministic: the k smallest (att_name, t), not arbitrary
+    // AND deterministic: the k EARLIEST points, not arbitrary
     val pts = (0 until 5000)
       .map(i => ("big/attr", i.toLong, i.toLong * 3, i.toDouble))
       .toDF("att_name", "point_id", "t", "value_r")
@@ -116,6 +116,15 @@ class RenderSpec extends AnyFunSuite {
     assert(lines.length == 9) // series name + header + exactly 7 rows
     assert(lines.drop(2).map(_.split(",")(0).toDouble).toSeq ==
       (0 until 7).map(_ * 3.0))
+    // the cap is a uniform TIME cut: an attribute sorting after the
+    // whale must still appear (attr-first ordering would drop it
+    // entirely — indistinguishable from no data)
+    val two = pts.unionByName(Seq(("z/late", 9000L, 4L, 7.5))
+      .toDF("att_name", "point_id", "t", "value_r"))
+    val csv2 = ArchiveApi.rawQuery(two, Seq("big/attr", "z/late"),
+      0L, 100000L, None, asCsv = true, maxRows = 7)
+    assert(csv2.contains("z/late\nt[us],value_r\n4,7.5\n"),
+      s"later-sorted attribute vanished under the cap:\n$csv2")
     val json = ArchiveApi.rawQuery(pts, Seq("big/attr"), 0L, 100000L,
       None, asCsv = false, maxRows = 5)
     val dps = graft.server.Json.arr(graft.server.Json.obj(

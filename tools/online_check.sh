@@ -35,16 +35,26 @@ CONNECTOR_COORD=${CONNECTOR_COORD:-com.datastax.spark:spark-cassandra-connector-
 CASSANDRA_IMAGE=${CASSANDRA_IMAGE:-cassandra:4.1}
 CONTAINER=graft-cassandra-check
 
-# ---- 1. connector jar -------------------------------------------------
+# ---- 1. connector jar(s) ----------------------------------------------
+# cs fetch prints ONE PATH PER LINE (the artifact plus any transitive
+# deps its pom declares) — collect them all; treating that output as a
+# single path would add a bogus colon-joined file and the live spec
+# would silently skip on its connector-present assume.
 if command -v cs >/dev/null 2>&1; then
-  JAR=$(cs fetch --classpath "$CONNECTOR_COORD")
+  mapfile -t JARS < <(cs fetch "$CONNECTOR_COORD")
 else
   IFS=: read -r GROUP ARTIFACT VERSION <<<"$CONNECTOR_COORD"
   JAR="/tmp/${ARTIFACT}-${VERSION}.jar"
   URL="https://repo1.maven.org/maven2/${GROUP//.//}/${ARTIFACT}/${VERSION}/${ARTIFACT}-${VERSION}.jar"
   [ -s "$JAR" ] || curl -fSL -o "$JAR" "$URL"
+  JARS=("$JAR")
 fi
-echo "[online_check] connector jar: $JAR"
+[ "${#JARS[@]}" -gt 0 ] || { echo "no connector jars resolved" >&2; exit 1; }
+SBT_SETS=()
+for j in "${JARS[@]}"; do
+  SBT_SETS+=("set Test/unmanagedJars += file(\"$j\")")
+done
+echo "[online_check] connector jars: ${JARS[*]}"
 
 # ---- 2. dockerized cassandra + HDB++ schema ---------------------------
 docker rm -f "$CONTAINER" >/dev/null 2>&1 || true
@@ -96,6 +106,6 @@ echo "[online_check] schema + seed rows loaded"
 
 # ---- 3. fence + live specs with the jar on the classpath --------------
 GRAFT_CASSANDRA_HOST=127.0.0.1 sbt -batch \
-  "set Test/unmanagedJars += file(\"$JAR\")" \
+  "${SBT_SETS[@]}" \
   "testOnly graft.sources.ArchiveSourceSpec graft.sources.CassandraLiveSpec"
 echo "[online_check] OK — connector resolved, live scan + pushdown verified"
