@@ -389,6 +389,54 @@ object PipelineQueries {
       |SELECT qid, clab, rn, nid, dot_e8 FROM ranked WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- k-means training
+  /** p38 — ITERATED spherical k-means ([[Similarity.kmeansAssign]],
+    * 3 Lloyd rounds from the label init): the IVF centroid-training
+    * step as a first-class oracled query. The compact result (cluster
+    * sizes + vec_id checksums after round 3) pins the entire iterated
+    * fixpoint — a wrong centroid floor-div or tie-break in ANY round
+    * moves some vector's final cell and breaks the hash. */
+  private def p38(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(emb(s, dir), iters = 3)
+      .groupBy(col("clab"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vec_id")).as("vec_checksum"))
+      .orderBy(col("clab"))
+
+  /** One Lloyd round in DuckDB (mirrors p13's single-round CTEs):
+    * centroids from the previous assignment, positive-mod floor
+    * division, argmax dot with clab tie-break. */
+  private def p38Round(t: Int): String =
+    s"""n$t AS (SELECT clab, count(*) AS n FROM a${t - 1} GROUP BY clab),
+       |c$t AS (
+       |  SELECT a.clab, el.i, CAST(sum(el.qv) AS BIGINT) AS s
+       |  FROM a${t - 1} a JOIN el USING (vec_id) GROUP BY a.clab, el.i),
+       |cq$t AS (
+       |  SELECT c.clab, c.i, (s - (((s % n) + n) % n)) / n AS cc
+       |  FROM c$t c JOIN n$t USING (clab)),
+       |d$t AS (
+       |  SELECT el.vec_id, cq.clab, CAST(sum(el.qv * cq.cc) AS BIGINT) AS d
+       |  FROM el JOIN cq$t cq ON el.i = cq.i GROUP BY el.vec_id, cq.clab),
+       |a$t AS (
+       |  SELECT vec_id, clab FROM (
+       |    SELECT vec_id, clab, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d DESC, clab) AS rn
+       |    FROM d$t) WHERE rn = 1)""".stripMargin
+
+  private val p38Sql =
+    s"""WITH el AS (
+       |  SELECT vec_id,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+       |      AS qv,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, CAST(label AS INTEGER) AS clab
+       |       FROM embeddings),
+       |${(1 to 3).map(p38Round).mkString(",\n")}
+       |SELECT clab, count(*) AS n_vecs,
+       |  CAST(sum(vec_id) AS BIGINT) AS vec_checksum
+       |FROM a3 GROUP BY clab ORDER BY clab""".stripMargin
+
   // ---------------------------------------------------------------- cosine near-dup
   private def p15(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(emb(s, dir), threshold = 0.3)
@@ -1353,6 +1401,7 @@ object PipelineQueries {
     "p11_embed_stats" -> (p11 _),
     "p12_multimodal" -> (p12 _),
     "p13_ivf_topk" -> (p13 _),
+    "p38_kmeans_train" -> (p38 _),
     "p14_token_counts" -> (p14 _),
     "p15_cosine_neardup" -> (p15 _),
     "p16_dedup_clusters" -> (p16 _),
@@ -1392,6 +1441,7 @@ object PipelineQueries {
     "p10_ann_lsh" -> p10Sql,
     "p11_embed_stats" -> p11Sql,
     "p13_ivf_topk" -> p13Sql,
+    "p38_kmeans_train" -> p38Sql,
     "p14_token_counts" -> p14Sql,
     "p15_cosine_neardup" -> p15Sql,
     "p16_dedup_clusters" -> p16Sql,

@@ -193,6 +193,56 @@ object Similarity {
         col("dot_e8"))
   }
 
+  /** Distributed SPHERICAL K-MEANS (Lloyd) over the quantized integer
+    * embedding space — the centroid TRAINING an IVF index needs
+    * ([[ivfTopK]] hard-codes exactly one of these iterations; clustering
+    * is also the curation/dedup workhorse for training-data mixes).
+    * Starting from the `label` column as the deterministic init, each
+    * iteration: (1) per-cluster integer centroids — per-dimension
+    * `floorDiv(Σ round(eᵢ·10⁴), n)` — from ONE hash aggregate
+    * (`element_at` projections, map-side partial, no posexplode);
+    * (2) every vector re-assigned to the argmax integer dot over the L
+    * centroids re-emitted as LITERALS through the codegen'd `dot_e4c`
+    * (tie → smallest label, the array_max struct trick of
+    * [[ivfTopK]]).
+    *
+    * Scale shape: per iteration the corpus is scanned once and NEVER
+    * shuffled or joined — centroid state is L×dims longs through the
+    * driver (the classic broadcast-Lloyd layout); `iters` is a small
+    * constant. Empty clusters drop out of the aggregate in both
+    * engines by construction. All arithmetic is exact int64, so the
+    * full ITERATED fixpoint is DuckDB-oracle-reproducible (p38) —
+    * impossible for a float k-means, whose ulp drift compounds per
+    * iteration. Returns `(vec_id, clab)`. */
+  def kmeansAssign(emb: DataFrame, iters: Int, dims: Int = 64): DataFrame = {
+    require(iters >= 1 && dims >= 1)
+    ensureDotE8(emb)
+    val compSums = (1 to dims).map(d => sum(expr(
+      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
+      .as(s"s$d"))
+    val aggs = count(lit(1)).as("n") +: compSums
+    var assigned = emb.select(col("vec_id"), col("embedding"),
+      col("label").cast("int").as("clab"))
+    (1 to iters).foreach { _ =>
+      val centroids = assigned.groupBy(col("clab"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          (r.getInt(0),
+            (0 until dims).map(d => Math.floorDiv(r.getLong(2 + d), n)))
+        }
+        .sortBy(_._1)
+      val cellsArraySql = centroids.map { case (lab, c) =>
+        s"struct(dot_e4c(embedding, array(${c.mkString("L,")}L)) AS d, " +
+          s"${-lab} AS nl)"
+      }.mkString("array(", ", ", ")")
+      assigned = assigned.withColumn("clab",
+        expr(s"cast(-array_max($cellsArraySql).nl as int)"))
+    }
+    assigned.select(col("vec_id"), col("clab"))
+  }
+
   /** Embedding-cosine NEAR-DUP pairs (the dedup-flavored sibling of
     * [[annLsh]]): vectors sharing a hyperplane-LSH bucket whose true
     * quantized cosine is ≥ `threshold`. Candidates are bucket

@@ -82,6 +82,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQ(0L) == Set(1L, 2L) && byQ(3L) == Set(4L, 5L))
   }
 
+  test("kmeansAssign: misplaced vectors migrate, assignment is join-free " +
+    "and converges") {
+    // two tight direction clusters, but three vectors START in the
+    // wrong cell (label 2); one Lloyd round must pull them home, and a
+    // second round must change nothing (fixpoint)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 2), // wrong init
+      (2L, Array(0.8f, 0.0f, 0.1f, 0.0f), 2), // wrong init
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2),
+      (4L, Array(0.1f, 0.9f, 0.0f, 0.0f), 2),
+      (5L, Array(0.0f, 0.8f, 0.2f, 0.0f), 1)) // wrong init
+      .toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.kmeansAssign(emb, iters = 1, dims = 4)
+    // assignment must stay join-free (centroids travel as literals)
+    val joins = r1.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"kmeans assignment must not join: $joins")
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c1 = cells(r1)
+    // x-direction vectors share one cell, y-direction the other
+    assert(Set(0L, 1L, 2L).map(c1) .size == 1)
+    assert(Set(3L, 4L, 5L).map(c1).size == 1)
+    assert(c1(0L) != c1(3L))
+    // fixpoint: a second and third round change nothing
+    val c3 = cells(Similarity.kmeansAssign(emb, iters = 3, dims = 4))
+    assert(c3 == c1)
+  }
+
   test("knnBrute ranks by quantized dot desc with id tie-break") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
