@@ -437,6 +437,47 @@ object PipelineQueries {
        |  CAST(sum(vec_id) AS BIGINT) AS vec_checksum
        |FROM a3 GROUP BY clab ORDER BY clab""".stripMargin
 
+  // ---------------------------------------------------------------- semantic dedup
+  /** p39 — SemDeDup-style semantic dedup
+    * ([[Similarity.semanticDedup]]): one k-means round builds the
+    * cells, then each cell drops vectors with a smaller-id cell-mate
+    * at cosine ≥ 0.3. Full per-vector keep/drop matrix hash-pinned —
+    * a wrong cell, pair, or cosine flips some row's keep bit. */
+  private def p39(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(s, dir), threshold = 0.3)
+      .orderBy(col("vec_id"))
+
+  private val p39Sql =
+    s"""WITH el AS (
+       |  SELECT vec_id,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+       |      AS qv,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, CAST(label AS INTEGER) AS clab
+       |       FROM embeddings),
+       |${p38Round(1)},
+       |norms AS (SELECT vec_id, CAST(sum(qv*qv) AS BIGINT) AS nrm
+       |          FROM el GROUP BY vec_id),
+       |cellpairs AS (
+       |  SELECT x.vec_id AS v1, y.vec_id AS v2
+       |  FROM a1 x JOIN a1 y ON x.clab = y.clab AND x.vec_id < y.vec_id),
+       |pairdots AS (
+       |  SELECT p.v1, p.v2, CAST(sum(ex.qv * ey.qv) AS BIGINT) AS dot
+       |  FROM cellpairs p JOIN el ex ON ex.vec_id = p.v1
+       |    JOIN el ey ON ey.vec_id = p.v2 AND ex.i = ey.i
+       |  GROUP BY p.v1, p.v2),
+       |dups AS (
+       |  SELECT DISTINCT d.v2 AS vec_id
+       |  FROM pairdots d JOIN norms nx ON nx.vec_id = d.v1
+       |    JOIN norms ny ON ny.vec_id = d.v2
+       |  WHERE CAST(d.dot AS DOUBLE)
+       |    / sqrt(CAST(nx.nrm AS DOUBLE) * CAST(ny.nrm AS DOUBLE)) >= 0.3)
+       |SELECT a.vec_id, a.clab,
+       |  CASE WHEN u.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM a1 a LEFT JOIN dups u USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+
   // ---------------------------------------------------------------- cosine near-dup
   private def p15(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(emb(s, dir), threshold = 0.3)
@@ -1402,6 +1443,7 @@ object PipelineQueries {
     "p12_multimodal" -> (p12 _),
     "p13_ivf_topk" -> (p13 _),
     "p38_kmeans_train" -> (p38 _),
+    "p39_semantic_dedup" -> (p39 _),
     "p14_token_counts" -> (p14 _),
     "p15_cosine_neardup" -> (p15 _),
     "p16_dedup_clusters" -> (p16 _),
@@ -1442,6 +1484,7 @@ object PipelineQueries {
     "p11_embed_stats" -> p11Sql,
     "p13_ivf_topk" -> p13Sql,
     "p38_kmeans_train" -> p38Sql,
+    "p39_semantic_dedup" -> p39Sql,
     "p14_token_counts" -> p14Sql,
     "p15_cosine_neardup" -> p15Sql,
     "p16_dedup_clusters" -> p16Sql,

@@ -214,7 +214,14 @@ object Similarity {
     * full ITERATED fixpoint is DuckDB-oracle-reproducible (p38) —
     * impossible for a float k-means, whose ulp drift compounds per
     * iteration. Returns `(vec_id, clab)`. */
-  def kmeansAssign(emb: DataFrame, iters: Int, dims: Int = 64): DataFrame = {
+  def kmeansAssign(emb: DataFrame, iters: Int, dims: Int = 64): DataFrame =
+    kmeansAssignFull(emb, iters, dims).select(col("vec_id"), col("clab"))
+
+  /** [[kmeansAssign]] keeping the embedding column — what
+    * [[semanticDedup]]'s pair stage consumes without re-joining the
+    * corpus to its own assignment. */
+  private def kmeansAssignFull(emb: DataFrame, iters: Int,
+      dims: Int): DataFrame = {
     require(iters >= 1 && dims >= 1)
     ensureDotE8(emb)
     val compSums = (1 to dims).map(d => sum(expr(
@@ -240,7 +247,42 @@ object Similarity {
       assigned = assigned.withColumn("clab",
         expr(s"cast(-array_max($cellsArraySql).nl as int)"))
     }
+    assigned
+  }
+
+  /** SemDeDup-style SEMANTIC dedup: cluster with [[kmeansAssign]],
+    * then inside each k-means cell drop every vector that has a
+    * SMALLER-id cell-mate with quantized cosine ≥ `threshold` —
+    * the published embedding-dedup recipe for web-scale corpora
+    * (cluster first so the pair search is cell-local). The pair stage
+    * is all-pairs WITHIN a cell only: the caller sizes the cluster
+    * count so cells stay small (the technique's own contract — its
+    * reference deployments use ~50k clusters), giving O(n²/L) candidate
+    * work spread cell-parallel instead of O(n²) global; the self-join
+    * shuffles on `clab`, so each cell's pairs build where its vectors
+    * already live. Duplicates missed across cell boundaries are the
+    * documented recall trade — the same contract as [[annLsh]]'s
+    * buckets. Determinism is [[cosineNearDups]]'s: exact int64
+    * dot/norms, cosine as the IEEE sequence dot/√(n1·n2). Returns
+    * `(vec_id, clab, keep)`, keep ∈ {0, 1}. */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      iters: Int = 1, dims: Int = 64): DataFrame = {
+    ensureDotE8(emb)
+    val assigned = kmeansAssignFull(emb, iters, dims)
+      .withColumn("nrm", expr("dot_e8(embedding, embedding)"))
+    val a = assigned.select(col("clab"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(col("clab"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val dups = a.join(b, Seq("clab")).where(col("d1") < col("d2"))
+      .withColumn("cosine", expr("dot_e8(e1, e2)").cast("double") /
+        sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .where(col("cosine") >= threshold)
+      .select(col("d2").as("vec_id")).distinct()
     assigned.select(col("vec_id"), col("clab"))
+      .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("clab"),
+        when(col("dup").isNotNull, 0).otherwise(1).as("keep"))
   }
 
   /** Embedding-cosine NEAR-DUP pairs (the dedup-flavored sibling of

@@ -112,6 +112,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c3 == c1)
   }
 
+  test("semanticDedup drops the larger id of a within-cell near-pair, " +
+    "keeps cross-cell pairs") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f), 1),  // ~dup of 0, same cell
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1),    // same cell, orthogonal
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2),
+      (4L, Array(0.0f, 0.98f, 0.0f, 0.02f), 2))  // ~dup of 3, same cell
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.semanticDedup(emb, threshold = 0.95, dims = 4)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r == Map(0L -> 1, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
+    // recall contract: a near-pair SPLIT across cells is not seen —
+    // vector 5 duplicates 0 but its init cell pulls it elsewhere…
+    val split = emb.unionByName(Seq(
+      (5L, Array(1.0f, 0.001f, 0.0f, 0.0f), 2)) // wrong cell for dup-of-0
+      .toDF("vec_id", "embedding", "label"))
+    val r2 = Similarity.semanticDedup(split, threshold = 0.95, dims = 4)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    // …but one Lloyd round re-homes it next to 0 and it IS caught
+    assert(r2(5L) == 0, s"re-homed duplicate should drop: $r2")
+  }
+
   test("knnBrute ranks by quantized dot desc with id tie-break") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
