@@ -264,15 +264,30 @@ object Similarity {
     * documented recall trade — the same contract as [[annLsh]]'s
     * buckets. Determinism is [[cosineNearDups]]'s: exact int64
     * dot/norms, cosine as the IEEE sequence dot/√(n1·n2). Returns
-    * `(vec_id, clab, keep)`, keep ∈ {0, 1}. */
+    * `(vec_id, clab, keep)`, keep ∈ {0, 1}.
+    *
+    * `maxCell` is the quadratic-blowup guard, mirroring
+    * [[graft.operators.Dedup]]'s `maxBucket` star-degradation: a cell
+    * that collapses past it (bad init, degenerate corpus) compares
+    * every member against the cell's min-id ANCHOR only — O(cell)
+    * pairs instead of O(cell²), deterministic, recall-degraded the
+    * same honest way. Cell sizes are one tiny aggregate (≤ L rows,
+    * broadcast back). */
   def semanticDedup(emb: DataFrame, threshold: Double,
-      iters: Int = 1, dims: Int = 64): DataFrame = {
+      iters: Int = 1, dims: Int = 64, maxCell: Int = 1000): DataFrame = {
     ensureDotE8(emb)
     val assigned = kmeansAssignFull(emb, iters, dims)
       .withColumn("nrm", expr("dot_e8(embedding, embedding)"))
-    val a = assigned.select(col("clab"), col("vec_id").as("d1"),
-      col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = assigned.select(col("clab"), col("vec_id").as("d2"),
+    val sizes = assigned.groupBy(col("clab"))
+      .agg(count(lit(1)).as("cell_n"), min(col("vec_id")).as("anchor"))
+    val aug = assigned.join(broadcast(sizes), Seq("clab"))
+    // left side of the pair join: whole cell normally, anchor-only for
+    // oversized cells (star degradation)
+    val a = aug.where(col("cell_n") <= maxCell
+        || col("vec_id") === col("anchor"))
+      .select(col("clab"), col("vec_id").as("d1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = aug.select(col("clab"), col("vec_id").as("d2"),
       col("embedding").as("e2"), col("nrm").as("n2"))
     val dups = a.join(b, Seq("clab")).where(col("d1") < col("d2"))
       .withColumn("cosine", expr("dot_e8(e1, e2)").cast("double") /

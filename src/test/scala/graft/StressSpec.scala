@@ -286,6 +286,26 @@ class StressSpec extends AnyFunSuite {
       s"catalog was materialized driver-side before filtering:\n$plan")
   }
 
+  // ------------------------------------------- collapsed k-means cell
+  test("stress: a collapsed semanticDedup cell degrades to an anchor " +
+    "star, O(n) pairs") {
+    // 30k IDENTICAL vectors, one init label: every vector lands in ONE
+    // cell, so honest all-pairs would be ~450M cosine checks; past
+    // maxCell the operator must compare against the min-id anchor only
+    // (29,999 pairs) and still drop everything but the anchor
+    val n = 30000
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      expr("array(1.0f, 0.5f, 0.25f, 0.125f)").as("embedding"),
+      lit(1).as("label"))
+    val r = timed("collapsed-cell semanticDedup")(
+      graft.operators.Similarity.semanticDedup(vecs, threshold = 0.99,
+        iters = 1, dims = 4)
+        .groupBy(col("keep")).count().collect()
+        .map(x => x.getInt(0) -> x.getLong(1)).toMap)
+    assert(r == Map(1 -> 1L, 0 -> (n - 1).toLong),
+      s"star must keep exactly the anchor: $r")
+  }
+
   // ------------------------------------------------ diameter-20 chain
   test("stress: connectedComponents closes a diameter-20 dup chain") {
     // a 21-doc path graph (diameter 20) among 500 two-doc islands:
