@@ -280,7 +280,11 @@ object Similarity {
       .withColumn("nrm", expr("dot_e8(embedding, embedding)"))
     val sizes = assigned.groupBy(col("clab"))
       .agg(count(lit(1)).as("cell_n"), min(col("vec_id")).as("anchor"))
-    val aug = assigned.join(broadcast(sizes), Seq("clab"))
+    // cached: the pair join's two sides and the final keep join would
+    // otherwise each re-derive the assignment — three more corpus
+    // scans (plan-checked: no exchange reuse, the sides differ by the
+    // anchor filter). LRU-evicted, the linesRaster pattern.
+    val aug = assigned.join(broadcast(sizes), Seq("clab")).persist()
     // left side of the pair join: whole cell normally, anchor-only for
     // oversized cells (star degradation)
     val a = aug.where(col("cell_n") <= maxCell
