@@ -145,30 +145,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
       dims: Int = 64, nprobe: Int = 1): DataFrame = {
     ensureDotE8(emb)
-    val compSums = (1 to dims).map(d => sum(expr(
-      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
-      .as(s"s$d"))
-    val aggs = count(lit(1)).as("n") +: compSums
-    val centroids = emb.groupBy(col("label"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val n = r.getLong(1)
-        val c = (0 until dims).map(d => Math.floorDiv(r.getLong(2 + d), n))
-        (r.getInt(0), c)
-      }
-      .sortBy(_._1) // ascending labels → `>` fold keeps the SMALLEST on ties
-    // argmax over L literal-centroid dots, tie → smallest label (the
-    // oracle's ORDER BY d DESC, clab): array_max over (d, −label)
-    // structs — struct ordering gives max d then min label, and each
-    // dot appears ONCE in the expression tree. (A when-chained running
-    // best duplicates the accumulated tree in condition AND otherwise —
-    // exponential in L; it benchmarked 3× slower than the round-2 join
-    // it was meant to replace.)
-    val cellsArraySql = centroids.map { case (lab, c) =>
-      s"struct(dot_e4c(embedding, array(${c.mkString("L,")}L)) AS d, " +
-        s"${-lab} AS nl)"
-    }.mkString("array(", ", ", ")")
+    val cellsArraySql = centroidCellsSql(emb, "label", dims)
     val withCell = emb.withColumn("clab",
       expr(s"cast(-array_max($cellsArraySql).nl as int)"))
     // query side: nprobe nearest cells via an in-row descending sort of
@@ -217,6 +194,40 @@ object Similarity {
   def kmeansAssign(emb: DataFrame, iters: Int, dims: Int = 64): DataFrame =
     kmeansAssignFull(emb, iters, dims).select(col("vec_id"), col("clab"))
 
+  /** ONE Lloyd centroid build, shared by [[ivfTopK]] and
+    * [[kmeansAssignFull]] (both paths are oracle-hash-pinned against
+    * the same DuckDB CTE formula — p13 and p38/p39 — and must never
+    * drift): aggregate per-dimension quantized component sums over the
+    * `labelCol`-assigned vectors, floor-div the means, and re-emit the
+    * L centroids as the literal struct-array SQL that feeds both the
+    * argmax assignment and the probe-cell sort. The argmax is
+    * array_max over (d, −label) structs — max dot, then SMALLEST label
+    * on ties (the oracle's ORDER BY d DESC, clab) — with each dot
+    * appearing ONCE in the expression tree. (A when-chained running
+    * best duplicates the accumulated tree in condition AND otherwise —
+    * exponential in L; it benchmarked 3× slower than the round-2 join
+    * it was meant to replace.) */
+  private def centroidCellsSql(assigned: DataFrame, labelCol: String,
+      dims: Int): String = {
+    val compSums = (1 to dims).map(d => sum(expr(
+      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
+      .as(s"s$d"))
+    val aggs = count(lit(1)).as("n") +: compSums
+    val centroids = assigned.groupBy(col(labelCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        (r.getInt(0),
+          (0 until dims).map(d => Math.floorDiv(r.getLong(2 + d), n)))
+      }
+      .sortBy(_._1)
+    centroids.map { case (lab, c) =>
+      s"struct(dot_e4c(embedding, array(${c.mkString("L,")}L)) AS d, " +
+        s"${-lab} AS nl)"
+    }.mkString("array(", ", ", ")")
+  }
+
   /** [[kmeansAssign]] keeping the embedding column — what
     * [[semanticDedup]]'s pair stage consumes without re-joining the
     * corpus to its own assignment. */
@@ -224,26 +235,10 @@ object Similarity {
       dims: Int): DataFrame = {
     require(iters >= 1 && dims >= 1)
     ensureDotE8(emb)
-    val compSums = (1 to dims).map(d => sum(expr(
-      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
-      .as(s"s$d"))
-    val aggs = count(lit(1)).as("n") +: compSums
     var assigned = emb.select(col("vec_id"), col("embedding"),
       col("label").cast("int").as("clab"))
     (1 to iters).foreach { _ =>
-      val centroids = assigned.groupBy(col("clab"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          val n = r.getLong(1)
-          (r.getInt(0),
-            (0 until dims).map(d => Math.floorDiv(r.getLong(2 + d), n)))
-        }
-        .sortBy(_._1)
-      val cellsArraySql = centroids.map { case (lab, c) =>
-        s"struct(dot_e4c(embedding, array(${c.mkString("L,")}L)) AS d, " +
-          s"${-lab} AS nl)"
-      }.mkString("array(", ", ", ")")
+      val cellsArraySql = centroidCellsSql(assigned, "clab", dims)
       assigned = assigned.withColumn("clab",
         expr(s"cast(-array_max($cellsArraySql).nl as int)"))
     }
@@ -298,7 +293,11 @@ object Similarity {
         sqrt(col("n1").cast("double") * col("n2").cast("double")))
       .where(col("cosine") >= threshold)
       .select(col("d2").as("vec_id")).distinct()
-    assigned.select(col("vec_id"), col("clab"))
+    // read the keep join's left side from the CACHED aug, not from
+    // `assigned`: the cache substitutes only plans containing the
+    // persisted Join subtree, so an `assigned`-rooted plan would
+    // re-run the whole k-means argmax scan
+    aug.select(col("vec_id"), col("clab"))
       .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("clab"),
         when(col("dup").isNotNull, 0).otherwise(1).as("keep"))
