@@ -216,6 +216,34 @@ class RenderSpec extends AnyFunSuite {
     assert(math.abs(hi - math.pow(10, 2.1)) < 1e-9)
   }
 
+  test("imageQuery log axis + antialias: non-positive values break the " +
+    "line, render stays valid") {
+    // the q29 bug: under logScale a non-positive value's null py used
+    // to clamp to the TOP row (least() skips nulls); with antialias on
+    // the same guard must hold through the AA kernel on the route path
+    val df = Seq(("a", 1L, 100L, 1.0), ("a", 2L, 300L, 100.0),
+      ("a", 3L, 500L, -5.0), ("a", 4L, 700L, 10.0))
+      .toDF("att_name", "point_id", "t", "value_r")
+    val res = ArchiveApi.imageQuery(df,
+      Seq(ArchiveApi.AttrSpec("a", 0xff0000, 0)), 0L, 1000L, 8, 4,
+      axes = Map(0 -> ArchiveApi.AxisSpec(scale = Some("log"))),
+      antialias = true)
+    val decoded = javax.imageio.ImageIO.read(new ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(res.images("0").imageBase64)))
+    assert(decoded.getWidth == 8 && decoded.getHeight == 4)
+    // the top row must NOT be lit at the -5 point's pixel column: a
+    // clamped py would paint px=4 row-top; a broken line leaves it
+    val topRowAlpha = (0 until 8).map(x => (decoded.getRGB(x, 0) >>> 24))
+    assert(topRowAlpha(4) == 0,
+      s"non-positive value leaked onto the log-axis top row: $topRowAlpha")
+    // determinism across executions (same AA + log path)
+    val again = ArchiveApi.imageQuery(df,
+      Seq(ArchiveApi.AttrSpec("a", 0xff0000, 0)), 0L, 1000L, 8, 4,
+      axes = Map(0 -> ArchiveApi.AxisSpec(scale = Some("log"))),
+      antialias = true)
+    assert(again.images("0").imageBase64 == res.images("0").imageBase64)
+  }
+
   test("imageQuery skips all-NaN attributes (nodata, plot.py:118-121)") {
     val df = Seq(("a", 1L, 100L, Double.NaN), ("a", 2L, 200L, Double.NaN),
       ("b", 3L, 100L, 5.0), ("b", 4L, 200L, 6.0))
