@@ -29,6 +29,22 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(saltSpread >= 6)
   }
 
+  test("saltedJoin: null salt-source rows still join (xxhash64(null) = seed)") {
+    // the salted token joins feed doc_id as the salt source; a null
+    // there must not DROP the row — xxhash64 of a null column yields
+    // the seed (a stable long), so pmod still lands in [0, buckets)
+    // and the row matches a replica of its dim key. Pinned so a future
+    // hash/salt change cannot silently turn nulls into lost rows.
+    val fact = Seq((1, Some(10L)), (1, None), (2, Some(20L)), (2, None))
+      .toDF("key", "row_id")
+    val dim = Seq((1, "x"), (2, "y")).toDF("key", "label")
+    val r = SkewOps.saltedJoin(fact, dim, "key", "row_id", 8)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy("label").as[(String, Long)].collect().toSeq
+    assert(r == Seq(("x", 2L), ("y", 2L)),
+      s"null-salt rows dropped or duplicated: $r")
+  }
+
   test("saltedAgg equals the direct aggregation") {
     val df = ((1 to 500).map(_ => ("hot", 1.0)) ++
       Seq(("a", 2.0), ("a", 4.0), ("b", 9.0))).toDF("k", "v")
