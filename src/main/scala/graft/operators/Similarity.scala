@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.{ArgmaxDotE4, TopCellsDotE4}
 
 /** Similarity search over an `ArrayType(FloatType)` embedding column:
   * brute-force quantized-cosine top-k (the correctness baseline) and a
@@ -123,17 +126,19 @@ object Similarity {
     *
     * Assignment shape (the 100 TB part): centroid sums come from ONE
     * hash aggregate over per-dimension `element_at` projections — no
-    * posexplode — and the L finished centroids (L×dims longs, a few KB)
-    * are collected and re-emitted as LITERAL arrays. Each corpus row
-    * then computes its L cell dots via the codegen'd `dot_e4c` and
-    * takes the argmax in the same projection: zero joins, zero
-    * shuffles, nothing materialized per (row, dim, label) — round 2's
-    * explode-join built exactly that n×dims×L intermediate. The
-    * floor-div mean is `Math.floorDiv` ≡ the oracle's
-    * `(s − pmod(s, n)) / n` (both true floor; bare `/`|`//` truncate
-    * toward zero and diverge on negative sums). All arithmetic is exact
-    * integers → oracle-reproducible, unlike a float k-means. Recall is
-    * cell-bound, like [[annLsh]] — that is the scale path's contract.
+    * posexplode — and the L finished centroids (L×dims longs) are
+    * collected to the driver and re-emitted per [[CentroidSet]]: as
+    * LITERAL arrays below [[LiteralCentroidMaxL]] clusters, as one
+    * broadcast matrix read by a codegen expression above it. Each
+    * corpus row then computes its L cell dots and takes the argmax in
+    * the same projection: zero joins, zero shuffles, nothing
+    * materialized per (row, dim, label) — round 2's explode-join built
+    * exactly that n×dims×L intermediate. The floor-div mean is
+    * `Math.floorDiv` ≡ the oracle's `(s − pmod(s, n)) / n` (both true
+    * floor; bare `/`|`//` truncate toward zero and diverge on negative
+    * sums). All arithmetic is exact integers → oracle-reproducible,
+    * unlike a float k-means. Recall is cell-bound, like [[annLsh]] —
+    * that is the scale path's contract.
     *
     * `nprobe` is the standard IVF recall knob: each query searches its
     * `nprobe` nearest cells (by the same centroid dots, same
@@ -143,21 +148,18 @@ object Similarity {
     * with the corpus. nprobe=1 is bit-identical to the oracle-checked
     * default. */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-      dims: Int = 64, nprobe: Int = 1): DataFrame = {
+      dims: Int = 64, nprobe: Int = 1,
+      literalMaxL: Int = LiteralCentroidMaxL): DataFrame = {
     ensureDotE8(emb)
-    val cellsArraySql = centroidCellsSql(emb, "label", dims)
-    val withCell = emb.withColumn("clab",
-      expr(s"cast(-array_max($cellsArraySql).nl as int)"))
-    // query side: nprobe nearest cells via an in-row descending sort of
-    // the same (d, −label) structs — ascending struct sort reversed =
-    // d desc then label asc, the oracle's tie-break — then explode.
-    // Query rows only; the corpus never fans out.
-    val probeCells = expr(
-      s"transform(slice(reverse(array_sort($cellsArraySql)), 1, $nprobe)," +
-        s" s -> cast(-s.nl as int))")
+    val cells = new CentroidSet(emb,
+      collectCentroids(emb, "label", dims), literalMaxL)
+    val withCell = emb.withColumn("clab", cells.assignCol)
+    // query side: nprobe nearest cells by (d desc, label asc) — the
+    // same tie-break as the assignment — then explode. Query rows
+    // only; the corpus never fans out.
     val queries = emb.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(probeCells).as("clab"))
+        explode(cells.probeCol(nprobe)).as("clab"))
     val pairs = withCell.join(broadcast(queries), Seq("clab"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("clab"), col("vec_id").as("nid"),
@@ -179,9 +181,8 @@ object Similarity {
     * `floorDiv(Σ round(eᵢ·10⁴), n)` — from ONE hash aggregate
     * (`element_at` projections, map-side partial, no posexplode);
     * (2) every vector re-assigned to the argmax integer dot over the L
-    * centroids re-emitted as LITERALS through the codegen'd `dot_e4c`
-    * (tie → smallest label, the array_max struct trick of
-    * [[ivfTopK]]).
+    * centroids (tie → smallest label), via [[CentroidSet]]'s
+    * literal-or-broadcast assignment column.
     *
     * Scale shape: per iteration the corpus is scanned once and NEVER
     * shuffled or joined — centroid state is L×dims longs through the
@@ -191,56 +192,100 @@ object Similarity {
     * full ITERATED fixpoint is DuckDB-oracle-reproducible (p38) —
     * impossible for a float k-means, whose ulp drift compounds per
     * iteration. Returns `(vec_id, clab)`. */
-  def kmeansAssign(emb: DataFrame, iters: Int, dims: Int = 64): DataFrame =
-    kmeansAssignFull(emb, iters, dims).select(col("vec_id"), col("clab"))
+  def kmeansAssign(emb: DataFrame, iters: Int, dims: Int = 64,
+      literalMaxL: Int = LiteralCentroidMaxL): DataFrame =
+    kmeansAssignFull(emb, iters, dims, literalMaxL)
+      .select(col("vec_id"), col("clab"))
+
+  /** Centroid-count threshold splitting the two assignment codepaths.
+    * At or below it the collected centroids are re-emitted as literal
+    * struct-array SQL — measured fastest at oracle cluster counts
+    * (each dot appears ONCE in the tree; a when-chained running best
+    * duplicates the accumulated tree in condition AND otherwise,
+    * exponential in L, and benchmarked 3× slower than even the round-2
+    * join). Above it the literal form hits a driver/codegen wall —
+    * SemDeDup-cited deployments run ~50k clusters, and L=50k × dims=64
+    * literals would mean a multi-MB SQL string per Lloyd round, an
+    * expression past Janino's 64KB method limit (whole-stage-codegen
+    * fallback), and quadratic analyzer cost — so the centroid matrix
+    * instead ships as ONE Spark broadcast read by the codegen'd
+    * [[graft.functions.ArgmaxDotE4]] / [[graft.functions.TopCellsDotE4]]
+    * expressions: plan size, analysis cost, and generated code stay
+    * O(1) in L. Both paths share the exact int64 dot and
+    * (d desc, label asc) tie-break, so assignments are bit-identical
+    * (asserted path-vs-path in SimilaritySpec; StressSpec runs L=2048
+    * through the broadcast path). */
+  val LiteralCentroidMaxL = 64
 
   /** ONE Lloyd centroid build, shared by [[ivfTopK]] and
     * [[kmeansAssignFull]] (both paths are oracle-hash-pinned against
     * the same DuckDB CTE formula — p13 and p38/p39 — and must never
     * drift): aggregate per-dimension quantized component sums over the
-    * `labelCol`-assigned vectors, floor-div the means, and re-emit the
-    * L centroids as the literal struct-array SQL that feeds both the
-    * argmax assignment and the probe-cell sort. The argmax is
-    * array_max over (d, −label) structs — max dot, then SMALLEST label
-    * on ties (the oracle's ORDER BY d DESC, clab) — with each dot
-    * appearing ONCE in the expression tree. (A when-chained running
-    * best duplicates the accumulated tree in condition AND otherwise —
-    * exponential in L; it benchmarked 3× slower than the round-2 join
-    * it was meant to replace.) */
-  private def centroidCellsSql(assigned: DataFrame, labelCol: String,
-      dims: Int): String = {
+    * `labelCol`-assigned vectors, floor-div the means, and collect the
+    * L centroids (label asc) — O(L×dims) longs of driver state, the
+    * classic broadcast-Lloyd layout. */
+  private def collectCentroids(assigned: DataFrame, labelCol: String,
+      dims: Int): Array[(Int, Array[Long])] = {
     val compSums = (1 to dims).map(d => sum(expr(
       s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
       .as(s"s$d"))
     val aggs = count(lit(1)).as("n") +: compSums
-    val centroids = assigned.groupBy(col(labelCol))
+    assigned.groupBy(col(labelCol))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val n = r.getLong(1)
         (r.getInt(0),
-          (0 until dims).map(d => Math.floorDiv(r.getLong(2 + d), n)))
+          Array.tabulate(dims)(d => Math.floorDiv(r.getLong(2 + d), n)))
       }
       .sortBy(_._1)
-    centroids.map { case (lab, c) =>
-      s"struct(dot_e4c(embedding, array(${c.mkString("L,")}L)) AS d, " +
-        s"${-lab} AS nl)"
-    }.mkString("array(", ", ", ")")
+  }
+
+  /** The collected centroids' two consumer columns — argmax assignment
+    * (corpus side) and nprobe probe cells (query side) — each emitted
+    * through the [[LiteralCentroidMaxL]]-switched codepath. The
+    * broadcast is built lazily and shared by both columns. */
+  private final class CentroidSet(df: DataFrame,
+      centroids: Array[(Int, Array[Long])], literalMax: Int) {
+    require(centroids.nonEmpty, "no centroids: empty assignment frame")
+    private def cellsSql: String =
+      centroids.map { case (lab, c) =>
+        s"struct(dot_e4c(embedding, array(${c.mkString("L,")}L)) AS d, " +
+          s"${-lab} AS nl)"
+      }.mkString("array(", ", ", ")")
+    private lazy val bc = df.sparkSession.sparkContext.broadcast(
+      (centroids.map(_._1), centroids.map(_._2)))
+    /** `clab`: label of the max-dot centroid, ties to smallest label. */
+    def assignCol: Column =
+      if (centroids.length <= literalMax)
+        expr(s"cast(-array_max($cellsSql).nl as int)")
+      else GraftPlanBridge.column(
+        ArgmaxDotE4(UnresolvedAttribute("embedding"), bc))
+    /** The `min(nprobe, L)` best cell labels, (d desc, label asc). The
+      * literal form sorts the (d, −label) structs ascending and
+      * reverses — d desc then label asc, the same order the broadcast
+      * expression maintains directly. */
+    def probeCol(nprobe: Int): Column =
+      if (centroids.length <= literalMax)
+        expr(s"transform(slice(reverse(array_sort($cellsSql)), 1, $nprobe)," +
+          s" s -> cast(-s.nl as int))")
+      else GraftPlanBridge.column(
+        TopCellsDotE4(UnresolvedAttribute("embedding"), bc, nprobe))
   }
 
   /** [[kmeansAssign]] keeping the embedding column — what
     * [[semanticDedup]]'s pair stage consumes without re-joining the
     * corpus to its own assignment. */
-  private def kmeansAssignFull(emb: DataFrame, iters: Int,
-      dims: Int): DataFrame = {
+  private[graft] def kmeansAssignFull(emb: DataFrame, iters: Int,
+      dims: Int, literalMaxL: Int = LiteralCentroidMaxL): DataFrame = {
     require(iters >= 1 && dims >= 1)
     ensureDotE8(emb)
     var assigned = emb.select(col("vec_id"), col("embedding"),
       col("label").cast("int").as("clab"))
     (1 to iters).foreach { _ =>
-      val cellsArraySql = centroidCellsSql(assigned, "clab", dims)
-      assigned = assigned.withColumn("clab",
-        expr(s"cast(-array_max($cellsArraySql).nl as int)"))
+      val cells = new CentroidSet(assigned,
+        collectCentroids(assigned, "clab", dims), literalMaxL)
+      assigned = assigned.withColumn("clab", cells.assignCol)
     }
     assigned
   }
@@ -252,7 +297,9 @@ object Similarity {
     * (cluster first so the pair search is cell-local). The pair stage
     * is all-pairs WITHIN a cell only: the caller sizes the cluster
     * count so cells stay small (the technique's own contract — its
-    * reference deployments use ~50k clusters), giving O(n²/L) candidate
+    * reference deployments use ~50k clusters, an operating point the
+    * assignment reaches via the broadcast-matrix path past
+    * [[LiteralCentroidMaxL]]), giving O(n²/L) candidate
     * work spread cell-parallel instead of O(n²) global; the self-join
     * shuffles on `clab`, so each cell's pairs build where its vectors
     * already live. Duplicates missed across cell boundaries are the
@@ -269,9 +316,10 @@ object Similarity {
     * same honest way. Cell sizes are one tiny aggregate (≤ L rows,
     * broadcast back). */
   def semanticDedup(emb: DataFrame, threshold: Double,
-      iters: Int = 1, dims: Int = 64, maxCell: Int = 1000): DataFrame = {
+      iters: Int = 1, dims: Int = 64, maxCell: Int = 1000,
+      literalMaxL: Int = LiteralCentroidMaxL): DataFrame = {
     ensureDotE8(emb)
-    val assigned = kmeansAssignFull(emb, iters, dims)
+    val assigned = kmeansAssignFull(emb, iters, dims, literalMaxL)
       .withColumn("nrm", expr("dot_e8(embedding, embedding)"))
     val sizes = assigned.groupBy(col("clab"))
       .agg(count(lit(1)).as("cell_n"), min(col("vec_id")).as("anchor"))

@@ -306,6 +306,40 @@ class StressSpec extends AnyFunSuite {
       s"star must keep exactly the anchor: $r")
   }
 
+  // ------------------------------------------ curation-scale clusters
+  test("stress: kmeans assignment at L=2048 clusters runs on the " +
+    "broadcast-matrix path, sane plan, bounded time") {
+    // SemDeDup-style dedup scales the cluster count with the corpus
+    // (its cited deployments use ~50k cells); at L=2048 × dims=64 the
+    // literal-SQL argmax would already be megabytes of SQL and past
+    // Janino's method limit, so this must run on the broadcast
+    // expression path (default threshold 64) — and stay join-free with
+    // the plan O(1) in L
+    val n = 4000
+    val emb = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1L, 64L), " +
+        "d -> cast(cast(pmod(id * d + d, 19) as double) / 19.0 as float))")
+        .as("embedding"),
+      (col("id") % 2048 + 1).cast("int").as("label"))
+    val q = graft.operators.Similarity.kmeansAssign(emb, iters = 1)
+    val rows = timed("L=2048 kmeans assignment")(q.collect())
+    assert(rows.length == n)
+    assert(rows.map(_.getInt(1)).distinct.length <= 2048)
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"L=2048 assignment must not join: $joins")
+    // the plan carries the broadcast expression, not 2048×64 literals:
+    // its string form stays small
+    val planStr = q.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("argmax_dot_e4"),
+      s"expected the broadcast argmax expression in:\n$planStr")
+    assert(planStr.length < 100000,
+      s"plan blew up with literals: ${planStr.length} chars")
+    assert(timings.last._2 < 60.0,
+      f"L=2048 assignment too slow: ${timings.last._2}%.1f s")
+  }
+
   // ------------------------------------------------ diameter-20 chain
   test("stress: connectedComponents closes a diameter-20 dup chain") {
     // a 21-doc path graph (diameter 20) among 500 two-doc islands:

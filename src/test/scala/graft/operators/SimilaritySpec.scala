@@ -112,6 +112,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c3 == c1)
   }
 
+  test("broadcast-matrix assignment is bit-identical to the literal path " +
+    "(values, ties, join-free plan)") {
+    val rnd = new scala.util.Random(7)
+    // labels 1 and 2 hold IDENTICAL single vectors → identical centroids
+    // → every row's dots against cells 1 and 2 tie exactly, and the
+    // smallest-label break must agree across both codepaths
+    val tied = Seq(
+      (900L, Array.fill(16)(0.25f), 1),
+      (901L, Array.fill(16)(0.25f), 2))
+    val emb = ((0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), (i % 10).toInt + 3)
+    } ++ tied).toDF("vec_id", "embedding", "label")
+    def cells(lm: Int): Map[Long, Int] =
+      Similarity.kmeansAssign(emb, iters = 2, dims = 16, literalMaxL = lm)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaLiteral = cells(Int.MaxValue)
+    val viaBroadcast = cells(0)
+    assert(viaBroadcast == viaLiteral)
+    assert(viaBroadcast(900L) == 1 && viaBroadcast(901L) == 1,
+      "exact tie must break to the smallest label on both paths")
+    // the broadcast path must stay join-free like the literal one
+    val r = Similarity.kmeansAssign(emb, iters = 1, dims = 16,
+      literalMaxL = 0)
+    val joins = r.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"broadcast kmeans assignment must not join: $joins")
+  }
+
+  test("ivfTopK broadcast path matches the literal path incl. nprobe " +
+    "probe cells") {
+    val rnd = new scala.util.Random(19)
+    val emb = (0L until 200L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 6).toInt + 1)
+    }.toDF("vec_id", "embedding", "label")
+    def res(lm: Int): Set[(Long, Int, Long, Long, Long)] =
+      Similarity.ivfTopK(emb, col("vec_id") < 5, k = 3, dims = 8,
+        nprobe = 3, literalMaxL = lm).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    assert(res(0) == res(Int.MaxValue))
+    // nprobe past L returns every cell, like the literal slice
+    def resAll(lm: Int): Set[(Long, Int, Long, Long, Long)] =
+      Similarity.ivfTopK(emb, col("vec_id") === 0, k = 2, dims = 8,
+        nprobe = 99, literalMaxL = lm).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    assert(resAll(0) == resAll(Int.MaxValue))
+  }
+
   test("semanticDedup drops the larger id of a within-cell near-pair, " +
     "keeps cross-cell pairs") {
     val emb = Seq(
