@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * typed metadata, decoded/feature-extracted partition-by-partition.
   *
   * The Spark-side shape is the real thing — schema, encoders, batch
-  * iteration, partition sizing — while the codec itself is a STUB: this
-  * container has no image/audio libraries, so [[FakeCodec]] derives
-  * deterministic "decoded" metadata and a feature vector from the raw
-  * bytes. Swapping in a real decoder (JavaCPP/FFmpeg, javax.imageio)
-  * changes only the function body, not the pipeline.
+  * iteration, partition sizing. Codecs resolve through the
+  * [[MediaCodec]] ServiceLoader SPI: still images decode for REAL via
+  * [[ImageIoCodecProvider]] (JDK `javax.imageio` — PNG/JPEG/BMP/GIF,
+  * no extra dependencies); audio/video remain with the deterministic
+  * [[FakeCodec]] STUB (this container has no av libraries — a
+  * JavaCPP/FFmpeg provider drops in through the same SPI, zero
+  * operator changes).
   *
   * Scale design: decode runs inside `mapPartitions` — one codec
   * instance per task, no per-row setup, no driver collect; media bytes
@@ -149,24 +151,106 @@ object MediaCodec {
     * never see that jar's `META-INF/services` entry and every image
     * would silently fall back to the fake codec. Keyed per loader (not
     * one per JVM) so a driver-side call and task-side calls each see
-    * their own visibility. */
-  private val providersByLoader =
-    new java.util.concurrent.ConcurrentHashMap[ClassLoader, Seq[MediaCodec]]
+    * their own visibility — and WEAKLY keyed: long-lived executors
+    * create and discard task/session classloaders (REPL-added jars,
+    * session isolation), and a strong key would pin each discarded
+    * loader plus its classes for the JVM lifetime. The VALUE must not
+    * strongly reach the key either — provider instances reference
+    * their classes, which reference the loader — so the provider list
+    * sits behind a SoftReference: in steady state the cache stays
+    * warm, and once a loader is discarded the only paths to it are the
+    * weak key and the soft value chain, both collectable. WeakHashMap
+    * needs external synchronization; the lock is only on the
+    * once-per-loader lookup path, never per row
+    * ([[Multimodal.extractFeatures]] holds codecs per task). */
+  private val providersByLoader = new java.util.WeakHashMap[
+    ClassLoader, java.lang.ref.SoftReference[Seq[MediaCodec]]]
 
   private def providers(): Seq[MediaCodec] = {
     val loader = Option(Thread.currentThread().getContextClassLoader)
       .getOrElse(classOf[MediaCodec].getClassLoader)
-    providersByLoader.computeIfAbsent(loader, l => {
-      import scala.jdk.CollectionConverters._
-      java.util.ServiceLoader.load(classOf[MediaCodec], l)
-        .iterator().asScala.toSeq
-    })
+    providersByLoader.synchronized {
+      val cached = Option(providersByLoader.get(loader)).flatMap(r =>
+        Option(r.get()))
+      cached.getOrElse {
+        import scala.jdk.CollectionConverters._
+        val ps = java.util.ServiceLoader.load(classOf[MediaCodec], loader)
+          .iterator().asScala.toSeq
+        providersByLoader.put(loader,
+          new java.lang.ref.SoftReference(ps))
+        ps
+      }
+    }
   }
 
   /** Resolve the codec for `kind`: registered providers in discovery
     * order, [[FakeCodecProvider]] as the guaranteed sandbox fallback. */
   def forKind(kind: String): MediaCodec =
     providers().find(_.claims(kind)).getOrElse(FakeCodecProvider)
+}
+
+/** REAL still-image decoder on the SPI — `javax.imageio` is JDK
+  * built-in (the PNG render sink already uses it), so PNG/JPEG/BMP/GIF
+  * decode needs zero new dependencies; only audio/video stay with the
+  * fake codec in this container. Claims the standard image MIME kinds
+  * (parameters after `;` ignored, so a `image/png;thumb` re-decode
+  * routes here too) and NEVER `image/fake` — the oracle fixtures'
+  * payloads are fake-kind text bytes and keep their byte-level decode.
+  *
+  * Decode contract (all deterministic): real pixel `width`/`height`;
+  * `checksum` = CRC32 of the payload bytes; `feature` = 8-bin
+  * luminance histogram (integer 299/587/114 weights) normalized by
+  * pixel count. A payload ImageIO cannot parse — truncated file, or a
+  * byte-sliced "thumbnail" of a real format — yields the CORRUPT
+  * marker: width = height = 0, zero feature vector, checksum still
+  * computed, so a 100 TB curation scan can count/quarantine bad media
+  * without a task ever throwing. One provider instance per task via
+  * [[MediaCodec.forKind]]; `ImageIO.read` allocates per call and holds
+  * no shared native state. */
+class ImageIoCodecProvider extends MediaCodec {
+  override def claims(kind: String): Boolean = {
+    val base = kind.takeWhile(_ != ';')
+    base == "image/png" || base == "image/jpeg" || base == "image/jpg" ||
+      base == "image/bmp" || base == "image/gif"
+  }
+
+  override def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+    val crc = new java.util.zip.CRC32
+    crc.update(row.payload)
+    val img =
+      try ImageIoCodecProvider.read(row.payload)
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null)
+      Multimodal.MediaFeatures(row.doc_id, row.kind,
+        row.payload.length.toLong, width = 0, height = 0,
+        checksum = crc.getValue, feature = new Array[Float](8))
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      Multimodal.MediaFeatures(row.doc_id, row.kind,
+        row.payload.length.toLong, width = w, height = h,
+        checksum = crc.getValue, feature = hist.map(_ / n))
+    }
+  }
+}
+
+object ImageIoCodecProvider {
+  private def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
 }
 
 /** [[Multimodal.FakeCodec]] as a ServiceLoader provider (also the hard

@@ -146,6 +146,41 @@ class MiscSpec extends AnyFunSuite {
     assert(r(2).checksum == fake.checksum) // fallback decode, same math
   }
 
+  test("ImageIoCodecProvider decodes real PNGs through the ServiceLoader, " +
+    "marks corrupt payloads, never claims fake kinds") {
+    // a real 4×3 PNG written by the JDK encoder: top row white, rest black
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(x => img.setRGB(x, 0, 0xffffff))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    // resolution: the provider is registered via META-INF/services
+    assert(MediaCodec.forKind("image/png").isInstanceOf[ImageIoCodecProvider])
+    assert(MediaCodec.forKind("image/png;thumb")
+      .isInstanceOf[ImageIoCodecProvider])
+    assert(MediaCodec.forKind("image/fake").isInstanceOf[FakeCodecProvider])
+    // through the operator: one real decode, one corrupt marker
+    val media = Seq(
+      (1L, "image/png", png),
+      (2L, "image/png", "not a png at all".getBytes("UTF-8")))
+      .toDF("doc_id", "kind", "payload")
+    val r = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(r(0).width == 4 && r(0).height == 3)
+    val crc = new java.util.zip.CRC32
+    crc.update(png)
+    assert(r(0).checksum == crc.getValue)
+    // luminance histogram: 4 white pixels in the top bin, 8 black in
+    // bin 0, of 12 total
+    val feat = r(0).feature
+    assert(math.abs(feat(0) - 8f / 12f) < 1e-6)
+    assert(math.abs(feat(7) - 4f / 12f) < 1e-6)
+    assert(math.abs(feat.sum - 1.0f) < 1e-6)
+    // corrupt: zero dims, zero features, checksum still computed
+    assert(r(1).width == 0 && r(1).height == 0)
+    assert(r(1).feature.forall(_ == 0f) && r(1).checksum != 0L)
+  }
+
   test("Multimodal.sampleFrames fans one payload into n decoded frames") {
     val d = Seq((0L, "en", "s", 10L, "abcdefghij"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
