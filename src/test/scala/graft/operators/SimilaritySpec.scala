@@ -184,6 +184,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2(5L) == 0, s"re-homed duplicate should drop: $r2")
   }
 
+  test("semanticDedup releases its assignment cache after the result's " +
+    "first materialization") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Similarity.semanticDedup(emb, threshold = 0.95, dims = 4)
+    assert(r.count() == 3)
+    // the listener bus is async: poll until the cache drains
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"assignment cache still pinned after materialization: $leaked")
+    // a second materialization recomputes and still answers correctly
+    assert(r.where(col("keep") === 1).count() == 2)
+  }
+
   test("knnBrute ranks by quantized dot desc with id tie-break") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
