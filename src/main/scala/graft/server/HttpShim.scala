@@ -40,6 +40,14 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     attConf: DataFrame, attNames: DataFrame, port: Int = 0,
     staticDir: Option[String] = None) {
 
+  // the raster-fusion strategy is SESSION state: install it once at
+  // shim construction, so request threads never mutate
+  // `experimental.extraStrategies` — the per-call register() inside
+  // binPoints/hoverColumns stays as an idempotent belt (synchronized,
+  // contains-check only once installed) for library users without a
+  // shim
+  graft.plans.RasterFusion.register(spark)
+
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -162,6 +170,20 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     }.toMap
   }
 
+  /** The optional O6 row cap from a request body, CLAMPED to the
+    * server ceiling: a client-sized `max` (say 2·10⁹) must not
+    * reinstate the unbounded driver-side render
+    * [[ArchiveApi.DefaultRawRowCap]] exists to prevent. Non-positive
+    * values are a client error — the IllegalArgumentException becomes
+    * a 400 in [[handle]]. */
+  private def requestedMax(b: Map[String, Any]): Int =
+    b.get("max").map(Json.num(_).toInt) match {
+      case Some(m) if m <= 0 =>
+        throw new IllegalArgumentException(s"max must be positive, got $m")
+      case Some(m) => math.min(m, ArchiveApi.DefaultRawRowCap)
+      case None => ArchiveApi.DefaultRawRowCap
+    }
+
   private def body(ex: HttpExchange): Any =
     Json.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
 
@@ -225,12 +247,8 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     val t0 = TimeFns.parseNaiveUtc(Json.str(range("from")))
     val t1 = TimeFns.parseNaiveUtc(Json.str(range("to")))
     val interval = b.get("interval").collect { case s: String => s }
-    // optional row cap (same role as /attributes' max, O6); the
-    // ArchiveApi default bounds the driver even when absent
-    val maxRows = b.get("max").map(Json.num(_).toInt)
-      .getOrElse(ArchiveApi.DefaultRawRowCap)
     val out = ArchiveApi.rawQuery(points, targets, t0, t1, interval,
-      asCsv = wantsCsv(ex), maxRows = maxRows)
+      asCsv = wantsCsv(ex), maxRows = requestedMax(b))
     respond(ex, 200, out,
       if (wantsCsv(ex)) "text/csv" else "application/json")
   }
@@ -243,10 +261,8 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     val tr = Json.arr(b("time_range"))
     val t0 = TimeFns.parseNaiveUtc(Json.str(tr(0)))
     val t1 = TimeFns.parseNaiveUtc(Json.str(tr(1)))
-    val maxRows = b.get("max").map(Json.num(_).toInt)
-      .getOrElse(ArchiveApi.DefaultRawRowCap)
     val out = ArchiveApi.rawQuery(points, attrs, t0, t1, None,
-      asCsv = wantsCsv(ex), maxRows = maxRows)
+      asCsv = wantsCsv(ex), maxRows = requestedMax(b))
     respond(ex, 200, out,
       if (wantsCsv(ex)) "text/csv" else "application/json")
   }

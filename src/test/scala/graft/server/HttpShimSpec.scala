@@ -98,6 +98,32 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Json.arr(first("datapoints")).length == 3)
   }
 
+  test("POST /query clamps an oversized max to the server ceiling, " +
+    "rejects non-positive max with 400") {
+    // a 2-billion max must NOT reach rawQuery (it would reinstate the
+    // unbounded driver-side render the default cap prevents); the
+    // request still answers, capped
+    val big = post("/query",
+      """{"targets": [{"cs": "events.cs:10000", "target": "u1/click"}],
+        |"range": {"from": "2024-01-05", "to": "2024-01-20"},
+        |"max": 2000000000}""".stripMargin)
+    assert(big.statusCode() == 200)
+    assert(Json.arr(Json.parse(big.body())).nonEmpty)
+    for (bad <- Seq("0", "-5")) {
+      val r = post("/query",
+        s"""{"targets": [{"cs": "events.cs:10000", "target": "u1/click"}],
+           |"range": {"from": "2024-01-05", "to": "2024-01-20"},
+           |"max": $bad}""".stripMargin)
+      assert(r.statusCode() == 400, s"max=$bad must be a client error")
+      assert(r.body().contains("max must be positive"))
+    }
+    // /httpquery shares the clamp
+    val badHq = post("/httpquery",
+      """{"attributes": ["u1/click"],
+        |"time_range": ["2024-01-05", "2024-01-20"], "max": -1}""".stripMargin)
+    assert(badHq.statusCode() == 400)
+  }
+
   test("POST /httpquery takes the browser-style body") {
     val r = post("/httpquery",
       """{"attributes": ["u1/click"],
@@ -120,6 +146,41 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Json.arr(img("y_range")).length == 2)
     val desc = Json.obj(Json.obj(b("descs"))("u1/click"))
     assert(Json.num(desc("total_points")) > 0)
+  }
+
+  test("shim construction installs the raster strategy once; concurrent " +
+    "first /image requests never re-register") {
+    // the shared shim's constructor already registered the strategy —
+    // constructing ANOTHER shim on the same session must not duplicate
+    // it (register is idempotent + synchronized)
+    def strategyCount = spark.experimental.extraStrategies
+      .count(_ == graft.plans.RasterStrategy)
+    assert(strategyCount == 1, "constructor must have registered exactly once")
+    val ad2 = new graft.sources.EventsArchiveAdapter(spark,
+      "/root/testdata/sf0.001")
+    val second = new HttpShim(spark, ad2.pointsAll, ad2.attConf,
+      ad2.attNames)
+    try {
+      second.start()
+      val b2 = s"http://127.0.0.1:${second.boundPort}"
+      assert(strategyCount == 1, "second construction must be a no-op")
+      // a burst of FIRST requests against the fresh shim, in parallel:
+      // all must render, and the strategy list must stay single
+      val req =
+        """{"attributes": [{"name": "u1/click", "color": "#00ff00",
+          |                 "y_axis": 0}],
+          |"time_range": ["2024-01-05", "2024-01-20"],
+          |"size": [60, 40]}""".stripMargin
+      val calls = (1 to 4).map(_ => java.util.concurrent.CompletableFuture
+        .supplyAsync(() => client.send(
+          HttpRequest.newBuilder(URI.create(b2 + "/image"))
+            .POST(HttpRequest.BodyPublishers.ofString(req)).build(),
+          HttpResponse.BodyHandlers.ofString())))
+      calls.foreach(f => assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        .statusCode() == 200))
+      assert(strategyCount == 1,
+        "concurrent requests mutated the strategy list")
+    } finally second.stop()
   }
 
   test("Accept-Encoding: gzip compresses /query and /image responses") {
