@@ -566,6 +566,43 @@ object EventQueries {
        |                          / 2.0 * $H) AS BIGINT),
        |                    ${H - 1}) END""".stripMargin)
 
+  /** A6-hover × C8-log — the FUSED hover path on a LOG y-axis:
+    * `RasterParams`' log branch (py via log10, keep via the
+    * positive-floor guard) was goldens-only while q08 pinned linear-y
+    * — the same asymmetry q29 closed for the AA raster. vmin=1 /
+    * vmax=100 put the log-space bounds at exactly 0.0 and 2.0 in both
+    * engines (q29's exactness argument: log10 of a power of ten is
+    * exact, so the only shared float op is `log10(v)` itself, and a py
+    * boundary flip would need a value within ~1e-13 of some 10^(k/16)
+    * — none of the synthetic values sits there). The keep filter's
+    * log-branch floor `max(vmin, MIN_VALUE)` is 1.0 here, so the SQL
+    * BETWEEN mirrors it inclusively. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    graft.plans.RasterFusion.hoverColumns(
+      pts(s, dir).where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd)),
+      Seq("event_type"), Epoch2024, TEnd, 1.0, 100.0, W, H,
+      logScale = true)
+      .orderBy(col("event_type"), col("px"))
+
+  private val q30Sql =
+    s"""${PtsSql}, binned AS (
+       |  SELECT event_type,
+       |    least(((t - $Epoch2024) * $W) // ${TEnd - Epoch2024}, ${W - 1}) AS px,
+       |    least(CAST(floor((log10(value_r) - 0.0) / 2.0 * $H) AS BIGINT),
+       |          ${H - 1}) AS py,
+       |    value_r
+       |  FROM pts
+       |  WHERE t BETWEEN $Epoch2024 AND $TEnd AND NOT isnan(value_r)
+       |    AND value_r BETWEEN 1.0 AND 100.0),
+       |grid AS (
+       |  SELECT event_type, px, py, count(*) AS cnt, min(value_r) AS vmin,
+       |         max(value_r) AS vmax
+       |  FROM binned GROUP BY event_type, px, py)
+       |SELECT event_type, px, min(vmin) AS col_min, max(vmax) AS col_max,
+       |  CAST(sum(cnt) AS BIGINT) AS col_count
+       |FROM grid GROUP BY event_type, px
+       |ORDER BY event_type, px""".stripMargin
+
   // ---------------------------------------------------------------- star-schema joins
   /** Multi-way broadcast join over the TPC-H-ish dimensions: revenue
     * rollup orders ⋈ customer ⋈ nation (both dims broadcast — at 100 TB
@@ -748,6 +785,7 @@ object EventQueries {
     "q27_naive_time_range" -> (q27 _),
     "q28_raster_line_aa" -> (q28 _),
     "q29_raster_line_aa_log" -> (q29 _),
+    "q30_hover_log" -> (q30 _),
     "q01_scan_project" -> (q01 _),
     "q02_resample_5m" -> (resampleQ("5m") _),
     "q03_resample_30s" -> (resampleQ("30s") _),
@@ -779,6 +817,7 @@ object EventQueries {
     "q27_naive_time_range" -> q27Sql,
     "q28_raster_line_aa" -> q28Sql,
     "q29_raster_line_aa_log" -> q29Sql,
+    "q30_hover_log" -> q30Sql,
     "q01_scan_project" -> q01Sql,
     "q02_resample_5m" -> resampleSql("5m"),
     "q03_resample_30s" -> resampleSql("30s"),
