@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.operators.{Catalog, Dedup, Sampling, TextStats, TimeJoins}
+import graft.operators.{Catalog, Dedup, Sampling, SkewOps, TextStats, TimeJoins}
 
 /** Scale/skew stress harness over SELF-GENERATED pathological data
   * (never touches /root/testdata): each scenario plants the exact
@@ -252,6 +252,71 @@ class StressSpec extends AnyFunSuite {
       assert(tfid.getLong(0) == 3L * hot + 2L * (n / 5))
       assert(tfid.getLong(1) == n)
       assertBalanced(reads2, "tfidfTopTerms hot-term join")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  // -------------------------------------- salted join flat-cost price
+  test("stress: the salted freq join's insurance on a SKEW-FREE corpus " +
+    "is measured, not assumed") {
+    // the Zipf salting is paid unconditionally (vocabulary×buckets
+    // replication) — price it against the plain join on a uniform
+    // corpus: 60k docs × 5 tokens uniformly over a 20k vocabulary,
+    // no hot key anywhere. Broadcast disabled: the regime being priced
+    // is the 100 TB shuffle join. Buckets = what saltedFreqJoin picks
+    // at this session's shuffle-partition count, plus a 64-bucket
+    // point to confirm the replication term scales linearly and stays
+    // sane.
+    val n = 60000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        lit("w"), (col("id") % 20000).cast("string"),
+        lit(" w"), ((col("id") * 7 + 1) % 20000).cast("string"),
+        lit(" w"), ((col("id") * 13 + 2) % 20000).cast("string"),
+        lit(" w"), ((col("id") * 31 + 3) % 20000).cast("string"),
+        lit(" w"), ((col("id") * 57 + 4) % 20000).cast("string"))
+        .as("text"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    def consume(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("freq"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val shufP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val buckets = math.min(1024, math.max(2, shufP))
+      def best(label: String)(body: => (Long, Long)): Double = {
+        body // warm-up pass: JIT + shuffle-file effects off the clock
+        val t0 = System.nanoTime(); val r1 = body
+        val t1 = System.nanoTime(); val r2 = body
+        val t2 = System.nanoTime()
+        assert(r1 == r2)
+        val sec = math.min(t1 - t0, t2 - t1) / 1e9
+        info(f"$label: $sec%.2f s → $r1")
+        sec
+      }
+      val plainRes = consume(toks.join(freq, "tok"))
+      val plain = best("plain uniform join")(consume(toks.join(freq, "tok")))
+      val salted = best(s"salted($buckets) uniform join")(
+        consume(SkewOps.saltedJoin(toks, freq, "tok", "doc_id", buckets)))
+      val salted64 = best("salted(64) uniform join")(
+        consume(SkewOps.saltedJoin(toks, freq, "tok", "doc_id", 64)))
+      // value parity on top of the timing
+      assert(consume(SkewOps.saltedJoin(toks, freq, "tok", "doc_id",
+        buckets)) == plainRes)
+      val ratio = salted / plain
+      val ratio64 = salted64 / plain
+      info(f"flat-cost ratio: salted($buckets)/plain = $ratio%.2f, " +
+        f"salted(64)/plain = $ratio64%.2f")
+      // the documented claim is "noise next to the postings"; allow
+      // generous host noise but fail if the insurance turns structural
+      assert(ratio < 3.0,
+        f"salted join costs $ratio%.2fx plain on a skew-free corpus")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
