@@ -100,21 +100,24 @@ object ArchiveApi {
     * rendered as the reference's CSV block or Grafana JSON format.
     * `points` needs att_name, t (µs), value_r.
     *
-    * Driver-memory bound: the sorted result is capped via a real
-    * `limit(maxRows)` — Spark plans `TakeOrderedAndProject`, so the
-    * top-k runs DISTRIBUTED (per-partition bounded heaps, merge of k
-    * rows) and the driver never holds more than `maxRows` rows — and
-    * the render consumes a `toLocalIterator` rather than a collected
-    * array, so peak memory is the rendered series themselves, O(cap).
-    * The sort is TIME-FIRST (t, att_name, value_r — the trailing
-    * columns make the cap boundary deterministic under duplicate
-    * timestamps), so hitting the cap behaves exactly like querying a
-    * shorter range: the render covers [t0, t_cap] uniformly across
-    * EVERY requested attribute. An attribute-first sort would instead
-    * silently drop whole later-sorted attributes — indistinguishable
-    * from "no data" on the client. The cap bounds the intervaled
-    * (resampled) path too: a micro-interval over a wide range explodes
-    * the same way raw points do. */
+    * Driver-memory bound, in two stages. (1) The CAP is applied on a
+    * TIME-FIRST sort (t, att_name, value_r — the trailing columns make
+    * the cap boundary deterministic under duplicate timestamps) via a
+    * real `limit(maxRows)` — Spark plans `TakeOrderedAndProject`, so
+    * the top-k runs DISTRIBUTED (per-partition bounded heaps) and
+    * hitting the cap behaves exactly like querying a shorter range:
+    * the render covers [t0, t_cap] uniformly across EVERY requested
+    * attribute (an attribute-first cap would silently drop whole
+    * later-sorted attributes — indistinguishable from "no data").
+    * (2) The surviving ≤cap rows are RE-SORTED DISTRIBUTED into
+    * request-attribute-major order and streamed through
+    * [[Render.SeriesStream]]: `toLocalIterator` pulls one sort
+    * partition at a time and every row appends straight into the
+    * output buffer, so peak driver state beyond the response payload
+    * itself is one partition of rows — not the old per-attribute
+    * LinkedHashMap that buffered all ≤cap rows a second time. The cap
+    * bounds the intervaled (resampled) path too: a micro-interval over
+    * a wide range explodes the same way raw points do. */
   def rawQuery(points: DataFrame, attrNames: Seq[String],
       t0Us: Long, t1Us: Long, interval: Option[String],
       asCsv: Boolean, maxRows: Int = DefaultRawRowCap): String = {
@@ -129,20 +132,27 @@ object ArchiveApi {
         col("t").cast("double").as("t"), col("value_r"))
         .orderBy(col("t"), col("att_name"), col("value_r"))
     }
-    val it = ordered.limit(maxRows).toLocalIterator()
-    val byAttr = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Option[Double])]]
+    // request order, not lexicographic: series must render in the
+    // order the client asked for them (attrNames is request-sized)
+    val reqIdx = attrNames.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (n, i)) => when(col("att_name") === n, i).otherwise(acc)
+    }
+    val regrouped = ordered.limit(maxRows)
+      .withColumn("_ord", reqIdx)
+      .orderBy(col("_ord"), col("t"), col("value_r"))
+    val it = regrouped.toLocalIterator()
+    val w: Render.SeriesStream =
+      if (asCsv) new Render.CsvStream(new java.lang.StringBuilder)
+      else new Render.GrafanaStream(new java.lang.StringBuilder)
+    var current: String = null
     while (it.hasNext) {
       val r = it.next()
+      val name = r.getString(0)
+      if (name != current) { w.startSeries(name); current = name }
       val v = r.getDouble(2)
-      byAttr.getOrElseUpdate(r.getString(0),
-        scala.collection.mutable.ArrayBuffer.empty) +=
-        ((r.getDouble(1), if (v.isNaN) None else Some(v)))
+      w.row(r.getDouble(1), if (v.isNaN) None else Some(v))
     }
-    val series = attrNames.flatMap { name =>
-      byAttr.get(name).map(rs => Render.Series(name, rs.toSeq))
-    }
-    if (asCsv) Render.csv(series) else Render.grafanaJson(series)
+    w.finish()
   }
 
   /** §3.1 `POST /image` — the interactive plot query. `points` needs

@@ -35,35 +35,89 @@ object Render {
     * is not a correctness criterion (the reference has no golden files),
     * our own golden tests pin THIS format. Raw integer µs timestamps
     * are printed as integers. */
-  def csv(series: Seq[Series]): String =
-    series.map { s =>
-      val rows = s.rows.map { case (t, v) =>
-        val tStr = if (t == t.floor && math.abs(t) < 1e15) t.toLong.toString
-          else fmt(t)
-        val vStr = v.map(fmt).getOrElse("")
-        s"$tStr,$vStr\n"
-      }.mkString
-      s"${s.name}\nt[us],value_r\n$rows"
-    }.mkString("\n")
+  def csv(series: Seq[Series]): String = {
+    val w = new CsvStream(new java.lang.StringBuilder)
+    series.foreach { s =>
+      w.startSeries(s.name)
+      s.rows.foreach { case (t, v) => w.row(t, v) }
+    }
+    w.finish()
+  }
 
   /** K2 — Grafana JSON envelope (`data.py:58-75`):
     * `[{"target": name, "datapoints": [[value|null, t_ms], …]}]`,
     * NaN→null, timestamps in fractional ms. */
   def grafanaJson(series: Seq[Series]): String = {
-    def jsonNum(d: Double): String =
+    val w = new GrafanaStream(new java.lang.StringBuilder)
+    series.foreach { s =>
+      w.startSeries(s.name)
+      s.rows.foreach { case (t, v) => w.row(t, v) }
+    }
+    w.finish()
+  }
+
+  /** INCREMENTAL sink behind both text renders: rows append as they
+    * arrive from a local iterator, so a capped 1M-row raw query never
+    * buffers per-attribute row collections on the driver — peak state
+    * beyond the output buffer itself is one row. [[csv]]/
+    * [[grafanaJson]] are thin wrappers over these, so the golden tests
+    * pin the streamed format by construction. */
+  sealed trait SeriesStream {
+    def startSeries(name: String): Unit
+    def row(t: Double, v: Option[Double]): Unit
+    /** Closes any open series and returns the rendered payload. */
+    def finish(): String
+  }
+
+  /** Streaming K1 CSV blocks (block separator = the "\n" join of the
+    * batch form: a blank line, since each row carries its own). */
+  final class CsvStream(out: java.lang.StringBuilder) extends SeriesStream {
+    private var first = true
+    override def startSeries(name: String): Unit = {
+      if (!first) out.append('\n')
+      first = false
+      out.append(name).append("\nt[us],value_r\n")
+    }
+    override def row(t: Double, v: Option[Double]): Unit = {
+      val tStr = if (t == t.floor && math.abs(t) < 1e15) t.toLong.toString
+        else fmt(t)
+      out.append(tStr).append(',').append(v.map(fmt).getOrElse(""))
+        .append('\n')
+    }
+    override def finish(): String = out.toString
+  }
+
+  /** Streaming K2 Grafana JSON. */
+  final class GrafanaStream(out: java.lang.StringBuilder)
+      extends SeriesStream {
+    out.append('[')
+    private var anySeries = false
+    private var anyDp = false
+    private def jsonNum(d: Double): String =
       if (d.isNaN || d.isInfinite) "null" else fmt(d)
-    def esc(s: String): String = s.flatMap {
+    private def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    series.map { s =>
-      val dps = s.rows.map { case (t, v) =>
-        s"[${v.map(jsonNum).getOrElse("null")}, ${jsonNum(t / 1000.0)}]"
-      }.mkString(", ")
-      s"""{"target": "${esc(s.name)}", "datapoints": [$dps]}"""
-    }.mkString("[", ", ", "]")
+    override def startSeries(name: String): Unit = {
+      if (anySeries) out.append("]}, ") // close the previous series
+      anySeries = true
+      anyDp = false
+      out.append("{\"target\": \"").append(esc(name))
+        .append("\", \"datapoints\": [")
+    }
+    override def row(t: Double, v: Option[Double]): Unit = {
+      if (anyDp) out.append(", ")
+      anyDp = true
+      out.append('[').append(v.map(jsonNum).getOrElse("null"))
+        .append(", ").append(jsonNum(t / 1000.0)).append(']')
+    }
+    override def finish(): String = {
+      if (anySeries) out.append("]}")
+      out.append(']').toString
+    }
   }
 
   /** A collected line-raster grid for one attribute: cnt per (px, py),
