@@ -389,6 +389,72 @@ object PipelineQueries {
       |SELECT qid, clab, rn, nid, dot_e8 FROM ranked WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  /** p41 — IVF ANN with MULTI-PROBE (`nprobe = 2`,
+    * [[Similarity.ivfTopK]]): p13 pins only `nprobe = 1`, leaving the
+    * probe-cell fan-out — the standard IVF recall knob, and on the
+    * large-L path a separate codegen expression
+    * (`top_cells_dot_e4`) — spec-tested but un-oracled. Each query
+    * searches its TWO nearest cells by the same (d desc, clab)
+    * tie-broken centroid dots; the oracle widens p13's `q` CTE to the
+    * top-2 probe ranks and leaves everything downstream identical, so
+    * a wrong probe order, a dropped second cell, or a tie mis-break
+    * changes the hash. */
+  private def p41(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), col("vec_id") < 10, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rn"))
+
+  private val p41Sql =
+    """WITH el AS (
+      |  SELECT vec_id, label,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+      |      AS qv,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS clab, i, CAST(sum(qv) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM el GROUP BY label, i),
+      |centq AS (
+      |  SELECT clab, i, (s - (((s % n) + n) % n)) / n AS c FROM cent),
+      |dots AS (
+      |  SELECT el.vec_id, centq.clab,
+      |    CAST(sum(el.qv * centq.c) AS BIGINT) AS d
+      |  FROM el JOIN centq ON el.i = centq.i
+      |  GROUP BY el.vec_id, centq.clab),
+      |assigned AS (
+      |  SELECT vec_id, clab FROM (
+      |    SELECT vec_id, clab,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY d DESC, clab) AS rn
+      |    FROM dots) WHERE rn = 1),
+      |q AS (SELECT p.vec_id AS qid, e.embedding AS qe, p.clab
+      |      FROM (
+      |        SELECT vec_id, clab, row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY d DESC, clab) AS prn
+      |        FROM dots) p
+      |      JOIN embeddings e USING (vec_id)
+      |      WHERE p.vec_id < 10 AND p.prn <= 2),
+      |ml AS (SELECT a.clab, e.vec_id,
+      |    CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 10000) AS BIGINT)
+      |      AS v,
+      |    generate_subscripts(e.embedding, 1) AS i
+      |  FROM assigned a JOIN embeddings e USING (vec_id)),
+      |qel AS (SELECT qid, clab,
+      |    CAST(round(CAST(unnest(qe) AS DOUBLE) * 10000) AS BIGINT) AS qv,
+      |    generate_subscripts(qe, 1) AS i
+      |  FROM q),
+      |pairs AS (
+      |  SELECT qel.qid, qel.clab, ml.vec_id AS nid,
+      |    CAST(sum(qel.qv * ml.v) AS BIGINT) AS dot_e8
+      |  FROM qel JOIN ml ON qel.i = ml.i AND qel.clab = ml.clab
+      |    AND ml.vec_id <> qel.qid
+      |  GROUP BY qel.qid, qel.clab, ml.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY dot_e8 DESC, nid) AS rn FROM pairs)
+      |SELECT qid, clab, rn, nid, dot_e8 FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
   // ---------------------------------------------------------------- k-means training
   /** p38 — ITERATED spherical k-means ([[Similarity.kmeansAssign]],
     * 3 Lloyd rounds from the label init): the IVF centroid-training
@@ -436,6 +502,41 @@ object PipelineQueries {
        |SELECT clab, count(*) AS n_vecs,
        |  CAST(sum(vec_id) AS BIGINT) AS vec_checksum
        |FROM a3 GROUP BY clab ORDER BY clab""".stripMargin
+
+  /** p40 — k-means at a cluster count PAST the literal-SQL threshold
+    * ([[graft.operators.Similarity.LiteralCentroidMaxL]] = 64): the
+    * init `vec_id % 128 + 1` yields L=128 cells, so the assignment
+    * runs on the broadcast-matrix `argmax_dot_e4` codegen expression —
+    * this query hash-pins the BROADCAST codepath end-to-end against
+    * the same DuckDB round-CTEs (p38 exercises only the literal path
+    * at oracle label counts; SimilaritySpec's path-vs-path parity is
+    * spec-level, this is oracle-level). TWO Lloyd rounds, because
+    * round 2 re-aggregates centroids FROM expression-assigned cells —
+    * a wrong dot, tie-break, or floor-div anywhere in the broadcast
+    * path moves some vector and breaks the hash. */
+  private def p40(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(
+      emb(s, dir).withColumn("label",
+        (col("vec_id") % 128 + 1).cast("int")),
+      iters = 2)
+      .groupBy(col("clab"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vec_id")).as("vec_checksum"))
+      .orderBy(col("clab"))
+
+  private val p40Sql =
+    s"""WITH el AS (
+       |  SELECT vec_id,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+       |      AS qv,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, CAST(vec_id % 128 + 1 AS INTEGER) AS clab
+       |       FROM embeddings),
+       |${(1 to 2).map(p38Round).mkString(",\n")}
+       |SELECT clab, count(*) AS n_vecs,
+       |  CAST(sum(vec_id) AS BIGINT) AS vec_checksum
+       |FROM a2 GROUP BY clab ORDER BY clab""".stripMargin
 
   // ---------------------------------------------------------------- semantic dedup
   /** p39 — SemDeDup-style semantic dedup
@@ -1449,6 +1550,8 @@ object PipelineQueries {
     "p13_ivf_topk" -> (p13 _),
     "p38_kmeans_train" -> (p38 _),
     "p39_semantic_dedup" -> (p39 _),
+    "p40_kmeans_bcast" -> (p40 _),
+    "p41_ivf_nprobe" -> (p41 _),
     "p14_token_counts" -> (p14 _),
     "p15_cosine_neardup" -> (p15 _),
     "p16_dedup_clusters" -> (p16 _),
@@ -1490,6 +1593,8 @@ object PipelineQueries {
     "p13_ivf_topk" -> p13Sql,
     "p38_kmeans_train" -> p38Sql,
     "p39_semantic_dedup" -> p39Sql,
+    "p40_kmeans_bcast" -> p40Sql,
+    "p41_ivf_nprobe" -> p41Sql,
     "p14_token_counts" -> p14Sql,
     "p15_cosine_neardup" -> p15Sql,
     "p16_dedup_clusters" -> p16Sql,
