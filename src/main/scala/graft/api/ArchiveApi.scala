@@ -133,10 +133,12 @@ object ArchiveApi {
         .orderBy(col("t"), col("att_name"), col("value_r"))
     }
     // request order, not lexicographic: series must render in the
-    // order the client asked for them (attrNames is request-sized)
-    val reqIdx = attrNames.zipWithIndex.foldLeft(lit(0)) {
-      case (acc, (n, i)) => when(col("att_name") === n, i).otherwise(acc)
-    }
+    // order the client asked for them. ONE array_position against the
+    // literal name list — a when-chain would nest O(#attrs) deep and a
+    // many-target request would pay analyzer depth for it (membership
+    // is guaranteed by the isin filter above, so 0-for-absent cannot
+    // occur)
+    val reqIdx = array_position(typedLit(attrNames), col("att_name"))
     val regrouped = ordered.limit(maxRows)
       .withColumn("_ord", reqIdx)
       .orderBy(col("_ord"), col("t"), col("value_r"))

@@ -140,6 +140,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joins.isEmpty, s"broadcast kmeans assignment must not join: $joins")
   }
 
+  test("ArgmaxDot interpreted helpers match a brute-force reference " +
+    "(the non-codegen eval path)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val labels = Array(3, 7, 9)
+    val matrix = Array(
+      Array(10000L, 0L, 0L, 0L),
+      Array(0L, 10000L, 0L, 0L),
+      Array(10000L, 0L, 0L, 0L)) // duplicate of row 0 → tie with label 3
+    val bc = spark.sparkContext.broadcast((labels, matrix))
+    def arr(fs: Float*) = ArrayData.toArrayData(fs.toArray)
+    // x-direction vector: rows 0 and 2 tie, smallest label (3) wins
+    assert(graft.functions.ArgmaxDot.argmax(arr(1.0f, 0.1f, 0f, 0f), bc) == 3)
+    // y-direction vector: row 1 wins outright
+    assert(graft.functions.ArgmaxDot.argmax(arr(0.1f, 1.0f, 0f, 0f), bc) == 7)
+    // topCells order: (dot desc, label asc) — ties 3 before 9
+    def top(k: Int, fs: Float*): Seq[Int] =
+      graft.functions.ArgmaxDot.topCells(arr(fs: _*), bc, k)
+        .toIntArray().toSeq
+    assert(top(3, 1.0f, 0.1f, 0f, 0f) == Seq(3, 9, 7))
+    assert(top(2, 0.1f, 1.0f, 0f, 0f) == Seq(7, 3))
+    assert(top(99, 0.1f, 1.0f, 0f, 0f) == Seq(7, 3, 9), "k past L → all L")
+    // length contract: embedding shorter than centroids uses the
+    // shared prefix, like dot_e4c's min-length rule
+    assert(graft.functions.ArgmaxDot.argmax(arr(0.5f, 1.0f), bc) == 7)
+    bc.destroy()
+  }
+
   test("ivfTopK broadcast path matches the literal path incl. nprobe " +
     "probe cells") {
     val rnd = new scala.util.Random(19)

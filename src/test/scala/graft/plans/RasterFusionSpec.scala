@@ -109,6 +109,29 @@ class RasterFusionSpec extends AnyFunSuite {
       s"expected exactly 1 exchange, saw $nExchanges:\n$plan")
   }
 
+  test("fused hover on a LOG axis keeps the single exchange and matches " +
+    "the declarative composition") {
+    val fused = RasterFusion.hoverColumns(fixture, Seq("event_type"),
+      0L, 1000000L, 0.25, 9.75, 32, 16, logScale = true)
+    val rows = fused.collect()
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("RasterHoverMerge"))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val nExchanges = "(?m)\\bExchange\\b".r.findAllIn(finalPlan).size
+    assert(nExchanges == 1,
+      s"log hover lost the fusion: $nExchanges exchanges:\n$plan")
+    // parity with the declarative grid → column reduction on the SAME
+    // log parameters (q30 pins this against DuckDB; this pins it
+    // in-engine on the fixture)
+    val grid = Raster.binPoints(fixture, Seq("event_type"),
+      0L, 1000000L, 0.25, 9.75, 32, 16, logScale = true)
+    val want = Raster.hoverColumns(grid, Seq("event_type"))
+      .orderBy(col("event_type"), col("px")).collect()
+    val got = rows.sortBy(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    assert(rows.nonEmpty)
+  }
+
   test("fused output composes downstream (filter + order + agg)") {
     val fused = RasterFusion.binPoints(fixture, Seq("event_type"),
       0L, 1000000L, 0.0, 9.75, 32, 16)
