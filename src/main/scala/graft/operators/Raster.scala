@@ -166,7 +166,8 @@ object Raster {
         col(tieCol).cast("long").as("tie"))
       .as[LP]
     // cached so the edge-collect job and the returned (lazy) cell frame
-    // share one shuffle+sort; evicted by Spark's LRU — the projection is
+    // share one shuffle+sort; released by [[CacheLifecycle]] after the
+    // result's first materialization (below) — the projection is
     // 5 narrow columns, the same order of magnitude as the reference's
     // per-day data cache entries (utils.py:174-236)
     val sorted = prepared
@@ -203,12 +204,17 @@ object Raster {
     val keyCols = keys.zipWithIndex.map { case (name, i) =>
       split(col("k"), KeySep).getItem(i).as(name)
     }
-    cells
+    val res = cells
       .where(col("px").between(0, width - 1)
         && col("py").between(0, height - 1))
       .groupBy(col("k"), col("px"), col("py"))
       .agg(sum(col("w")).as(outCol))
       .select(keyCols ++ Seq(col("px"), col("py"), col(outCol)): _*)
+    // the edge-collect above already materialized the cache; after the
+    // returned frame's own first materialization (the `inner` reader)
+    // nothing re-reads it — release instead of waiting for LRU
+    CacheLifecycle.unpersistAfterFirstUse(res, sorted)
+    res
   }
 
   /** A4 (opt-in variant) — ANTI-ALIASED line rasterization: per-cell

@@ -349,47 +349,13 @@ object Similarity {
       .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("clab"),
         when(col("dup").isNotNull, 0).otherwise(1).as("keep"))
-    // explicit cache lifecycle: the persist exists so the result's ONE
-    // materialization shares the assignment across its three readers —
-    // release it as soon as that materialization completes, instead of
-    // pinning storage memory until LRU pressure (a long-lived server
-    // session would accumulate one cached plan per invocation). A
-    // caller that materializes twice just recomputes — correct, lazy,
-    // and cheaper than a leak.
-    unpersistAfterFirstUse(res, aug)
+    // explicit cache lifecycle ([[CacheLifecycle]]): the persist
+    // exists so the result's ONE materialization shares the assignment
+    // across its three readers — release it as soon as that
+    // materialization completes, instead of pinning storage memory
+    // until LRU pressure.
+    CacheLifecycle.unpersistAfterFirstUse(res, aug)
     res
-  }
-
-  /** Registers a one-shot [[org.apache.spark.sql.util.QueryExecutionListener]]
-    * that unpersists `cached` after the first completed query
-    * CONTAINING `result`'s plan (consumers may wrap it in further
-    * operators). If the result is never materialized the cache stays
-    * LRU-managed — no worse than not releasing at all. The listener
-    * bus is async: tests must poll `getPersistentRDDs`, and release
-    * trails the action by a beat — fine, the contract is "freed after
-    * use", not "freed synchronously". */
-  private def unpersistAfterFirstUse(result: DataFrame,
-      cached: DataFrame): Unit = {
-    val spark = result.sparkSession
-    val target = result.queryExecution.analyzed
-    val listener: org.apache.spark.sql.util.QueryExecutionListener =
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        private def maybeRelease(
-            qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-          try {
-            if (qe.analyzed.exists(_.sameResult(target))) {
-              cached.unpersist(blocking = false)
-              spark.listenerManager.unregister(this)
-            }
-          } catch { case scala.util.control.NonFatal(_) => }
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = maybeRelease(qe)
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = maybeRelease(qe)
-      }
-    spark.listenerManager.register(listener)
   }
 
   /** Embedding-cosine NEAR-DUP pairs (the dedup-flavored sibling of

@@ -84,6 +84,25 @@ class RasterSpec extends AnyFunSuite {
       (7L, 0L, 1L)))
   }
 
+  test("binLines releases its sorted-projection cache after the result's " +
+    "first materialization") {
+    val pts = Seq(
+      ("a", 0L, 100L, 0.5), ("a", 1L, 300L, 2.5),
+      ("a", 3L, 700L, 0.5), ("a", 4L, 900L, 0.5))
+      .toDF("att_name", "point_id", "t", "value_r")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Raster.binLines(pts, Seq("att_name"), "point_id",
+      0L, 1000L, 0.0, 4.0, 8, 4)
+    assert(r.count() > 0)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"sorted projection still pinned after materialization: $leaked")
+    // a second materialization recomputes, same values
+    assert(r.count() > 0)
+  }
+
   test("binLines matches the old single-window formulation on a fixture") {
     // 40 points over two series — enough to span multiple range partitions
     val rows = (0 until 40).map { i =>
