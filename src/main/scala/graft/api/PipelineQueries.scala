@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps, TextStats}
+import graft.operators.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextOps, TextStats}
 
 /** LLM-data-pipeline operators (SURVEY.md §7.2.8) over the driver's
   * `documents` / `embeddings` tables, each with a DuckDB oracle.
@@ -1532,6 +1532,113 @@ object PipelineQueries {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- boilerplate strip
+  /** Corpus-wide boilerplate removal ([[Dedup.stripBoilerplate]]):
+    * 8-token chunks, any chunk in ≥ 2 distinct docs stripped, docs
+    * re-emitted rewritten. The exact-dup plant (every 50th doc copied
+    * at +2000000) makes every chunk of those docs boilerplate — both
+    * copies come back fully stripped (`kept_text = ''`), while the
+    * all-distinct rest of the corpus passes through untouched. */
+  private def p42(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripBoilerplate(
+      TextOps.withPlantedExactDups(docsSpread(s, dir), every = 50),
+      k = 8, maxDocFreq = 1L)
+      .orderBy(col("doc_id"))
+
+  private val p42Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM corpus),
+      |ch AS (
+      |  SELECT doc_id, (pos - 1) // 8 + 1 AS ci,
+      |         string_agg(w, ' ' ORDER BY pos) AS chunk
+      |  FROM tok GROUP BY doc_id, (pos - 1) // 8 + 1),
+      |df AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+      |       FROM ch GROUP BY chunk)
+      |SELECT c.doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN d.nd <= 1 THEN c.chunk END,
+      |    ' ' ORDER BY c.ci), '') AS kept_text
+      |FROM ch c JOIN df d USING (chunk)
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- quality classifier
+  /** Linear quality-classifier inference
+    * ([[TextStats.classifierScore]]): integer-margin model over
+    * (stopword count, distinct tokens, repeated tokens, length band).
+    * Weights picked so the boundary lands mid-corpus (~194/500 kept
+    * at sf0.01) — both branches of the decision are exercised. */
+  private def p43(s: SparkSession, dir: String): DataFrame =
+    TextStats.classifierScore(docsSpread(s, dir),
+      wStop = 3L, wUniq = 2L, wRep = 1L,
+      lenBonus = 10L, lenLo = 20L, lenHi = 200L, bias = 40L)
+      .orderBy(col("doc_id"))
+
+  private val p43Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' '))::BIGINT AS nt,
+      |    len(list_distinct(string_split(text, ' ')))::BIGINT AS nu,
+      |    len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a')))::BIGINT AS ns
+      |  FROM documents)
+      |SELECT doc_id,
+      |  3 * ns + 2 * nu - 1 * (nt - nu)
+      |    + (CASE WHEN nt BETWEEN 20 AND 200 THEN 10 ELSE 0 END)
+      |    - 40 AS margin,
+      |  (3 * ns + 2 * nu - 1 * (nt - nu)
+      |    + (CASE WHEN nt BETWEEN 20 AND 200 THEN 10 ELSE 0 END)
+      |    - 40) >= 0 AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- lexical retrieval
+  /** Rarity-weighted lexical top-k retrieval
+    * ([[Retrieval.lexicalTopK]]): every 125th doc is a query, each
+    * retrieves its 5 nearest corpus docs by summed `10^6 div df`
+    * weight over shared distinct tokens (self excluded); ties break
+    * by doc_id. */
+  private def p44(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsSpread(s, dir)
+    val queries = corpus.where(col("doc_id") % 125 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    Retrieval.lexicalTopK(corpus, queries, k = 5, scale = 1000000L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val p44Sql =
+    """WITH ct AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id % 125 = 0),
+      |rel AS (
+      |  SELECT ct.doc_id, ct.w FROM ct
+      |  WHERE ct.w IN (SELECT DISTINCT w FROM qt)),
+      |wt AS (
+      |  SELECT w, 1000000 // count(*) AS wt FROM rel GROUP BY w),
+      |sc AS (
+      |  SELECT q.query_id, r.doc_id,
+      |    CAST(sum(wt.wt) AS BIGINT) AS score
+      |  FROM qt q JOIN rel r ON r.w = q.w JOIN wt ON wt.w = q.w
+      |  WHERE r.doc_id <> q.query_id
+      |  GROUP BY q.query_id, r.doc_id),
+      |rk AS (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, doc_id, score FROM rk
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1575,7 +1682,10 @@ object PipelineQueries {
     "p34_corpus_diff" -> (p34 _),
     "p35_winnow" -> (p35 _),
     "p36_state_dedup" -> (p36 _),
-    "p37_rare_tokens" -> (p37 _))
+    "p37_rare_tokens" -> (p37 _),
+    "p42_boilerplate" -> (p42 _),
+    "p43_quality_classifier" -> (p43 _),
+    "p44_lexical_topk" -> (p44 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1620,5 +1730,8 @@ object PipelineQueries {
     // identical oracle by design: the persisted-state path must be
     // indistinguishable from the two-frame computation
     "p36_state_dedup" -> p28Sql,
-    "p37_rare_tokens" -> p37Sql)
+    "p37_rare_tokens" -> p37Sql,
+    "p42_boilerplate" -> p42Sql,
+    "p43_quality_classifier" -> p43Sql,
+    "p44_lexical_topk" -> p44Sql)
 }

@@ -569,6 +569,62 @@ object Dedup {
         col("n_shared").cast("double") / col("n_chunks"))
   }
 
+  /** Corpus-wide boilerplate REMOVAL — the rewrite step that
+    * [[chunkDupStats]] only measures: split each doc into aligned
+    * `k`-token chunks (trailing partial chunk INCLUDED — a rewrite
+    * must not lose text), count each chunk's corpus document
+    * frequency, and re-emit every document with its over-shared
+    * chunks stripped (CCNet-style paragraph dedup, reference quality
+    * pipelines strip repeated lines the same way: a chunk appearing
+    * in more than `maxDocFreq` distinct docs is navigation chrome /
+    * license header / templated filler, not content).
+    *
+    * Output per doc: `n_chunks`, `n_dropped`, and `kept_text` (the
+    * surviving chunks re-joined in document order; `""` when every
+    * chunk was boilerplate — the doc row itself always survives so
+    * the caller can count fully-stripped docs).
+    *
+    * Scale shape: document frequency travels as (doc_id, 32-byte
+    * digest) rows through ONE hash aggregate keyed on the digest, and
+    * the postings⋈counts join reuses that aggregate's partitioning
+    * (exchange elided, [[chunkDupStats]]'s shape). The chunk TEXT
+    * rides only the final doc_id regroup — per-doc state is bounded
+    * by document length (the reassembly buffer holds one document's
+    * chunks, same bound as any per-doc array transform), and nothing
+    * is ever all-pairs: a chunk shared by a million docs costs one
+    * count row, not a doc list. */
+  def stripBoilerplate(corpus: DataFrame, k: Int = 8,
+      maxDocFreq: Long = 1L): DataFrame = {
+    require(k > 0, s"chunk size must be positive, got $k")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val ch = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, cast(ceil(size(ts) / ${k}.0D) as int)),
+           |  i -> array_join(slice(ts, (i - 1) * $k + 1, $k), ' '))"""
+          .stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("ci"),
+        col("col").as("chunk"))
+      .withColumn("d", sha2(col("chunk"), 256))
+    val counts = ch.groupBy(col("d"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(counts, Seq("d"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > maxDocFreq, 1L).otherwise(0L))
+          .as("n_dropped"),
+        // collect_list skips the nulls the unmatched `when` leaves, so
+        // only surviving chunks enter the buffer; sort_array orders the
+        // (ci, chunk) structs by the in-doc chunk index — deterministic
+        // regardless of arrival order
+        sort_array(collect_list(when(col("nd") <= maxDocFreq,
+          struct(col("ci"), col("chunk"))))).as("kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        array_join(expr("transform(kept, x -> x.chunk)"), " ")
+          .as("kept_text"))
+  }
+
   /** Winnowing fingerprint sets (the MOSS selection rule): hash every
     * 4-gram, slide a `w`-gram window, keep each window's MINIMUM hash,
     * dedup — the shift-ROBUST exact-substring signal ([[chunkDupStats]]

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — the data-SELECTION primitive a
+  * curation pipeline runs next to dedup: given a small set of query
+  * documents (an eval benchmark to decontaminate against, a seed set
+  * to up-sample toward), rank every corpus document by
+  * rarity-weighted token overlap and keep the top-k per query.
+  *
+  * The score is an integer IDF surrogate: each token shared between a
+  * query and a document contributes `scale div df(token)` (df = the
+  * token's corpus document frequency among query-relevant tokens), so
+  * rare shared tokens dominate — the BM25/TF-IDF ranking signal with
+  * EXACT int64 arithmetic (a float idf log would make cross-engine
+  * oracle comparison impossible; the floor-division weight preserves
+  * the rarity ordering, which is what ranking consumes).
+  *
+  * Determinism: ties (common on small vocabularies) break by
+  * ascending doc_id; the per-query result is a total order.
+  */
+object Retrieval {
+
+  /** Top-`k` corpus docs per query by summed rarity weight of shared
+    * DISTINCT tokens. `queries` needs (query_id, text); a query doc
+    * drawn from the corpus never retrieves itself (query_id is
+    * compared against doc_id).
+    *
+    * Scale shape — the corpus never shuffles on anything wider than
+    * its token postings, and per-query state is bounded:
+    *  - query tokens are BROADCAST (queries are small by contract —
+    *    an eval suite, not a second corpus); the broadcast join cuts
+    *    corpus postings to query-vocabulary rows before anything else
+    *    happens, so df counting and scoring run over the pruned set;
+    *  - df is ONE hash aggregate on the token, and its result (≤ the
+    *    query vocabulary) is broadcast back — the corpus-side postings
+    *    never re-shuffle for the weight lookup;
+    *  - per-(query, doc) partial scores combine map-side into the one
+    *    real exchange, keyed on (query_id, doc_id);
+    *  - the final per-query ranking uses the bounded [[TopK]]
+    *    aggregate — O(k) state per query, merged map-side — not a
+    *    row_number window that would sort every candidate of a query
+    *    inside one task.
+    * On a real corpus the query⋈postings join is lexically sparse
+    * (docs sharing no query token never surface); the dense worst
+    * case is Q×docs candidate rows, inherent to exhaustive scoring —
+    * bound Q per pass, not the corpus. */
+  def lexicalTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, scale: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val qt = queries
+      .select(col("query_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val ct = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    // postings restricted to the query vocabulary; df over THIS set
+    // equals df over the corpus for every token that can ever score
+    val rel = ct.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
+    // rel rows are distinct (doc_id, w), so count(*) IS the document
+    // frequency — no second distinct aggregate
+    val wt = rel.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("w"), expr(s"${scale}L div df").as("wt"))
+    val scored = rel
+      .join(broadcast(wt), Seq("w"))
+      .join(broadcast(qt), Seq("w"))
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("wt")).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopK.smallestK(k, -col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), (-col("col._1")).as("score"))
+  }
+}

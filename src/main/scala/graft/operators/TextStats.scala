@@ -53,6 +53,47 @@ object TextStats {
         (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
   }
 
+  /** Linear quality CLASSIFIER inference — the decision step that
+    * [[quality]] only feeds: an integer-margin linear model over
+    * per-doc features (stopword count, distinct-token count, repeated
+    * tokens, an in-length-band indicator), the shape of the
+    * fastText-style quality filters pretraining pipelines run over
+    * every candidate document (weights trained offline; here they
+    * arrive as plain parameters). The margin is EXACT int64
+    * arithmetic — no float dot product — so keep/drop decisions are
+    * reproducible bit-for-bit across engines, and the classifier can
+    * be audited: `margin` says how far from the boundary each doc
+    * sits.
+    *
+    * keep = margin >= 0 with
+    * margin = wStop·n_stop + wUniq·n_uniq − wRep·(n_tokens − n_uniq)
+    *          + lenBonus·[lenLo ≤ n_tokens ≤ lenHi] − bias.
+    *
+    * Scale shape: a pure per-row projection — zero shuffles, zero
+    * joins, whole-stage codegen end to end. Scoring 100 TB costs one
+    * scan; the weights are plan-time constants (a trained model with
+    * millions of hashed-ngram weights would instead broadcast its
+    * weight vector — the [[graft.functions.ArgmaxDot]] broadcast
+    * pattern — but a handful of engineered features belongs inline). */
+  def classifierScore(docs: DataFrame, wStop: Long, wUniq: Long,
+      wRep: Long, lenBonus: Long, lenLo: Long, lenHi: Long,
+      bias: Long): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col("doc_id"),
+      size(ws).cast("long").as("nt"),
+      size(array_distinct(ws)).cast("long").as("nu"),
+      expr(s"cast(size(filter(split(text, ' '), w -> w in ($stopList))) as bigint)")
+        .as("ns"))
+      .select(col("doc_id"),
+        (lit(wStop) * col("ns") + lit(wUniq) * col("nu")
+          - lit(wRep) * (col("nt") - col("nu"))
+          + when(col("nt").between(lenLo, lenHi), lenBonus).otherwise(0L)
+          - lit(bias)).as("margin"))
+      .withColumn("keep", col("margin") >= 0)
+  }
+
   /** Per-document repetition signals — the mode-based filters of the
     * Gopher/C4 family that [[quality]]'s distinct-ratio misses: the
     * fraction of tokens taken by the single most frequent word, and of

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** The round-8 curation additions: boilerplate strip (p42), linear
+  * quality classifier (p43), lexical top-k retrieval (p44). */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- stripBoilerplate
+
+  // chunk size 4 below; "h1 h2 h3 h4" is the shared boilerplate prefix
+  private def bpDocs = Seq(
+    (0L, "h1 h2 h3 h4 a1 a2 a3 a4 tail1 tail2"),
+    (1L, "h1 h2 h3 h4 b1 b2 b3 b4"),
+    (2L, "c1 c2 c3 c4 c5"),
+    (3L, "h1 h2 h3 h4"),
+    (4L, "h1 h2 h3 h4")) // doc 3's exact copy — fully boilerplate
+    .toDF("doc_id", "text")
+
+  test("stripBoilerplate drops shared chunks, keeps order + partial tail") {
+    val r = Dedup.stripBoilerplate(bpDocs, k = 4, maxDocFreq = 1L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) == ((0L, 3L, 1L, "a1 a2 a3 a4 tail1 tail2"))) // partial tail kept
+    assert(r(1) == ((1L, 2L, 1L, "b1 b2 b3 b4")))
+    assert(r(2) == ((2L, 2L, 0L, "c1 c2 c3 c4 c5"))) // untouched, incl. 1-token tail chunk
+    // both copies of the all-boilerplate doc survive as rows, empty text
+    assert(r(3) == ((3L, 1L, 1L, "")))
+    assert(r(4) == ((4L, 1L, 1L, "")))
+  }
+
+  test("stripBoilerplate maxDocFreq raises the removal threshold") {
+    // chunk must appear in >2 docs to be stripped; the h-prefix appears
+    // in 4 docs (0,1,3,4) so it still goes, but nothing else changes
+    val r = Dedup.stripBoilerplate(bpDocs, k = 4, maxDocFreq = 2L)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 1L, 0L, 1L, 1L))
+    // with the threshold above every df, nothing is dropped
+    val none = Dedup.stripBoilerplate(bpDocs, k = 4, maxDocFreq = 10L)
+      .orderBy("doc_id").collect()
+    assert(none.forall(_.getLong(2) == 0L))
+    assert(none(3).getString(3) == "h1 h2 h3 h4")
+  }
+
+  test("stripBoilerplate drops a doc-internal repeat only if corpus-shared") {
+    // "x1 x2" chunk twice in ONE doc: df counts DISTINCT docs, so it
+    // stays (repetition is p29's business, not boilerplate's)
+    val one = Seq((0L, "x1 x2 x1 x2")).toDF("doc_id", "text")
+    val r = Dedup.stripBoilerplate(one, k = 2).collect()
+    assert(r.head.getString(3) == "x1 x2 x1 x2")
+    assert(r.head.getLong(2) == 0L)
+  }
+
+  // ---------------------------------------------------------------- classifierScore
+
+  test("classifierScore computes the exact integer margin and keep flag") {
+    // doc 0: nt=4 nu=4 ns=2 ("the","a") → 3*2+2*4-0+0(len<20)-10 = 4 → keep
+    // doc 1: nt=4 nu=2 ns=0            → 0+4-2+0-10 = -8 → drop
+    val d = Seq(
+      (0L, "the a fox dog"),
+      (1L, "w w v v"))
+      .toDF("doc_id", "text")
+    val r = TextStats.classifierScore(d, wStop = 3L, wUniq = 2L, wRep = 1L,
+      lenBonus = 10L, lenLo = 20L, lenHi = 200L, bias = 10L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    assert(r(0) == ((0L, 4L, true)))
+    assert(r(1) == ((1L, -8L, false)))
+  }
+
+  test("classifierScore length band pays the bonus exactly inside [lo, hi]") {
+    def margin(n: Int): Long = {
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      TextStats.classifierScore(Seq((0L, text)).toDF("doc_id", "text"),
+        wStop = 0L, wUniq = 0L, wRep = 0L,
+        lenBonus = 7L, lenLo = 3L, lenHi = 4L, bias = 0L)
+        .collect().head.getLong(1)
+    }
+    assert(margin(2) == 0L)
+    assert(margin(3) == 7L)
+    assert(margin(4) == 7L)
+    assert(margin(5) == 0L)
+  }
+
+  test("classifierScore is a pure projection — no exchange in the plan") {
+    val d = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val plan = TextStats.classifierScore(d, 1L, 1L, 1L, 1L, 1L, 2L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- lexicalTopK
+
+  test("lexicalTopK ranks by rarity weight, breaks ties by doc_id, excludes self") {
+    // corpus vocabulary dfs (over rel = query-vocab postings):
+    //   "rare" in docs {1}        → df 1 → wt 100
+    //   "mid"  in docs {2,3}      → df 2 → wt 50
+    //   "com"  in docs {1,2,3,4}  → df 4 → wt 25
+    val corpus = Seq(
+      (1L, "rare com"),
+      (2L, "mid com"),
+      (3L, "mid com"),
+      (4L, "com"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "rare com"), (9L, "mid")).toDF("query_id", "text")
+    val r = Retrieval.lexicalTopK(corpus, queries, k = 2, scale = 100L)
+      .orderBy("query_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // query 1: doc 1 is SELF (excluded); docs 2,3,4 share only "com"
+    // (25 each) → tie broken by doc_id, k=2 cuts doc 4
+    assert(r.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 1L, 2L, 25L), (1L, 2L, 3L, 25L)))
+    // query 9: "mid" hits docs 2 and 3 at wt 50; docs 1/4 never surface
+    assert(r.filter(_._1 == 9L).toSeq ==
+      Seq((9L, 1L, 2L, 50L), (9L, 2L, 3L, 50L)))
+  }
+
+  test("lexicalTopK sums weights over DISTINCT shared tokens only") {
+    val corpus = Seq(
+      (1L, "w w w z"), // token multiplicity must not inflate the score
+      (2L, "w z"))
+      .toDF("doc_id", "text")
+    val queries = Seq((7L, "w z w")).toDF("query_id", "text")
+    val r = Retrieval.lexicalTopK(corpus, queries, k = 5, scale = 100L)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(2), x.getLong(3)))
+    // df(w)=2 → 50, df(z)=2 → 50; both docs score exactly 100
+    assert(r.toSeq == Seq((1L, 100L), (2L, 100L)))
+  }
+
+  test("lexicalTopK broadcasts queries and weights — corpus side never rebuilds") {
+    val corpus = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val queries = Seq((9L, "b")).toDF("query_id", "text")
+    val plan = Retrieval.lexicalTopK(corpus, queries)
+      .queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3, s"expected 3 broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+}
