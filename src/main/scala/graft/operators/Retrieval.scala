@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval over the corpus — the data-SELECTION primitive a
@@ -57,8 +57,15 @@ object Retrieval {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
     // postings restricted to the query vocabulary; df over THIS set
-    // equals df over the corpus for every token that can ever score
+    // equals df over the corpus for every token that can ever score.
+    // Persisted: both the df aggregate (broadcast build side) and the
+    // scoring join probe it — without the cache the corpus
+    // explode+distinct runs TWICE per invocation, and at 100 TB that
+    // doubles the dominant scan+shuffle. The cached set is bounded by
+    // the query vocabulary's postings, not the corpus; released by the
+    // one-shot listener as soon as the result materializes.
     val rel = ct.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
+      .persist()
     // rel rows are distinct (doc_id, w), so count(*) IS the document
     // frequency — no second distinct aggregate
     val wt = rel.groupBy(col("w"))
@@ -70,11 +77,13 @@ object Retrieval {
       .where(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("wt")).as("score"))
-    scored
+    val result = scored
       .groupBy(col("query_id"))
       .agg(TopK.smallestK(k, -col("score"), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("doc_id"), (-col("col._1")).as("score"))
+    CacheLifecycle.unpersistAfterFirstUse(result, rel)
+    result
   }
 }

@@ -131,6 +131,25 @@ class CurationSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 100L), (2L, 100L)))
   }
 
+  test("lexicalTopK releases its postings cache after first materialization") {
+    val corpus = Seq((1L, "a b"), (2L, "b c"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val queries = Seq((9L, "b c")).toDF("query_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Retrieval.lexicalTopK(corpus, queries, k = 2)
+    assert(r.count() == 2)
+    // the listener bus is async: poll until the cache drains
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"postings cache still pinned after materialization: $leaked")
+    // a second materialization recomputes and still answers correctly:
+    // doc 2 shares both tokens (score 10^6), docs 1 and 3 tie at
+    // 5·10^5 → doc_id asc keeps doc 1 at rank 2
+    assert(r.orderBy("rank").collect().map(_.getLong(2)).toSeq == Seq(2L, 1L))
+  }
+
   test("lexicalTopK broadcasts queries and weights — corpus side never rebuilds") {
     val corpus = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val queries = Seq((9L, "b")).toDF("query_id", "text")
