@@ -584,15 +584,29 @@ object Dedup {
     * chunk was boilerplate — the doc row itself always survives so
     * the caller can count fully-stripped docs).
     *
-    * Scale shape: document frequency travels as (doc_id, 32-byte
-    * digest) rows through ONE hash aggregate keyed on the digest, and
-    * the postings⋈counts join reuses that aggregate's partitioning
-    * (exchange elided, [[chunkDupStats]]'s shape). The chunk TEXT
-    * rides only the final doc_id regroup — per-doc state is bounded
-    * by document length (the reassembly buffer holds one document's
-    * chunks, same bound as any per-doc array transform), and nothing
-    * is ever all-pairs: a chunk shared by a million docs costs one
-    * count row, not a doc list. */
+    * Scale shape — built around the fact that this operator's WHOLE
+    * POINT is hot chunks (a header shared by every doc of a domain is
+    * the Zipf head incarnate, and it is exactly what must be found):
+    *  - document frequency travels as (32-byte digest, doc_id) rows —
+    *    the text never enters the count — through a SALTED two-phase
+    *    aggregate ([[SkewOps.saltedAgg]], salt = hash(doc_id)): a
+    *    digest present in a million docs spreads its count over
+    *    `buckets` reducers instead of parking a million rows on one
+    *    (doc_id-derived salt keeps the partial distinct exact: one
+    *    doc's pairs land in one bucket, so bucket counts add);
+    *  - the flagging join BROADCASTS the filtered boilerplate digest
+    *    set, so the chunk text is never shuffled on the digest and a
+    *    100%-hot digest costs nothing on the probe side. Boilerplate
+    *    digests are few BY DEFINITION — each needs > maxDocFreq
+    *    distinct docs, so their count is ≤ chunks/(maxDocFreq+1) and
+    *    in practice orders of magnitude below it (chrome/headers are
+    *    few distinct strings repeated everywhere); a corpus where most
+    *    DISTINCT chunks are shared is a dedup job (p01/p30), not a
+    *    boilerplate strip. The corpus is scanned twice (count +
+    *    rewrite) — cheaper at scale than shuffling chunk text on the
+    *    digest, which the joined formulation pays;
+    *  - the rewrite shuffles text exactly ONCE, on the final doc_id
+    *    regroup; per-doc state is bounded by document length. */
   def stripBoilerplate(corpus: DataFrame, k: Int = 8,
       maxDocFreq: Long = 1L): DataFrame = {
     require(k > 0, s"chunk size must be positive, got $k")
@@ -606,19 +620,24 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("ci"),
         col("col").as("chunk"))
       .withColumn("d", sha2(col("chunk"), 256))
-    val counts = ch.groupBy(col("d"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    ch.join(counts, Seq("d"))
+    val buckets = math.min(1024, math.max(2, corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt))
+    val boil = SkewOps.saltedAgg(ch.select(col("d"), col("doc_id")),
+      keys = Seq("d"), saltFrom = "doc_id", buckets = buckets,
+      partials = Seq(countDistinct(col("doc_id")).as("nd_p")),
+      merges = Seq(sum(col("nd_p")).as("nd")))
+      .where(col("nd") > maxDocFreq)
+      .select(col("d"), lit(true).as("_boil"))
+    ch.join(broadcast(boil), Seq("d"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("nd") > maxDocFreq, 1L).otherwise(0L))
-          .as("n_dropped"),
+        sum(when(col("_boil"), 1L).otherwise(0L)).as("n_dropped"),
         // collect_list skips the nulls the unmatched `when` leaves, so
         // only surviving chunks enter the buffer; sort_array orders the
         // (ci, chunk) structs by the in-doc chunk index — deterministic
         // regardless of arrival order
-        sort_array(collect_list(when(col("nd") <= maxDocFreq,
+        sort_array(collect_list(when(col("_boil").isNull,
           struct(col("ci"), col("chunk"))))).as("kept"))
       .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
         array_join(expr("transform(kept, x -> x.chunk)"), " ")

@@ -431,6 +431,30 @@ class StressSpec extends AnyFunSuite {
     } finally { cc.unpersist(); () }
   }
 
+  test("stress: a 100%-hot boilerplate header never parks on one reducer") {
+    // 30k docs, every one opening with the SAME 4-token header chunk —
+    // the operator's own target pathology (site chrome on every page).
+    // The header digest's 30k count rows must spread over the salted
+    // aggregate's buckets, and the flagging join is a broadcast of ONE
+    // digest — the chunk text never shuffles on the digest at all.
+    val n = 30000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("h1 h2 h3 h4 b"), col("id").cast("string"),
+        lit(" c d e")).as("text"))
+    val (res, reads) = withTaskReads {
+      timed("hot-header stripBoilerplate")(
+        Dedup.stripBoilerplate(docs, k = 4)
+          .agg(count(lit(1)), sum(col("n_dropped")), sum(col("n_chunks")),
+            sum(when(col("kept_text").startsWith("b"), 1L).otherwise(0L)))
+          .head())
+    }
+    assert(res.getLong(0) == n)      // every doc survives as a row
+    assert(res.getLong(1) == n)      // exactly the header dropped per doc
+    assert(res.getLong(2) == 2L * n)
+    assert(res.getLong(3) == n)      // every rewrite kept only the body
+    assertBalanced(reads, "stripBoilerplate hot-header count")
+  }
+
   test("stress timings summary") {
     // recorded for STATUS.md; scalatest orders tests in declaration
     // order within a suite, so everything above has run
