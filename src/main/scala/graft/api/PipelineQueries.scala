@@ -1639,6 +1639,42 @@ object PipelineQueries {
       |SELECT query_id, rank, doc_id, score FROM rk
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- bigram surprise
+  /** Bigram-LM surprise scoring ([[TextStats.bigramSurprise]]): the
+    * corpus-trained conditional model scores every doc's transitions;
+    * the integer surrogate `(uni(w1)·10⁶) div bi(w1,w2)` preserves
+    * the −log p ordering and stays hash-comparable. */
+  private def p45(s: SparkSession, dir: String): DataFrame =
+    TextStats.bigramSurprise(docsSpread(s, dir)).orderBy(col("doc_id"))
+
+  private val p45Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ts) AS w,
+       |         generate_subscripts(ts, 1) AS pos
+       |  FROM t),
+       |bg AS (
+       |  SELECT doc_id, w AS w1,
+       |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tok),
+       |bo AS (
+       |  SELECT doc_id, w1,
+       |    ${polyHashSql("w1 || ' ' || w2")} AS b
+       |  FROM bg WHERE w2 IS NOT NULL),
+       |cnt AS (
+       |  SELECT b, count(*) AS bi, min(w1) AS w1 FROM bo GROUP BY b),
+       |uni AS (
+       |  SELECT w1, CAST(sum(bi) AS BIGINT) AS u FROM cnt GROUP BY w1),
+       |sc AS (
+       |  SELECT bo.doc_id, (uni.u * 1000000) // cnt.bi AS s
+       |  FROM bo JOIN cnt USING (b) JOIN uni ON uni.w1 = cnt.w1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(s) AS BIGINT) AS surprise_sum,
+       |  CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) / count(*)
+       |    AS mean_surprise
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1685,7 +1721,8 @@ object PipelineQueries {
     "p37_rare_tokens" -> (p37 _),
     "p42_boilerplate" -> (p42 _),
     "p43_quality_classifier" -> (p43 _),
-    "p44_lexical_topk" -> (p44 _))
+    "p44_lexical_topk" -> (p44 _),
+    "p45_bigram_surprise" -> (p45 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1733,5 +1770,6 @@ object PipelineQueries {
     "p37_rare_tokens" -> p37Sql,
     "p42_boilerplate" -> p42Sql,
     "p43_quality_classifier" -> p43Sql,
-    "p44_lexical_topk" -> p44Sql)
+    "p44_lexical_topk" -> p44Sql,
+    "p45_bigram_surprise" -> p45Sql)
 }

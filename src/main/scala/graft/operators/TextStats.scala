@@ -352,6 +352,67 @@ object TextStats {
         col("n_unique").cast("double") / col("n_bigrams"))
   }
 
+  /** Bigram-LM surprise scoring — the CCNet-family perplexity filter:
+    * train a bigram model ON the corpus (one pass), then score every
+    * document by its average conditional surprise; docs whose token
+    * transitions the corpus model finds improbable (gibberish, boiler
+    * word-salad, wrong-language fragments) score high and get culled.
+    *
+    * The surprise is an INTEGER surrogate for −log p(w2|w1): per
+    * bigram occurrence, `(uni(w1) · scale) div bi(w1,w2)` — exactly
+    * `scale / p(w2|w1)` floored, so the per-transition ordering of the
+    * true negative log-likelihood is preserved (x ↦ log x is
+    * monotone) and the whole pipeline stays bit-reproducible in any
+    * engine; a float `ln` would differ in the last ulp across libm
+    * implementations and make hash-comparison impossible. `uni(w1)` is
+    * w1's occurrence count AS A PREFIX, derived from the bigram count
+    * table itself (Σ_w2 bi(w1,w2)) — no second corpus aggregate, and
+    * p(·|w1) sums to exactly 1 over the observed transitions.
+    *
+    * Scale shape: bigram occurrences (doc_id, w1, b) come from one
+    * in-row array transform; counts are ONE hash aggregate on the
+    * content-derived bigram id (collisions merge identically in both
+    * engines and inherit the min prefix — the [[Dedup.simhash]]
+    * measure-zero fuzz argument); the prefix totals re-aggregate the
+    * COUNT TABLE (bigram-vocabulary-sized), not the corpus, and both
+    * Zipf-prone joins are salted — counts⋈prefix on w1 ("the"-prefixed
+    * bigrams are a constant fraction of the vocabulary) and
+    * postings⋈counts on b ("of the" is a constant fraction of all
+    * postings, the [[saltedFreqJoin]] argument exactly).
+    *
+    * `scale` bounds: `uni · scale` must fit int64 — at corpora past
+    * ~9·10¹² occurrences of one token, lower `scale`; the ordering is
+    * unaffected. Docs with < 2 tokens have no transitions and emit no
+    * row (the [[TextOps.shingles]] contract). */
+  def bigramSurprise(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val bo = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1,
+          |    poly_hash31(concat(element_at(ws, i), ' ',
+          |      element_at(ws, i + 1))) AS b))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+    val cnt = bo.groupBy(col("b"))
+      .agg(count(lit(1)).as("bi"), min(col("w1")).as("w1"))
+    val uni = cnt.groupBy(col("w1")).agg(sum(col("bi")).as("u"))
+    val buckets = math.min(1024, math.max(2, docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt))
+    val cntU = SkewOps.saltedJoin(cnt, uni, "w1", "b", buckets)
+      .select(col("b"), col("bi"), col("u"))
+    SkewOps.saltedJoin(bo.select(col("doc_id"), col("b")), cntU, "b",
+        "doc_id", buckets)
+      .select(col("doc_id"),
+        expr(s"(u * ${scale}L) div bi").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprise_sum"))
+      .withColumn("mean_surprise",
+        col("surprise_sum").cast("double") / col("n_bigrams"))
+  }
+
   /** Marker vocabularies for the language-ID heuristic. The synthetic
     * corpus shares one vocabulary across languages, so accuracy is
     * meaningless by construction — the operator exercised here is the

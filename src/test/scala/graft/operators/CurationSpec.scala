@@ -92,6 +92,37 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  // ---------------------------------------------------------------- bigramSurprise
+
+  test("bigramSurprise scores transitions by exact integer conditional surprise") {
+    // corpus bigram counts: "p q"=3, "q p"=1, "q r"=1
+    // prefix totals: uni(p)=3, uni(q)=2
+    // surprise(p→q) = (3·1000) div 3 = 1000 (the certain transition)
+    // surprise(q→p) = surprise(q→r) = (2·1000) div 1 = 2000
+    val d = Seq(
+      (0L, "p q p q"),
+      (1L, "p q r"),
+      (2L, "solo")) // single token: no transitions, no row
+      .toDF("doc_id", "text")
+    val r = TextStats.bigramSurprise(d, scale = 1000L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.length == 2)
+    assert(r(0) == ((0L, 3L, 4000L, 4000.0 / 3)))
+    assert(r(1) == ((1L, 2L, 3000L, 1500.0)))
+  }
+
+  test("bigramSurprise ranks a rare-transition doc above a stereotyped one") {
+    // 20 docs looping the same two tokens + one doc with novel jumps:
+    // the model learns the loop, so the oddball's transitions are rare
+    val common = (0 until 20).map(i => (i.toLong, "u v u v u v"))
+    val odd = Seq((99L, "u z v u"))
+    val r = TextStats.bigramSurprise((common ++ odd).toDF("doc_id", "text"))
+      .orderBy(org.apache.spark.sql.functions.desc("mean_surprise"))
+      .collect()
+    assert(r.head.getLong(0) == 99L)
+  }
+
   // ---------------------------------------------------------------- lexicalTopK
 
   test("lexicalTopK ranks by rarity weight, breaks ties by doc_id, excludes self") {
