@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.operators.{Catalog, Dedup, Sampling, SkewOps, TextStats, TimeJoins}
+import graft.operators.{Catalog, Dedup, Retrieval, Sampling, SkewOps, TextStats, TimeJoins}
 
 /** Scale/skew stress harness over SELF-GENERATED pathological data
   * (never touches /root/testdata): each scenario plants the exact
@@ -453,6 +453,70 @@ class StressSpec extends AnyFunSuite {
     assert(res.getLong(2) == 2L * n)
     assert(res.getLong(3) == n)      // every rewrite kept only the body
     assertBalanced(reads, "stripBoilerplate hot-header count")
+  }
+
+  test("stress: a stop-word shared by every doc and every query keeps " +
+    "lexical retrieval balanced") {
+    // 60k docs and 8 queries all containing 'the' — the retrieval
+    // worst case: the hot token makes EVERY doc a candidate for EVERY
+    // query (Q×N scored pairs, inherent to exhaustive scoring). The
+    // (query_id, doc_id) aggregate must spread those pairs; the
+    // broadcast query/weight sides mean no shuffle ever keys on the
+    // hot token itself.
+    val n = 60000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("the u"), col("id").cast("string")).as("text"))
+    val queries = spark.range(8).select((col("id") + 1000000L).as("query_id"),
+      concat(lit("the u"), (col("id") * 7500).cast("string")).as("text"))
+    // AQE would coalesce the small-byte pair aggregate to one
+    // partition and make the balance assertion vacuous; the per-task
+    // spread is the thing under test
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val (res, reads) = withTaskReads {
+        timed("hot-token lexicalTopK")(
+          Retrieval.lexicalTopK(docs, queries, k = 3)
+            .agg(count(lit(1)), countDistinct(col("query_id")),
+              min(col("score"))).head())
+      }
+      assert(res.getLong(0) == 24L) // 8 queries × k=3
+      assert(res.getLong(1) == 8L)
+      // rank-1 per query is the doc sharing the rare u<id> token
+      // (wt 10^6/2) plus 'the' (10^6/60000 = 16); the rest share only
+      // 'the' — min score over the top-3 is the hot-token-only tier
+      assert(res.getLong(2) == 1000000L / n)
+      assertBalanced(reads, "lexicalTopK hot-token scoring")
+    } finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", saved)
+  }
+
+  test("stress: a stop-bigram in 80% of docs spreads across " +
+    "bigramSurprise's salted joins") {
+    // 'the end' appears once per hot doc (48k of 60k) — stop-bigram
+    // grade; each doc also has a unique u<id> transition. Broadcast
+    // is disabled so the salted shuffle path (the 100 TB regime) is
+    // what gets measured, as in the rareTokenStats stress.
+    val n = 60000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("u"), col("id").cast("string"),
+        when(col("id") % 5 =!= 0, lit(" the end"))
+          .otherwise(lit(" solo fin"))).as("text"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (res, reads) = withTaskReads {
+        timed("hot-bigram bigramSurprise")(
+          TextStats.bigramSurprise(docs)
+            .agg(count(lit(1)), sum(col("n_bigrams"))).head())
+      }
+      assert(res.getLong(0) == n)      // every doc has transitions
+      assert(res.getLong(1) == 2L * n) // 3 tokens → 2 bigrams each
+      assertBalanced(reads, "bigramSurprise hot-bigram join")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("stress timings summary") {
