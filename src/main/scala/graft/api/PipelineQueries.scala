@@ -1675,6 +1675,139 @@ object PipelineQueries {
        |    AS mean_surprise
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- curation pipeline
+  /** The CAPSTONE composition — the full curation pipeline a training
+    * run actually executes, as ONE oracled query: planted-dup corpus
+    * (exact copies at +2M, near-copies at +1M, lang carried) →
+    * exact+near dedup ([[Dedup.dedupedCorpus]], p20's stage) → linear
+    * quality-classifier filter ([[TextStats.classifierScore]], p43's
+    * weights, carry=lang/text so the filter stays one projection) →
+    * per-language token-budget packing ([[Sampling.packTokenBudget]],
+    * p19's stage). Output is the shard manifest of the SURVIVING,
+    * QUALITY-PASSING corpus — proving the stages compose exactly
+    * (ids, margins, bin boundaries all bit-stable end to end).
+    *
+    * Scale composition: every stage keeps its own audited shape
+    * (digest dedup shuffles text once; LSH is collisions-only; the
+    * classifier is in-row on the survivors join; packing is the
+    * two-pass distributed prefix sum); the only inter-stage cost is
+    * ONE doc_id-keyed join of the corpus against its surviving ids. */
+  private def p46(s: SparkSession, dir: String): DataFrame = {
+    val spread = docsSpread(s, dir)
+    val corpus = spread.select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(spread.where(col("doc_id") % 25 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        array_join(expr(
+          "slice(split(text, ' '), 4, size(split(text, ' ')))"),
+          " ").as("text"),
+        col("lang")))
+      .unionByName(spread.where(col("doc_id") % 50 === 0).select(
+        (col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        col("lang")))
+    val survivors = Dedup.dedupedCorpus(
+      corpus.select(col("doc_id"), col("text")), s)
+    val good = TextStats.classifierScore(
+      corpus.join(survivors, Seq("doc_id")),
+      wStop = 3L, wUniq = 2L, wRep = 1L,
+      lenBonus = 10L, lenLo = 20L, lenHi = 200L, bias = 40L,
+      carry = Seq("lang", "text"))
+      .where(col("keep"))
+    Sampling.packTokenBudget(good, Seq("lang"), budget = 4096L)
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** p20's dedup chain verbatim (planted corpus now carries lang),
+    * then the p43 margin filter, then the p19 packing — the same CTEs
+    * the standalone oracles use, chained. */
+  private val p46Sql =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         array_to_string(string_split(text, ' ')[4:], ' ') AS text,
+       |         lang
+       |  FROM documents WHERE doc_id % 25 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text, lang
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+       |kept AS (
+       |  SELECT c.doc_id, c.text, c.lang FROM corpus c JOIN ek USING (doc_id)),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM kept),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+       |        AS shingle
+       |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE shingle IS NOT NULL),
+       |dt AS (
+       |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid
+       |  FROM sh),
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_inter
+       |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+       |    JOIN dt y ON y.doc_id = c.d2 AND y.tid = x.tid
+       |  GROUP BY c.d1, c.d2),
+       |vp AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
+       |    JOIN sz s2 ON s2.doc_id = i.d2
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
+       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |reach(a, b) AS (
+       |  SELECT d1 AS a, d2 AS b FROM bi
+       |  UNION
+       |  SELECT r.a, e.d2 AS b FROM reach r JOIN bi e ON e.d1 = r.b),
+       |nonkeep AS (
+       |  SELECT a AS doc_id FROM reach GROUP BY a
+       |  HAVING a <> least(a, min(b))),
+       |surv AS (
+       |  SELECT k.doc_id, k.text, k.lang FROM kept k
+       |  LEFT JOIN nonkeep n USING (doc_id) WHERE n.doc_id IS NULL),
+       |feat AS (
+       |  SELECT doc_id, lang, text,
+       |    len(string_split(text, ' '))::BIGINT AS nt,
+       |    len(list_distinct(string_split(text, ' ')))::BIGINT AS nu,
+       |    len(list_filter(string_split(text, ' '),
+       |      w -> w IN ('the', 'a')))::BIGINT AS ns
+       |  FROM surv),
+       |good AS (
+       |  SELECT doc_id, lang, text FROM feat
+       |  WHERE 3 * ns + 2 * nu - 1 * (nt - nu)
+       |    + (CASE WHEN nt BETWEEN 20 AND 200 THEN 10 ELSE 0 END)
+       |    - 40 >= 0),
+       |t AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM good),
+       |c AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT lang, CAST((cum - n_tok) // 4096 AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY lang, CAST((cum - n_tok) // 4096 AS BIGINT)
+       |ORDER BY lang, bin""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1722,7 +1855,8 @@ object PipelineQueries {
     "p42_boilerplate" -> (p42 _),
     "p43_quality_classifier" -> (p43 _),
     "p44_lexical_topk" -> (p44 _),
-    "p45_bigram_surprise" -> (p45 _))
+    "p45_bigram_surprise" -> (p45 _),
+    "p46_curation_pipeline" -> (p46 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1771,5 +1905,6 @@ object PipelineQueries {
     "p42_boilerplate" -> p42Sql,
     "p43_quality_classifier" -> p43Sql,
     "p44_lexical_topk" -> p44Sql,
-    "p45_bigram_surprise" -> p45Sql)
+    "p45_bigram_surprise" -> p45Sql,
+    "p46_curation_pipeline" -> p46Sql)
 }

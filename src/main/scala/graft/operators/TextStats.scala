@@ -77,20 +77,19 @@ object TextStats {
     * pattern — but a handful of engineered features belongs inline). */
   def classifierScore(docs: DataFrame, wStop: Long, wUniq: Long,
       wRep: Long, lenBonus: Long, lenLo: Long, lenHi: Long,
-      bias: Long): DataFrame = {
+      bias: Long, carry: Seq[String] = Nil): DataFrame = {
     val ws = split(col("text"), " ")
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
-    docs.select(
-      col("doc_id"),
-      size(ws).cast("long").as("nt"),
-      size(array_distinct(ws)).cast("long").as("nu"),
+    docs.select(col("doc_id") +: carry.map(col) :+
+      size(ws).cast("long").as("nt") :+
+      size(array_distinct(ws)).cast("long").as("nu") :+
       expr(s"cast(size(filter(split(text, ' '), w -> w in ($stopList))) as bigint)")
-        .as("ns"))
-      .select(col("doc_id"),
+        .as("ns"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
         (lit(wStop) * col("ns") + lit(wUniq) * col("nu")
           - lit(wRep) * (col("nt") - col("nu"))
           + when(col("nt").between(lenLo, lenHi), lenBonus).otherwise(0L)
-          - lit(bias)).as("margin"))
+          - lit(bias)).as("margin"): _*)
       .withColumn("keep", col("margin") >= 0)
   }
 
