@@ -119,6 +119,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifierScore filters a stream — quality gating needs no state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // the classifier is a pure projection (plan-asserted in
+    // CurationSpec), so the ingest-time quality gate is the SAME code
+    // as the batch one — no retrain, no state, append mode
+    val out = graft.operators.TextStats.classifierScore(docs,
+      wStop = 3L, wUniq = 2L, wRep = 1L,
+      lenBonus = 10L, lenLo = 20L, lenHi = 200L, bias = 10L)
+      .where(org.apache.spark.sql.functions.col("keep"))
+    val q = out.writeStream.format("memory").queryName("scls")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "the a fox dog"), (2L, "w w v v"))
+      q.processAllAvailable()
+      in.addData((3L, "the a the a")) // second batch, same weights
+      q.processAllAvailable()
+      val rows = spark.table("scls").orderBy("doc_id")
+        .select("doc_id", "margin").as[(Long, Long)].collect()
+      // doc 1: 3·2+2·4-0-10 = 4 keep; doc 2: 4-2-10 = -8 drop;
+      // doc 3: 3·4+2·2-2·1-10 = 4 keep
+      assert(rows.toSeq == Seq((1L, 4L), (3L, 4L)))
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops repeated content across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
