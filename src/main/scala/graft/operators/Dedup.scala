@@ -611,8 +611,12 @@ object Dedup {
       maxDocFreq: Long = 1L): DataFrame = {
     require(k > 0, s"chunk size must be positive, got $k")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    // null text tokenizes as "" (one empty chunk) so the doc row
+    // survives the rewrite, as promised — packTokenBudget makes the
+    // same choice (null text keeps its slot at 0 tokens)
     val ch = corpus
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("ts"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, cast(ceil(size(ts) / ${k}.0D) as int)),
            |  i -> array_join(slice(ts, (i - 1) * $k + 1, $k), ' '))"""
@@ -620,8 +624,7 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("ci"),
         col("col").as("chunk"))
       .withColumn("d", sha2(col("chunk"), 256))
-    val buckets = math.min(1024, math.max(2, corpus.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt))
+    val buckets = SkewOps.defaultBuckets(corpus)
     val boil = SkewOps.saltedAgg(ch.select(col("d"), col("doc_id")),
       keys = Seq("d"), saltFrom = "doc_id", buckets = buckets,
       partials = Seq(countDistinct(col("doc_id")).as("nd_p")),

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Shared salt-bucket count: the session's reducer count, clamped
+    * to [2, 1024] (past 1024 reducers the per-reducer share of a hot
+    * key already dwarfs the dim-replication cost — the measured
+    * argument at [[graft.operators.TextStats]]'s saltedFreqJoin). */
+  def defaultBuckets(df: DataFrame): Int =
+    math.min(1024, math.max(2, df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt))
+
   /** Salted equi-join of a skewed `fact` against a small-ish `dim`
     * on `key`: the fact side gets a deterministic salt in [0, buckets)
     * derived from a uniqueness column (NOT random — reruns must

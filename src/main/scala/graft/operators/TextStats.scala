@@ -254,11 +254,9 @@ object TextStats {
     * `probe.join(freq, key)`; per-task balance under an 80%-hot token
     * is listener-measured in StressSpec. */
   private def saltedFreqJoin(probe: DataFrame, freq: DataFrame,
-      key: String): DataFrame = {
-    val buckets = math.min(1024, math.max(2, probe.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt))
-    SkewOps.saltedJoin(probe, freq, key, "doc_id", buckets)
-  }
+      key: String): DataFrame =
+    SkewOps.saltedJoin(probe, freq, key, "doc_id",
+      SkewOps.defaultBuckets(probe))
 
   /** Per-doc RARE-TOKEN rate against the corpus vocabulary: the
     * fraction of a doc's token occurrences whose corpus-wide frequency
@@ -398,8 +396,7 @@ object TextStats {
     val cnt = bo.groupBy(col("b"))
       .agg(count(lit(1)).as("bi"), min(col("w1")).as("w1"))
     val uni = cnt.groupBy(col("w1")).agg(sum(col("bi")).as("u"))
-    val buckets = math.min(1024, math.max(2, docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt))
+    val buckets = SkewOps.defaultBuckets(docs)
     val cntU = SkewOps.saltedJoin(cnt, uni, "w1", "b", buckets)
       .select(col("b"), col("bi"), col("u"))
     SkewOps.saltedJoin(bo.select(col("doc_id"), col("b")), cntU, "b",

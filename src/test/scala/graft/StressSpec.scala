@@ -483,8 +483,8 @@ class StressSpec extends AnyFunSuite {
       assert(res.getLong(0) == 24L) // 8 queries × k=3
       assert(res.getLong(1) == 8L)
       // rank-1 per query is the doc sharing the rare u<id> token
-      // (wt 10^6/2) plus 'the' (10^6/60000 = 16); the rest share only
-      // 'the' — min score over the top-3 is the hot-token-only tier
+      // (df=1 → wt 10^6) plus 'the' (10^6/60000 = 16); the rest share
+      // only 'the' — min score over the top-3 is the hot-token-only tier
       assert(res.getLong(2) == 1000000L / n)
       assertBalanced(reads, "lexicalTopK hot-token scoring")
     } finally spark.conf.set(

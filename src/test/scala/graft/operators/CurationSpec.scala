@@ -45,6 +45,13 @@ class CurationSpec extends AnyFunSuite {
     assert(none(3).getString(3) == "h1 h2 h3 h4")
   }
 
+  test("stripBoilerplate keeps a null-text doc's row (empty chunk)") {
+    val d = Seq((0L, "a b"), (1L, null: String)).toDF("doc_id", "text")
+    val r = Dedup.stripBoilerplate(d, k = 2).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq((0L, 1L, 0L, "a b"), (1L, 1L, 0L, "")))
+  }
+
   test("stripBoilerplate drops a doc-internal repeat only if corpus-shared") {
     // "x1 x2" chunk twice in ONE doc: df counts DISTINCT docs, so it
     // stays (repetition is p29's business, not boilerplate's)
