@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real thing — schema, encoders, batch
   * iteration, partition sizing. Codecs resolve through the
   * [[MediaCodec]] ServiceLoader SPI: still images decode for REAL via
-  * [[ImageIoCodecProvider]] (JDK `javax.imageio` — PNG/JPEG/BMP/GIF,
-  * no extra dependencies); audio/video remain with the deterministic
-  * [[FakeCodec]] STUB (this container has no av libraries — a
-  * JavaCPP/FFmpeg provider drops in through the same SPI, zero
-  * operator changes).
+  * [[ImageIoCodecProvider]] (JDK `javax.imageio` — PNG/JPEG/BMP/GIF)
+  * and PCM-WAV audio via [[WavCodecProvider]] (JDK
+  * `javax.sound.sampled`), both zero-dependency; only VIDEO remains
+  * with the deterministic [[FakeCodec]] STUB (this container has no
+  * av libraries — a JavaCPP/FFmpeg provider drops in through the
+  * same SPI, zero operator changes).
   *
   * Scale design: decode runs inside `mapPartitions` — one codec
   * instance per task, no per-row setup, no driver collect; media bytes
@@ -251,6 +252,87 @@ class ImageIoCodecProvider extends MediaCodec {
 object ImageIoCodecProvider {
   private def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+}
+
+/** REAL PCM-WAV decoder on the SPI — `javax.sound.sampled` is JDK
+  * built-in like `javax.imageio`, so RIFF/WAV audio decode also needs
+  * zero new dependencies; after this only VIDEO stays with the fake
+  * codec in this container (a JavaCPP/FFmpeg provider drops in
+  * through the same SPI). Claims the standard WAV MIME kinds and
+  * never `audio/fake`.
+  *
+  * Decode contract (all deterministic, mirroring
+  * [[ImageIoCodecProvider]]'s): the image-shaped dims carry the
+  * audio geometry — `width` = channels, `height` = sample rate (Hz);
+  * `checksum` = CRC32 of the payload bytes; `feature` = 8-bin
+  * amplitude histogram (|16-bit sample| quantized by 4096) normalized
+  * by sample count — a loudness profile, the audio analogue of the
+  * luminance histogram. PCM 8-bit (unsigned) and 16-bit (signed,
+  * either endianness) are decoded; anything AudioSystem cannot parse
+  * or a non-PCM encoding yields the CORRUPT marker (0×0 dims, zero
+  * features, checksum still computed) so a curation scan quarantines
+  * bad media without task failures. */
+class WavCodecProvider extends MediaCodec {
+  override def claims(kind: String): Boolean = {
+    val base = kind.takeWhile(_ != ';')
+    base == "audio/wav" || base == "audio/x-wav" || base == "audio/wave"
+  }
+
+  override def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+    val crc = new java.util.zip.CRC32
+    crc.update(row.payload)
+    def corrupt = Multimodal.MediaFeatures(row.doc_id, row.kind,
+      row.payload.length.toLong, width = 0, height = 0,
+      checksum = crc.getValue, feature = new Array[Float](8))
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val pcmSigned =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val pcmUnsigned =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = f.getSampleSizeInBits
+        if (!(pcmSigned && bits == 16) && !(pcmUnsigned && bits == 8))
+          corrupt
+        else {
+          val bytes = in.readAllBytes()
+          val hist = new Array[Long](8)
+          var n = 0L
+          if (bits == 8) {
+            var i = 0
+            while (i < bytes.length) {
+              val amp = math.abs((bytes(i) & 0xff) - 128) << 8 // → 16-bit scale
+              hist(math.min(7, amp >> 12)) += 1
+              n += 1
+              i += 1
+            }
+          } else {
+            val big = f.isBigEndian
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s =
+                if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+                else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+              // |−32768| saturates to 32767 so the bin index stays < 8
+              val amp = math.min(math.abs(s), 32767)
+              hist(amp >> 12) += 1
+              n += 1
+              i += 2
+            }
+          }
+          if (n == 0) corrupt
+          else Multimodal.MediaFeatures(row.doc_id, row.kind,
+            row.payload.length.toLong,
+            width = f.getChannels, height = f.getSampleRate.toInt,
+            checksum = crc.getValue,
+            feature = hist.map(_ / n.toFloat))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => corrupt }
+  }
 }
 
 /** [[Multimodal.FakeCodec]] as a ServiceLoader provider (also the hard

@@ -181,6 +181,46 @@ class MiscSpec extends AnyFunSuite {
     assert(r(1).feature.forall(_ == 0f) && r(1).checksum != 0L)
   }
 
+  test("WavCodecProvider decodes real PCM WAV through the ServiceLoader, " +
+    "marks corrupt payloads, never claims fake kinds") {
+    // a JDK-written WAV: 100 frames of 16-bit mono silence at 8 kHz,
+    // with 10 full-scale-positive samples planted at the front
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](200)
+    (0 until 10).foreach { i =>
+      pcm(2 * i) = 0xff.toByte // little-endian 0x7fff
+      pcm(2 * i + 1) = 0x7f.toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(MediaCodec.forKind("audio/wav").isInstanceOf[WavCodecProvider])
+    assert(MediaCodec.forKind("audio/x-wav;thumb")
+      .isInstanceOf[WavCodecProvider])
+    assert(MediaCodec.forKind("audio/fake").isInstanceOf[FakeCodecProvider])
+    val media = Seq(
+      (1L, "audio/wav", wav),
+      (2L, "audio/wav", "not a riff file".getBytes("UTF-8")))
+      .toDF("doc_id", "kind", "payload")
+    val r = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    // audio geometry in the image-shaped dims: channels × sample rate
+    assert(r(0).width == 1 && r(0).height == 8000)
+    val crc = new java.util.zip.CRC32
+    crc.update(wav)
+    assert(r(0).checksum == crc.getValue)
+    // amplitude histogram: 90 silent samples in bin 0, 10 full-scale
+    // in bin 7 (32767 >> 12)
+    assert(math.abs(r(0).feature(0) - 90f / 100f) < 1e-6)
+    assert(math.abs(r(0).feature(7) - 10f / 100f) < 1e-6)
+    assert(math.abs(r(0).feature.sum - 1.0f) < 1e-6)
+    // corrupt: zero dims, zero features, checksum still computed
+    assert(r(1).width == 0 && r(1).height == 0)
+    assert(r(1).feature.forall(_ == 0f) && r(1).checksum != 0L)
+  }
+
   test("Multimodal.sampleFrames fans one payload into n decoded frames") {
     val d = Seq((0L, "en", "s", 10L, "abcdefghij"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
