@@ -1808,6 +1808,64 @@ object PipelineQueries {
        |FROM c GROUP BY lang, CAST((cum - n_tok) // 4096 AS BIGINT)
        |ORDER BY lang, bin""".stripMargin
 
+  // ---------------------------------------------------------------- importance weights
+  /** DSIR-style domain-targeted importance weighting
+    * ([[TextStats.importanceWeights]]): `src0` is the in-domain
+    * target sample; every corpus doc scores by the integer bigram
+    * likelihood-ratio surrogate (unseen-in-target transitions score
+    * the hard zero). Target docs themselves rank high by
+    * construction — the oracle pins the full per-doc weight table. */
+  private def p47(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsSpread(s, dir)
+    TextStats.importanceWeights(corpus,
+      corpus.where(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p47Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ts) AS w,
+       |         generate_subscripts(ts, 1) AS pos
+       |  FROM t),
+       |bg AS (
+       |  SELECT doc_id, w AS w1,
+       |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tok),
+       |bo AS (
+       |  SELECT doc_id, w1,
+       |    ${polyHashSql("w1 || ' ' || w2")} AS b
+       |  FROM bg WHERE w2 IS NOT NULL),
+       |cntc AS (
+       |  SELECT b, count(*) AS bi_c, min(w1) AS w1 FROM bo GROUP BY b),
+       |unic AS (
+       |  SELECT w1, CAST(sum(bi_c) AS BIGINT) AS u_c
+       |  FROM cntc GROUP BY w1),
+       |bot AS (
+       |  SELECT bo.* FROM bo
+       |  JOIN documents d ON d.doc_id = bo.doc_id
+       |  WHERE d.source = 'src0'),
+       |cntt AS (
+       |  SELECT b, count(*) AS bi_t, min(w1) AS w1 FROM bot GROUP BY b),
+       |unit AS (
+       |  SELECT w1, CAST(sum(bi_t) AS BIGINT) AS u_t
+       |  FROM cntt GROUP BY w1),
+       |stats AS (
+       |  SELECT c.b,
+       |    COALESCE((tt.bi_t * uc.u_c * 1000000)
+       |      // (c.bi_c * ut.u_t), 0) AS r
+       |  FROM cntc c
+       |  JOIN unic uc ON uc.w1 = c.w1
+       |  LEFT JOIN cntt tt ON tt.b = c.b
+       |  LEFT JOIN unit ut ON ut.w1 = tt.w1)
+       |SELECT bo.doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(stats.r) AS BIGINT) AS ratio_sum,
+       |  CAST(CAST(sum(stats.r) AS BIGINT) AS DOUBLE) / count(*)
+       |    AS mean_ratio
+       |FROM bo JOIN stats USING (b)
+       |GROUP BY bo.doc_id ORDER BY bo.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1856,7 +1914,8 @@ object PipelineQueries {
     "p43_quality_classifier" -> (p43 _),
     "p44_lexical_topk" -> (p44 _),
     "p45_bigram_surprise" -> (p45 _),
-    "p46_curation_pipeline" -> (p46 _))
+    "p46_curation_pipeline" -> (p46 _),
+    "p47_importance_weights" -> (p47 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1906,5 +1965,6 @@ object PipelineQueries {
     "p43_quality_classifier" -> p43Sql,
     "p44_lexical_topk" -> p44Sql,
     "p45_bigram_surprise" -> p45Sql,
-    "p46_curation_pipeline" -> p46Sql)
+    "p46_curation_pipeline" -> p46Sql,
+    "p47_importance_weights" -> p47Sql)
 }

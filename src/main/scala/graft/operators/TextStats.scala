@@ -381,10 +381,13 @@ object TextStats {
     * ~9·10¹² occurrences of one token, lower `scale`; the ordering is
     * unaffected. Docs with < 2 tokens have no transitions and emit no
     * row (the [[TextOps.shingles]] contract). */
-  def bigramSurprise(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
-    require(scale > 0, s"scale must be positive, got $scale")
+  /** Bigram OCCURRENCES (doc_id, w1, b): one row per token transition
+    * (duplicates kept — these are LM counts, not shingle sets), b =
+    * the content-derived `poly_hash31` of "w1 w2". One in-row array
+    * transform; docs with < 2 tokens emit nothing. */
+  private def bigramOccurrences(docs: DataFrame): DataFrame = {
     graft.functions.PolyHash31.register(docs.sparkSession)
-    val bo = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -393,12 +396,26 @@ object TextStats {
           |    poly_hash31(concat(element_at(ws, i), ' ',
           |      element_at(ws, i + 1))) AS b))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+  }
+
+  /** Bigram model table (b, bi, w1, u): per bigram id its occurrence
+    * count and its prefix's total as-a-prefix count — p(w2|w1) =
+    * bi/u exactly. Colliding bigram ids merge counts and inherit the
+    * min prefix, identically in both engines. The prefix totals
+    * re-aggregate the COUNT TABLE (bigram-vocabulary-sized), not the
+    * corpus; the counts⋈prefix join is salted against Zipf prefixes. */
+  private def bigramModel(bo: DataFrame, buckets: Int): DataFrame = {
     val cnt = bo.groupBy(col("b"))
       .agg(count(lit(1)).as("bi"), min(col("w1")).as("w1"))
     val uni = cnt.groupBy(col("w1")).agg(sum(col("bi")).as("u"))
+    SkewOps.saltedJoin(cnt, uni, "w1", "b", buckets)
+  }
+
+  def bigramSurprise(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
     val buckets = SkewOps.defaultBuckets(docs)
-    val cntU = SkewOps.saltedJoin(cnt, uni, "w1", "b", buckets)
-      .select(col("b"), col("bi"), col("u"))
+    val bo = bigramOccurrences(docs)
+    val cntU = bigramModel(bo, buckets).select(col("b"), col("bi"), col("u"))
     SkewOps.saltedJoin(bo.select(col("doc_id"), col("b")), cntU, "b",
         "doc_id", buckets)
       .select(col("doc_id"),
@@ -407,6 +424,57 @@ object TextStats {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprise_sum"))
       .withColumn("mean_surprise",
         col("surprise_sum").cast("double") / col("n_bigrams"))
+  }
+
+  /** DSIR-style importance weighting for domain-TARGETED selection:
+    * score every corpus document by how much more likely a TARGET
+    * domain's bigram model finds its transitions than the corpus's
+    * own model — the importance-resampling signal used to up-sample
+    * "looks like the target domain" data out of a web-scale corpus
+    * (target = a small in-domain sample: a benchmark's train split, a
+    * curated reference corpus).
+    *
+    * Per bigram occurrence the INTEGER likelihood-ratio surrogate
+    * `(bi_t · u_c · scale) div (bi_c · u_t)` = `scale ·
+    * p_target(w2|w1) / p_corpus(w2|w1)` floored; a transition the
+    * target model has never seen contributes 0 (the hard-zero
+    * no-smoothing choice — documented, reproducible, and
+    * conservative: unseen-in-target evidence never inflates a score).
+    * The per-doc output is the transition count, the ratio SUM, and
+    * their one-IEEE-division mean — rank by `mean_ratio` (≈ `scale`
+    * means corpus-typical, higher means target-like). Summed ratios
+    * are a heuristic aggregate of the per-transition ordering (the
+    * true DSIR statistic sums LOG ratios; a float log is not
+    * oracle-able — the per-transition ordering is identical, the
+    * aggregation differs, and the scaladoc says so honestly).
+    *
+    * Scale shape: both models are [[bigramModel]] count tables; the
+    * model⋈model join is on the bigram id over VOCABULARY-sized
+    * frames; the corpus postings meet the merged stats table in ONE
+    * salted join ([[bigramSurprise]]'s exact shape, same Zipf
+    * argument). `bi_t·u_c·scale` must fit int64 — bound scale when
+    * target-count × corpus-prefix-count approaches 9·10¹⁸/scale. */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val buckets = SkewOps.defaultBuckets(corpus)
+    val bo = bigramOccurrences(corpus)
+    val mC = bigramModel(bo, buckets)
+      .select(col("b"), col("bi").as("bi_c"), col("u").as("u_c"))
+    val mT = bigramModel(bigramOccurrences(target), buckets)
+      .select(col("b"), col("bi").as("bi_t"), col("u").as("u_t"))
+    // vocab-sized ⋈ vocab-sized on the bigram id; unseen-in-target
+    // bigrams keep NULL bi_t/u_t and score 0 below
+    val stats = mC.join(mT, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(expr(s"(bi_t * u_c * ${scale}L) div (bi_c * u_t)"),
+          lit(0L)).as("r"))
+    SkewOps.saltedJoin(bo.select(col("doc_id"), col("b")), stats, "b",
+        "doc_id", buckets)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("ratio_sum"))
+      .withColumn("mean_ratio",
+        col("ratio_sum").cast("double") / col("n_bigrams"))
   }
 
   /** Marker vocabularies for the language-ID heuristic. The synthetic

@@ -130,6 +130,31 @@ class CurationSpec extends AnyFunSuite {
     assert(r.head.getLong(0) == 99L)
   }
 
+  // ---------------------------------------------------------------- importanceWeights
+
+  test("importanceWeights: exact likelihood ratios, hard zero for " +
+    "unseen-in-target transitions") {
+    // corpus: bi_c(p q)=3, bi_c(q p)=1, bi_c(q r)=1, bi_c(r r)=1;
+    //         u_c(p)=3, u_c(q)=2, u_c(r)=1
+    // target (doc 0 only): bi_t(p q)=2, bi_t(q p)=1; u_t(p)=2, u_t(q)=1
+    // r(p q) = (2·3·1000) div (3·2) = 1000   (corpus-typical)
+    // r(q p) = (1·2·1000) div (1·1) = 2000   (target-favored)
+    // r(q r) = r(r r) = 0                    (unseen in target)
+    val corpus = Seq(
+      (0L, "p q p q"),
+      (1L, "p q r"),
+      (2L, "r r"))
+      .toDF("doc_id", "text")
+    val target = corpus.where($"doc_id" === 0L)
+    val r = TextStats.importanceWeights(corpus, target, scale = 1000L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (0L, 3L, 4000L, 4000.0 / 3), // the target doc itself: target-like
+      (1L, 2L, 1000L, 500.0),
+      (2L, 1L, 0L, 0.0)))          // fully out-of-domain
+  }
+
   // ---------------------------------------------------------------- lexicalTopK
 
   test("lexicalTopK ranks by rarity weight, breaks ties by doc_id, excludes self") {
