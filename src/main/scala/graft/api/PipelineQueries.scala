@@ -1866,6 +1866,59 @@ object PipelineQueries {
        |FROM bo JOIN stats USING (b)
        |GROUP BY bo.doc_id ORDER BY bo.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- perplexity buckets
+  /** CCNet-style head/middle/tail perplexity tiers per language
+    * ([[TextStats.perplexityBuckets]]): p45's surprise scores ranked
+    * per lang by the distributed two-pass rank, terciled by exact
+    * integer arithmetic. The oracle replays the ranking as a DuckDB
+    * window — deterministic because the order key (one IEEE division
+    * of exact integers, doc_id tiebreak) is a total order both
+    * engines agree on bit-for-bit. */
+  private def p48(s: SparkSession, dir: String): DataFrame =
+    TextStats.perplexityBuckets(docsSpread(s, dir))
+      .orderBy(col("doc_id"))
+
+  private val p48Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ts) AS w,
+       |         generate_subscripts(ts, 1) AS pos
+       |  FROM t),
+       |bg AS (
+       |  SELECT doc_id, w AS w1,
+       |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tok),
+       |bo AS (
+       |  SELECT doc_id, w1,
+       |    ${polyHashSql("w1 || ' ' || w2")} AS b
+       |  FROM bg WHERE w2 IS NOT NULL),
+       |cnt AS (
+       |  SELECT b, count(*) AS bi, min(w1) AS w1 FROM bo GROUP BY b),
+       |uni AS (
+       |  SELECT w1, CAST(sum(bi) AS BIGINT) AS u FROM cnt GROUP BY w1),
+       |sc AS (
+       |  SELECT bo.doc_id, (uni.u * 1000000) // cnt.bi AS s
+       |  FROM bo JOIN cnt USING (b) JOIN uni ON uni.w1 = cnt.w1),
+       |m AS (
+       |  SELECT sc.doc_id, min(d.lang) AS lang,
+       |    CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) / count(*)
+       |      AS mean_surprise
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       |  GROUP BY sc.doc_id),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY mean_surprise, doc_id) AS rank,
+       |    count(*) OVER (PARTITION BY lang) AS n_stratum
+       |  FROM m)
+       |SELECT lang, doc_id, mean_surprise, rank,
+       |  ((rank - 1) * 3) // n_stratum AS bucket,
+       |  CASE WHEN ((rank - 1) * 3) // n_stratum = 0 THEN 'head'
+       |       WHEN ((rank - 1) * 3) // n_stratum = 2 THEN 'tail'
+       |       ELSE 'middle' END AS tier
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1915,7 +1968,8 @@ object PipelineQueries {
     "p44_lexical_topk" -> (p44 _),
     "p45_bigram_surprise" -> (p45 _),
     "p46_curation_pipeline" -> (p46 _),
-    "p47_importance_weights" -> (p47 _))
+    "p47_importance_weights" -> (p47 _),
+    "p48_perplexity_buckets" -> (p48 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -1966,5 +2020,6 @@ object PipelineQueries {
     "p44_lexical_topk" -> p44Sql,
     "p45_bigram_surprise" -> p45Sql,
     "p46_curation_pipeline" -> p46Sql,
-    "p47_importance_weights" -> p47Sql)
+    "p47_importance_weights" -> p47Sql,
+    "p48_perplexity_buckets" -> p48Sql)
 }

@@ -247,23 +247,36 @@ object Sampling {
     * (MEMORY_AND_DISK) because the totals pass and the join both
     * consume it; blocks are LRU-evicted, worst case recomputed. */
   private[graft] def runningTokenSum(base: DataFrame,
-      strataCols: Seq[String]): DataFrame = {
+      strataCols: Seq[String]): DataFrame =
+    runningSum(base, strataCols, Seq("doc_id"), "n_tok")
+
+  /** Generalization of [[runningTokenSum]] to an arbitrary total order
+    * and summand: `cum` = the inclusive per-stratum prefix sum of
+    * `valueCol` (LongType; null counts 0) in (strata…, orderCols…)
+    * order. With `valueCol` ≡ 1 this is a distributed per-stratum
+    * RANK over `orderCols` — the scale-safe substitute for
+    * `row_number() OVER (PARTITION BY strata ORDER BY …)`, which
+    * sorts every stratum through one task. `orderCols` must be a
+    * TOTAL order (append a unique id as the last key) or ranks at
+    * duplicate sort keys depend on partition placement. */
+  private[graft] def runningSum(base: DataFrame, strataCols: Seq[String],
+      orderCols: Seq[String], valueCol: String): DataFrame = {
     val spark = base.sparkSession
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val k = strataCols.length
-    val sortCols = strataCols.map(col) :+ col("doc_id")
+    val sortCols = (strataCols ++ orderCols).map(col)
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = base
-      // canonical (strata…, doc_id, n_tok) layout: the per-partition
-      // pass below reads rows POSITIONALLY (stratum prefix, n_tok at
-      // k+1), so the operator must not trust the caller's column order
-      .select(strataCols.map(col) :+ col("doc_id") :+ col("n_tok"): _*)
+      // canonical (strata…, order…, value) layout: the per-partition
+      // pass below reads rows POSITIONALLY (stratum prefix, value at
+      // k+m), so the operator must not trust the caller's column order
+      .select((strataCols ++ orderCols).map(col) :+ col(valueCol): _*)
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val schema = StructType(sorted.schema.fields ++ Seq(
       StructField("pid", IntegerType, nullable = false),
       StructField("local_cum", LongType, nullable = false)))
-    val nTokIdx = k + 1 // layout: strata…, doc_id, n_tok
+    val nTokIdx = k + orderCols.length // layout: strata…, order…, value
     // Stratum values surface as JVM objects here, and BinaryType
     // becomes Array[Byte], whose == is reference identity — an
     // un-normalized Seq[Any] comparison would reset the accumulator

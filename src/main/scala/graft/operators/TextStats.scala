@@ -477,6 +477,52 @@ object TextStats {
         col("ratio_sum").cast("double") / col("n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing: split each language's corpus
+    * into `nBuckets` equal-population tiers by LM score — the
+    * published pipeline keeps/weights the `head` (most fluent) tier
+    * and drops or downsamples the `tail`. The LM score is
+    * [[bigramSurprise]]'s integer-exact surrogate (mean bigram
+    * surprise ≈ perplexity up to monotone transform, so the RANKING —
+    * all bucketing needs — is the published one in spirit while
+    * staying hash-reproducible).
+    *
+    * Per stratum the doc's rank comes from [[Sampling.runningSum]]
+    * with a constant-1 summand — the two-pass distributed rank, NOT a
+    * `row_number` window (a one-language corpus, the common case,
+    * would serialize through a single sort task). The order key is
+    * (mean_surprise, doc_id): the mean is ONE IEEE division of exact
+    * integers so every engine agrees on it bit-for-bit, and doc_id
+    * totalizes ties. `bucket = (rank−1)·nBuckets div n_stratum`
+    * (exact integer; populations differ by ≤ 1), `tier` names the
+    * CCNet split. Docs with < 2 tokens have no LM evidence and emit
+    * no row ([[bigramSurprise]]'s contract).
+    *
+    * Scale: one corpus-sized doc_id equi-join (surprise ⋈ strata
+    * columns), the range-repartition rank, and a broadcast of the
+    * per-stratum counts (one row per stratum). */
+  def perplexityBuckets(docs: DataFrame, strataCols: Seq[String] = Seq("lang"),
+      nBuckets: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val base = bigramSurprise(docs, scale)
+      .join(docs.select(col("doc_id") +: strataCols.map(col): _*),
+        Seq("doc_id"))
+      .withColumn("one", lit(1L))
+    val ranked = Sampling.runningSum(base, strataCols,
+        Seq("mean_surprise", "doc_id"), "one")
+      .withColumnRenamed("cum", "rank")
+    val sizes = ranked.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_stratum"))
+    ranked.join(broadcast(sizes), strataCols)
+      .withColumn("bucket", expr(s"((rank - 1) * $nBuckets) div n_stratum"))
+      .withColumn("tier",
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === nBuckets - 1, "tail")
+          .otherwise("middle"))
+      .select(strataCols.map(col) ++ Seq(col("doc_id"),
+        col("mean_surprise"), col("rank"), col("bucket"),
+        col("tier")): _*)
+  }
+
   /** Marker vocabularies for the language-ID heuristic. The synthetic
     * corpus shares one vocabulary across languages, so accuracy is
     * meaningless by construction — the operator exercised here is the

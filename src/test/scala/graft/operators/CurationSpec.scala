@@ -155,6 +155,43 @@ class CurationSpec extends AnyFunSuite {
       (2L, 1L, 0L, 0.0)))          // fully out-of-domain
   }
 
+  // ---------------------------------------------------------------- perplexityBuckets
+
+  test("perplexityBuckets: per-stratum equal-population tiers in " +
+    "surprise order, parity with a window-rank reference") {
+    // two langs, enough docs per lang for distinct tercile populations
+    val docs = Seq(
+      (0L, "a b a b a b", "en"), (1L, "a b a b c d", "en"),
+      (2L, "c d e f g h", "en"), (3L, "a b a b a b a b", "en"),
+      (4L, "e f e f e f", "en"), (5L, "g h i j k l", "en"),
+      (6L, "m n m n m n", "fr"), (7L, "m n o p q r", "fr"),
+      (8L, "s t u v w x", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextStats.perplexityBuckets(docs, Seq("lang"), 3)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3), x.getLong(4), x.getString(5)))
+      .sortBy(_._2)
+    // reference: rank per lang over collected surprise means
+    val sup = TextStats.bigramSurprise(docs).collect()
+      .map(x => (x.getLong(0), x.getDouble(3))).toMap
+    val lang = docs.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val exp = lang.groupBy(_._2).toSeq.flatMap { case (lg, m) =>
+      val ordered = m.keys.toSeq.map(id => (sup(id), id)).sorted
+      val n = ordered.length
+      ordered.zipWithIndex.map { case ((mean, id), i) =>
+        val bucket = (i.toLong * 3) / n
+        val tier = if (bucket == 0) "head"
+          else if (bucket == 2) "tail" else "middle"
+        (lg, id, mean, i.toLong + 1, bucket, tier)
+      }
+    }.sortBy(_._2)
+    assert(got.toSeq == exp)
+    // the en tiers are populated 2/2/2: all three names appear
+    assert(got.filter(_._1 == "en").map(_._6).distinct.sorted.toSeq ==
+      Seq("head", "middle", "tail"))
+  }
+
   // ---------------------------------------------------------------- lexicalTopK
 
   test("lexicalTopK ranks by rarity weight, breaks ties by doc_id, excludes self") {
