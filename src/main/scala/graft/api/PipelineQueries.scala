@@ -584,6 +584,40 @@ object PipelineQueries {
        |FROM a1 a LEFT JOIN dups u USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- diversity sample
+  /** p50 — cluster-balanced diversity sample
+    * ([[Similarity.clusterBalancedSample]]): one Lloyd round builds
+    * the cells, then up to 20 vectors per cell by smallest
+    * (split-hash, vec_id). The oracle replays the round CTE plus a
+    * per-cell window rank over the identical hash — pinning both the
+    * cell assignment and the quota membership/order. */
+  private def p50(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(emb(s, dir), k = 20)
+      .orderBy(col("clab"), col("rn"))
+
+  private val p50Sql =
+    s"""WITH el AS (
+       |  SELECT vec_id,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+       |      AS qv,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, CAST(label AS INTEGER) AS clab
+       |       FROM embeddings),
+       |${p38Round(1)},
+       |q AS (
+       |  SELECT clab, vec_id,
+       |    ${polyHashSql("'diverse:' || CAST(vec_id AS VARCHAR)")}
+       |      AS h_quota
+       |  FROM a1),
+       |ranked AS (
+       |  SELECT clab, vec_id, h_quota,
+       |    row_number() OVER (PARTITION BY clab ORDER BY h_quota, vec_id)
+       |      AS rn
+       |  FROM q)
+       |SELECT clab, CAST(rn AS BIGINT) AS rn, vec_id, h_quota
+       |FROM ranked WHERE rn <= 20 ORDER BY clab, rn""".stripMargin
+
   // ---------------------------------------------------------------- cosine near-dup
   private def p15(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(emb(s, dir), threshold = 0.3)
@@ -1919,6 +1953,53 @@ object PipelineQueries {
        |       ELSE 'middle' END AS tier
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- temperature mixture
+  /** τ = 2 temperature mixture plan
+    * ([[Sampling.temperatureMixturePlan]]): per-cell targets ∝
+    * √cell_tokens via the overflow-free exact isqrt, split-division
+    * target arithmetic. The oracle replays the identical integer
+    * algebra — including both isqrt corrections in their
+    * division-not-squaring form, which DuckDB needs to stay
+    * overflow-safe at the same bound the engine does. */
+  private def p49(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixturePlan(docsSpread(s, dir),
+      Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"))
+
+  private val p49Sql =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cell_tokens
+      |  FROM documents GROUP BY lang, source),
+      |w0 AS (
+      |  SELECT *, CAST(floor(sqrt(CAST(cell_tokens AS DOUBLE)))
+      |    AS BIGINT) AS s0
+      |  FROM cells),
+      |w1 AS (
+      |  SELECT *, CASE WHEN s0 > 0
+      |      AND cell_tokens // greatest(s0, CAST(1 AS BIGINT)) < s0
+      |    THEN s0 - 1 ELSE s0 END AS s1
+      |  FROM w0),
+      |wt AS (
+      |  SELECT lang, source, n_docs, cell_tokens,
+      |    CASE WHEN cell_tokens // (s1 + 1) >= s1 + 1
+      |      THEN s1 + 1 ELSE s1 END AS w
+      |  FROM w1),
+      |tot AS (
+      |  SELECT CAST(sum(cell_tokens) AS BIGINT) AS total_tokens,
+      |         CAST(sum(w) AS BIGINT) AS sum_w
+      |  FROM wt),
+      |tgt AS (
+      |  SELECT wt.*,
+      |    (t.total_tokens // t.sum_w) * wt.w
+      |      + ((t.total_tokens % t.sum_w) * wt.w) // t.sum_w
+      |      AS target_tokens
+      |  FROM wt CROSS JOIN tot t)
+      |SELECT lang, source, n_docs, cell_tokens, w, target_tokens,
+      |  least(1.0, CAST(target_tokens AS DOUBLE) / cell_tokens) AS rate,
+      |  least(cell_tokens, target_tokens) AS kept_tokens_est
+      |FROM tgt ORDER BY lang, source""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1969,7 +2050,9 @@ object PipelineQueries {
     "p45_bigram_surprise" -> (p45 _),
     "p46_curation_pipeline" -> (p46 _),
     "p47_importance_weights" -> (p47 _),
-    "p48_perplexity_buckets" -> (p48 _))
+    "p48_perplexity_buckets" -> (p48 _),
+    "p49_temperature_mixture" -> (p49 _),
+    "p50_diversity_sample" -> (p50 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2021,5 +2104,7 @@ object PipelineQueries {
     "p45_bigram_surprise" -> p45Sql,
     "p46_curation_pipeline" -> p46Sql,
     "p47_importance_weights" -> p47Sql,
-    "p48_perplexity_buckets" -> p48Sql)
+    "p48_perplexity_buckets" -> p48Sql,
+    "p49_temperature_mixture" -> p49Sql,
+    "p50_diversity_sample" -> p50Sql)
 }

@@ -165,6 +165,63 @@ object Sampling {
         col("kept_tokens_est")): _*)
   }
 
+  /** Exact integer square root as a SQL expression over column `x`
+    * (BIGINT, ≥ 0): `floor(sqrt(double(x)))` then ±1 corrections —
+    * the double conversion loses bits past 2⁵³, so the float result
+    * can land one off a perfect-square boundary. Both corrections
+    * compare via INTEGER DIVISION (`s+1 ≤ x div (s+1)` ⇔ `(s+1)² ≤
+    * x`), never squaring, so nothing overflows even at
+    * x = 2⁶³−1 — and the same rewrite keeps the DuckDB oracle
+    * overflow-safe (DuckDB checks int64 overflow loudly). */
+  private[graft] def isqrtExpr(x: String): Column = {
+    val s0 = s"CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT)"
+    val s1 = s"(CASE WHEN $s0 > 0 AND ($x) div greatest($s0, " +
+      s"CAST(1 AS BIGINT)) < $s0 THEN $s0 - 1 ELSE $s0 END)"
+    expr(s"CASE WHEN ($x) div ($s1 + 1) >= $s1 + 1 " +
+      s"THEN $s1 + 1 ELSE $s1 END")
+  }
+
+  /** Temperature-scaled mixture plan: like [[mixturePlan]] but the
+    * per-cell token target follows w_i ∝ cell_tokens^α with α = 1/2 —
+    * the standard multilingual/multi-source rebalance (τ = 2
+    * temperature sampling: upweight small languages, flatten the
+    * head) instead of the fully uniform α = 0 target. α is FIXED at
+    * 1/2 because that is the one non-trivial exponent with an exact
+    * integer evaluation ([[isqrtExpr]]); an arbitrary float `pow`
+    * would un-oracle the plan for a knob nobody tunes continuously.
+    *
+    * `target_i = floor(total_tokens · w_i / Σw)` evaluated as
+    * `(total div Σw)·w + ((total mod Σw)·w) div Σw` — algebraically
+    * exact, and the largest intermediate is bounded by Σw·max_w
+    * instead of total·max_w, so the plan stays in int64 at corpus
+    * sizes where the naive product overflows. Rates/estimates follow
+    * [[mixturePlan]]'s one-IEEE-division contract; the totals reach
+    * cells via a broadcast single-row aggregate. */
+  def temperatureMixturePlan(docs: DataFrame,
+      strataCols: Seq[String]): DataFrame = {
+    val cells = docs
+      .select(strataCols.map(col) :+
+        size(split(col("text"), " ")).cast("long").as("n_tok"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("cell_tokens"))
+      .withColumn("w", isqrtExpr("cell_tokens"))
+    val totals = cells.agg(
+      sum(col("cell_tokens")).as("total_tokens"),
+      sum(col("w")).as("sum_w"))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr("(total_tokens div sum_w) * w + " +
+          "((total_tokens % sum_w) * w) div sum_w"))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens").cast("double")
+          / col("cell_tokens")))
+      .withColumn("kept_tokens_est",
+        least(col("cell_tokens"), col("target_tokens")))
+      .select(strataCols.map(col) ++ Seq(col("n_docs"),
+        col("cell_tokens"), col("w"), col("target_tokens"), col("rate"),
+        col("kept_tokens_est")): _*)
+  }
+
   /** Apply a [[mixturePlan]]: the deterministic per-doc draw that
     * turns the planned per-cell `rate` into an actual kept subset —
     * doc survives iff `splitHash(salt, doc_id) mod 10⁶ < rate·10⁶`.

@@ -358,6 +358,32 @@ object Similarity {
     res
   }
 
+  /** Cluster-balanced diversity sample: k-means cells ([[kmeansAssign]],
+    * broadcast-Lloyd) × per-cell deterministic quota
+    * ([[Sampling.quotaSample]]'s bounded-top-k shape) — up to `k`
+    * vectors per cell by smallest (content hash, vec_id). The
+    * "coverage sampling" step of embedding-space curation: where a
+    * uniform corpus sample mirrors the density (the head cluster
+    * dominates), sampling a fixed quota per cell flattens it — every
+    * region of embedding space is represented, the tail is not
+    * drowned. Pairs with [[semanticDedup]] (dedup within cells, then
+    * balance across them).
+    *
+    * Scale: the assignment is the shared O(L×dims) broadcast shape;
+    * the quota is one bounded hash aggregate (per-cell state ≤ k,
+    * map-side combine) — no per-cell sort, no corpus shuffle beyond
+    * the aggregate. Output: (clab, rn, vec_id, h_quota). */
+  def clusterBalancedSample(emb: DataFrame, k: Int, iters: Int = 1,
+      dims: Int = 64, salt: String = "diverse",
+      literalMaxL: Int = LiteralCentroidMaxL): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val assigned = kmeansAssignFull(emb, iters, dims, literalMaxL)
+      .select(col("clab"), col("vec_id").as("doc_id"))
+    Sampling.quotaSample(assigned, Seq("clab"), k, salt)
+      .select(col("clab"), col("rn"), col("doc_id").as("vec_id"),
+        col("h_quota"))
+  }
+
   /** Embedding-cosine NEAR-DUP pairs (the dedup-flavored sibling of
     * [[annLsh]]): vectors sharing a hyperplane-LSH bucket whose true
     * quantized cosine is ≥ `threshold`. Candidates are bucket

@@ -221,6 +221,57 @@ class SamplingSpec extends AnyFunSuite {
     assert(en.getLong(5) == 18L && de.getLong(5) == 13L) // kept est
   }
 
+  test("isqrtExpr: exact at boundaries, past 2^53, and at Long.MaxValue") {
+    // reference isqrt by bisection on the square-vs-x comparison done
+    // in overflow-free division form (same trick the operator uses)
+    def ref(x: Long): Long = {
+      var lo = 0L; var hi = 3037000499L // isqrt(Long.MaxValue)
+      while (lo < hi) {
+        val mid = lo + (hi - lo + 1) / 2
+        if (mid <= x / mid) lo = mid else hi = mid - 1
+      }
+      if (x == 0) 0L else lo
+    }
+    val k = 94906266L // k*k just above 2^53: double can't hold it
+    val vals = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 17L,
+      (1L << 52) - 1, 1L << 52, (1L << 53) + 1,
+      k * k - 1, k * k, k * k + 1,
+      3037000499L * 3037000499L - 1, 3037000499L * 3037000499L,
+      Long.MaxValue)
+    val got = vals.toDF("x")
+      .select(col("x"), Sampling.isqrtExpr("x").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    vals.foreach { v => assert(got(v) == ref(v), s"isqrt($v)") }
+  }
+
+  test("temperatureMixturePlan: sqrt weights flatten the head, exact " +
+    "split-division targets") {
+    // one doc per cell with an exact token count: (en,a)=100 w=10,
+    // (en,b)=25 w=5, (fr,a)=4 w=2 → total=129, sum_w=17
+    // target(en,a) = 7*10 + (10*10)//17 = 75 → rate .75
+    // target(en,b) = 7*5 + 50//17 = 37 → capped, keeps all 25
+    // target(fr,a) = 7*2 + 20//17 = 15 → capped, keeps all 4
+    val cells = Seq(
+      (0L, "en", "a", 100), (1L, "en", "b", 25), (2L, "fr", "a", 4))
+      .map { case (id, l, s, n) =>
+        (id, l, s, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "lang", "source", "text")
+    val r = Sampling.temperatureMixturePlan(cells, Seq("lang", "source"))
+      .orderBy("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getDouble(6), x.getLong(7)))
+    assert(r.toSeq == Seq(
+      ("en", "a", 100L, 10L, 75L, 0.75, 75L),
+      ("en", "b", 25L, 5L, 37L, 1.0, 25L),
+      ("fr", "a", 4L, 2L, 15L, 1.0, 4L)))
+    // flattening vs the uniform plan: the head cell keeps MORE than
+    // uniform (75 > 43), the tail cells still keep everything
+    val uni = Sampling.mixturePlan(cells, Seq("lang", "source"))
+      .orderBy("lang", "source").collect()
+    assert(uni(0).getLong(4) == 43L) // uniform target 129 div 3
+    assert(75L > 43L)
+  }
+
   test("applyMixture: rate-1 cells keep everything, draw is deterministic") {
     val r = Sampling.applyMixture(docs, Seq("lang"))
       .orderBy("doc_id").collect()

@@ -231,6 +231,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.where(col("keep") === 1).count() == 2)
   }
 
+  test("clusterBalancedSample: per-cell quota in hash order, tail cell " +
+    "fully represented") {
+    // a dense x-cluster (6 vecs) and a sparse y-cluster (2 vecs):
+    // k=2 takes 2 from each — the tail cell is NOT drowned by density
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 1),
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1),
+      (3L, Array(0.9f, 0.0f, 0.1f, 0.0f), 1),
+      (4L, Array(0.8f, 0.0f, 0.2f, 0.0f), 1),
+      (5L, Array(0.7f, 0.3f, 0.0f, 0.0f), 1),
+      (6L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2),
+      (7L, Array(0.0f, 0.9f, 0.1f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterBalancedSample(emb, k = 2, dims = 4)
+      .collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // 2 per cell, 4 total
+    assert(r.length == 4)
+    assert(r.groupBy(_._1).forall(_._2.length == 2))
+    // membership + order = the 2 smallest (hash, id) of each cell
+    graft.functions.PolyHash31.register(spark)
+    val hashes = emb.select(col("vec_id"),
+        Sampling.splitHash("diverse", col("vec_id")).as("h"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val byCell = Map(1 -> Seq(0L, 1L, 2L, 3L, 4L, 5L), 2 -> Seq(6L, 7L))
+    byCell.foreach { case (cell, ids) =>
+      val want = ids.map(id => (hashes(id), id)).sorted.take(2)
+        .zipWithIndex.map { case ((h, id), i) => (i + 1L, id, h) }
+      val got = r.filter(_._1 == r.filter(x => ids.contains(x._3))
+          .head._1).sortBy(_._2).map(x => (x._2, x._3, x._4)).toSeq
+      assert(got == want, s"cell $cell")
+    }
+  }
+
   test("knnBrute ranks by quantized dot desc with id tie-break") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
