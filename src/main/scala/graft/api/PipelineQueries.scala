@@ -140,6 +140,41 @@ object PipelineQueries {
       |  CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
       |FROM sj GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- simhash hamming join
+  /** p51 — SimHash Hamming-ball pairs ([[Dedup.simhashHammingDups]]):
+    * maxDist = 1 over the 16-bit fingerprints — pigeonhole block
+    * index for candidates, popcount verify in the join stage,
+    * multi-block collisions collapsed. The oracle is the plain
+    * all-pairs Hamming predicate over the p03 fingerprint CTEs —
+    * legitimate because the blocking is recall-lossless by
+    * pigeonhole, so both forms ARE the same set. */
+  private def p51(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashHammingDups(
+      docsSpread(s, dir).select(col("doc_id"), col("text")), s)
+      .orderBy(col("d1"), col("d2"))
+
+  private val p51Sql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+      |dt AS (SELECT doc_id, ${polyHashSql("w")} % 8191 AS tid, c FROM cnt),
+      |bits AS (SELECT j, 1 + 2*j AS a, 17 + 5*j AS b FROM range(0, 16) t(j)),
+      |sj AS (
+      |  SELECT doc_id, j,
+      |    CAST(sum(c * (CASE WHEN ((a*tid*tid + b*tid + j) % 8191) < 4096
+      |      THEN 1 ELSE -1 END)) AS BIGINT) AS s
+      |  FROM dt CROSS JOIN bits GROUP BY doc_id, j),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+      |      AS simhash
+      |  FROM sj GROUP BY doc_id)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+      |ORDER BY d1, d2""".stripMargin
+
   // ---------------------------------------------------------------- blocked Jaccard
   private def p04(s: SparkSession, dir: String): DataFrame =
     Dedup.blockedJaccard(docsSpread(s, dir), Seq("lang", "source"), 0.9)
@@ -2052,7 +2087,8 @@ object PipelineQueries {
     "p47_importance_weights" -> (p47 _),
     "p48_perplexity_buckets" -> (p48 _),
     "p49_temperature_mixture" -> (p49 _),
-    "p50_diversity_sample" -> (p50 _))
+    "p50_diversity_sample" -> (p50 _),
+    "p51_simhash_hamming" -> (p51 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2106,5 +2142,6 @@ object PipelineQueries {
     "p47_importance_weights" -> p47Sql,
     "p48_perplexity_buckets" -> p48Sql,
     "p49_temperature_mixture" -> p49Sql,
-    "p50_diversity_sample" -> p50Sql)
+    "p50_diversity_sample" -> p50Sql,
+    "p51_simhash_hamming" -> p51Sql)
 }

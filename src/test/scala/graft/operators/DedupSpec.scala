@@ -138,6 +138,40 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.values.forall(s => s >= 0 && s < (1 << 16)))
   }
 
+  test("simhashHammingDups equals the brute-force Hamming ball, pairs " +
+    "never duplicated by multi-block collisions") {
+    // a corpus wide enough that blocks actually split the work: 30
+    // distinct docs + 2 exact copies (hamming 0 pairs collide in
+    // BOTH blocks — the distinct must collapse them to one row)
+    val corpus = ((0 until 30).map(i =>
+      (i.toLong, s"tok$i alpha beta gamma delta tok${i * 7 % 30} " +
+        s"word${i % 5} text common shared across docs here"))
+      ++ Seq((100L, "tok3 alpha beta gamma delta tok21 word3 " +
+          "text common shared across docs here"),
+        (101L, "tok3 alpha beta gamma delta tok21 word3 " +
+          "text common shared across docs here")))
+      .toDF("doc_id", "text")
+    for (maxDist <- Seq(1, 2)) {
+      val got = Dedup.simhashHammingDups(corpus, spark, maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // brute force from the (already-tested) fingerprints
+      val sig = Dedup.simhash(corpus, spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val want = for {
+        ((d1, s1), i) <- sig.zipWithIndex
+        (d2, s2) <- sig.drop(i + 1)
+        h = java.lang.Long.bitCount(s1 ^ s2)
+        if h <= maxDist
+      } yield (d1, d2, h)
+      assert(got.sorted.toSeq == want.sorted,
+        s"maxDist=$maxDist: blocked join must equal the exact ball")
+      // the two planted copies of doc 3's text are hamming-0 of each
+      // other — present exactly once despite colliding in all blocks
+      assert(got.count(p => p._1 == 100L && p._2 == 101L) == 1)
+      assert(got.find(p => p._1 == 100L && p._2 == 101L).get._3 == 0)
+    }
+  }
+
   test("blockedJaccard only pairs within the same block") {
     val d = Seq(
       (0L, "en", "s1", "a b c d"), (1L, "en", "s1", "a b c e"),
