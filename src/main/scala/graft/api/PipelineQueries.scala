@@ -1601,6 +1601,40 @@ object PipelineQueries {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- kmv distinct sketch
+  /** p52 — KMV distinct-token sketch per (lang, source)
+    * ([[TextStats.kmvDistinctTokens]], k = 128): bounded-state
+    * distinct counting whose estimate is exact integer arithmetic
+    * over the shared content hash, so the oracle replays the sketch
+    * itself — a window rank over distinct hashes — not just the
+    * estimate. */
+  private def p52(s: SparkSession, dir: String): DataFrame =
+    TextStats.kmvDistinctTokens(docsSpread(s, dir),
+      Seq("lang", "source"), k = 128)
+      .orderBy(col("lang"), col("source"))
+
+  private val p52Sql =
+    s"""WITH tok AS (
+      |  SELECT lang, source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |h AS (
+      |  SELECT DISTINCT lang, source,
+      |    ${polyHashSql("'kmv:' || w")} AS h
+      |  FROM tok),
+      |r AS (
+      |  SELECT lang, source, h,
+      |    row_number() OVER (PARTITION BY lang, source ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY lang, source) AS nd
+      |  FROM h)
+      |SELECT lang, source,
+      |  CAST(least(nd, 128) AS BIGINT) AS n_sketch,
+      |  CASE WHEN nd >= 128 THEN h END AS h_k,
+      |  CASE WHEN nd < 128 THEN nd
+      |       ELSE (127 * CAST(2147483647 AS BIGINT)) // h
+      |       END AS est_distinct
+      |FROM r WHERE (nd >= 128 AND rn = 128) OR (nd < 128 AND rn = nd)
+      |ORDER BY lang, source""".stripMargin
+
   // ---------------------------------------------------------------- boilerplate strip
   /** Corpus-wide boilerplate removal ([[Dedup.stripBoilerplate]]):
     * 8-token chunks, any chunk in ≥ 2 distinct docs stripped, docs
@@ -2088,7 +2122,8 @@ object PipelineQueries {
     "p48_perplexity_buckets" -> (p48 _),
     "p49_temperature_mixture" -> (p49 _),
     "p50_diversity_sample" -> (p50 _),
-    "p51_simhash_hamming" -> (p51 _))
+    "p51_simhash_hamming" -> (p51 _),
+    "p52_kmv_distinct" -> (p52 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2143,5 +2178,6 @@ object PipelineQueries {
     "p48_perplexity_buckets" -> p48Sql,
     "p49_temperature_mixture" -> p49Sql,
     "p50_diversity_sample" -> p50Sql,
-    "p51_simhash_hamming" -> p51Sql)
+    "p51_simhash_hamming" -> p51Sql,
+    "p52_kmv_distinct" -> p52Sql)
 }

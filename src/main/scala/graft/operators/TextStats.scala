@@ -30,6 +30,49 @@ object TextStats {
         (sum(col("n_chars")).cast("double") / sum(col("n_tokens")))
           .as("chars_per_token"))
 
+  /** KMV (k-minimum-values) distinct-token sketch per stratum cell:
+    * the bounded-state answer to "how many distinct tokens does each
+    * (lang, source) hold" that an exact `countDistinct` cannot give
+    * at corpus scale — exact distinct shuffles every distinct token
+    * string to its group's reducer (the shuffle IS the vocabulary,
+    * tens of GB per cell at 100 TB), while the sketch's per-group
+    * state is k longs, map-side combined, mergeable across
+    * partitions, days, or corpora by construction (Bar-Yossef et
+    * al.'s counting-distinct-elements bound; union-then-sketch ≡
+    * merge-of-sketches, pinned in the spec).
+    *
+    * Determinism is the whole design: tokens hash through the shared
+    * `poly_hash31` (domain M = 2³¹−1), the sketch keeps the k
+    * smallest DISTINCT hashes ([[TopK.smallestKDistinct]]), and the
+    * estimate is the standard unbiased (k−1)/U₍ₖ₎ evaluated in exact
+    * integer form `(k−1)·M div h_k` — so a DuckDB window-rank replica
+    * reproduces every cell bit-for-bit, sketch contents included.
+    * Cells with fewer than k distinct hashes are EXACT (the sketch
+    * holds the whole hashed vocabulary; `h_k` is null). Hash
+    * collisions under-count exactly identically in both engines.
+    * Output: groupCols, n_sketch, h_k, est_distinct. */
+  def kmvDistinctTokens(docs: DataFrame, groupCols: Seq[String],
+      k: Int = 128, salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k") // k=1 could div by h=0
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val m = 2147483647L
+    val hashed = docs
+      .select(groupCols.map(col) :+
+        explode(split(col("text"), " ")).as("w"): _*)
+      .select(groupCols.map(col) :+
+        call_function("poly_hash31",
+          concat(lit(salt + ":"), col("w"))).as("h"): _*)
+    hashed.groupBy(groupCols.map(col): _*)
+      .agg(TopK.smallestKDistinct(k, col("h")).as("sk"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("sk")).cast("long").as("n_sketch"),
+        when(size(col("sk")) === k, element_at(col("sk"), k))
+          .as("h_k"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * m} div element_at(sk, $k)"))
+          .as("est_distinct")): _*)
+  }
+
   /** Stopword set used by the quality score and its oracle. */
   val Stopwords: Seq[String] = Seq("the", "a")
 

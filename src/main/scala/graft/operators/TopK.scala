@@ -82,4 +82,40 @@ object TopK {
   def smallestKStr(k: Int, sortCol: Column, strCol: Column): Column =
     udaf(new SmallestKStr(k), Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .apply(sortCol, strCol)
+
+  /** Sorted DISTINCT longs capped at k — the KMV (k minimum values)
+    * distinct-count sketch state: keep the k smallest distinct hash
+    * values seen; |{distinct}| is then estimable from the kth value
+    * alone. Distinctness is what separates this from [[SmallestK]]:
+    * a value already in the buffer must not be re-inserted, or a
+    * single hot token would flood the sketch and bias the estimate.
+    * State is O(k) per group, reduce is a dedup insertion, merge a
+    * dedup bounded merge — map-side combinable like any hash
+    * aggregate, and mergeable across partitions/days by construction
+    * (union-then-sketch ≡ merge-of-sketches). */
+  final case class BufL(items: Seq[Long])
+
+  final class SmallestKDistinct(k: Int)
+      extends Aggregator[Long, BufL, Seq[Long]] {
+    require(k > 0)
+    def zero: BufL = BufL(Vector.empty)
+    def reduce(b: BufL, v: Long): BufL =
+      if (b.items.size >= k && v >= b.items.last) b // present or too big
+      else {
+        val (lo, hi) = b.items.span(_ < v)
+        if (hi.nonEmpty && hi.head == v) b
+        else BufL((lo ++ (v +: hi)).take(k))
+      }
+    def merge(a: BufL, b: BufL): BufL =
+      BufL((a.items ++ b.items).distinct.sorted.take(k))
+    def finish(b: BufL): Seq[Long] = b.items
+    def bufferEncoder: Encoder[BufL] = Encoders.product[BufL]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: the k smallest distinct values of a long column,
+    * sorted ascending, as array<long>. */
+  def smallestKDistinct(k: Int, vCol: Column): Column =
+    udaf(new SmallestKDistinct(k), Encoders.scalaLong).apply(vCol)
 }

@@ -260,4 +260,54 @@ class CurationSpec extends AnyFunSuite {
     assert(nBroadcast >= 3, s"expected 3 broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
+
+  // ---------------------------------------------------------------- kmvDistinctTokens
+
+  private def kmvHash(w: String): Long =
+    graft.functions.PolyHash31.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("kmv:" + w))
+
+  test("kmvDistinctTokens: under-full sketch is exact, h_k null") {
+    val d = Seq((0L, "en", "a b c"), (1L, "en", "b c d"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextStats.kmvDistinctTokens(d, Seq("lang"), k = 128).collect()
+    assert(r.length == 1)
+    val exact = Seq("a", "b", "c", "d").map(kmvHash).distinct.size
+    assert(r.head.getLong(1) == exact.toLong)      // n_sketch
+    assert(r.head.isNullAt(2))                     // h_k
+    assert(r.head.getLong(3) == exact.toLong)      // est == exact
+  }
+
+  test("kmvDistinctTokens: full sketch estimates from the kth smallest " +
+    "distinct hash; a hot token cannot flood the sketch") {
+    val words = (0 until 40).map(i => s"w$i")
+    val hot = ("hot " * 500).trim
+    val d = Seq((0L, "en", words.take(20).mkString(" ") + " " + hot),
+        (1L, "en", words.drop(20).mkString(" ") + " hot"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextStats.kmvDistinctTokens(d, Seq("lang"), k = 4).collect()
+    val hashes = (words :+ "hot").map(kmvHash).distinct.sorted
+    val h4 = hashes(3)
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 4L)
+    assert(r.head.getLong(2) == h4)
+    assert(r.head.getLong(3) == 3L * 2147483647L / h4)
+    // 500 repeats of "hot" counted once: same answer as one occurrence
+    val once = Seq((0L, "en", (words :+ "hot").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val r2 = TextStats.kmvDistinctTokens(once, Seq("lang"), k = 4).collect()
+    assert(r2.head.getLong(3) == r.head.getLong(3))
+  }
+
+  test("kmvDistinctTokens: merge across partitions equals one partition") {
+    val d = (0 until 200).map(i => (i.toLong, s"l${i % 3}",
+        s"tok${i} tok${i * 13 % 97} shared common"))
+      .toDF("doc_id", "lang", "text")
+    def run(parts: Int) =
+      TextStats.kmvDistinctTokens(d.repartition(parts), Seq("lang"), k = 16)
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    assert(run(1) == run(8), "union-then-sketch must equal merged sketches")
+  }
 }
