@@ -775,19 +775,32 @@ object Dedup {
     * (int, long, long) rows per doc — the corpus text never moves,
     * and unlike the LSH family there is no token explosion at all.
     * The equi-join shuffles postings on the block key; the popcount
-    * verify runs in the join's own stage so only true ball members
-    * reach the pair distinct. Degenerate buckets (a fingerprint
-    * region constant across the corpus — e.g. near-empty docs all
-    * voting to 0) are quadratic by the technique's definition, the
-    * same regime [[lshCandidates]] caps; the curation-scale knob is
+    * verify runs in the bucket's own stage so only true ball members
+    * reach the pair distinct.
+    *
+    * Degenerate buckets (a fingerprint region constant across the
+    * corpus — e.g. near-empty docs all voting to 0) are quadratic by
+    * the technique's definition — exactly [[lshCandidates]]' regime,
+    * so the same defence applies: buckets larger than `maxBucket`
+    * expand as a STAR around the minimum doc id instead of
+    * all-pairs, with the same recall caveat (an over-cap member
+    * pairs only with the anchor; B~C inside an over-cap bucket is
+    * found only via the anchor, so a distant-from-anchor member's
+    * pairs are missed — raise `maxBucket` for full recall) and the
+    * same `observe` accounting (`hamming_buckets_<n>`:
+    * overflow_buckets / max_bucket_size). The curation-scale knob is
     * `bits` — at 100 TB run 63-bit fingerprints so each block spans
     * ≥ 15 bits and buckets stay selective — while the oracled 16-bit
-    * form keeps the DuckDB replica's `1 << j` arithmetic tiny. */
+    * form keeps the DuckDB replica's `1 << j` arithmetic tiny.
+    * Fingerprints ride inside the bucket list, so the popcount
+    * verify needs no join back to the fingerprint table. */
   def simhashHammingDups(corpus: DataFrame, spark: SparkSession,
-      bits: Int = 16, maxDist: Int = 1): DataFrame = {
+      bits: Int = 16, maxDist: Int = 1,
+      maxBucket: Int = 1000): DataFrame = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
     require(maxDist >= 0 && maxDist + 1 <= bits,
       s"need maxDist+1 <= bits blocks, got maxDist=$maxDist bits=$bits")
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
     val nb = maxDist + 1
     val base = bits / nb
     val rem = bits % nb
@@ -799,17 +812,30 @@ object Dedup {
         expr(s"shiftright(simhash, ${offsets(j)}) & " +
           s"${(1L << widths(j)) - 1}").as("bval"))
     }: _*)
-    val posting = sh
-      .select(col("doc_id"), col("simhash"), explode(blockArr).as("p"))
-      .select(col("doc_id"), col("simhash"),
-        col("p.blk").as("blk"), col("p.bval").as("bval"))
-    val a = posting.select(col("blk"), col("bval"),
-      col("doc_id").as("d1"), col("simhash").as("s1"))
-    val b = posting.select(col("blk"), col("bval"),
-      col("doc_id").as("d2"), col("simhash").as("s2"))
-    a.join(b, Seq("blk", "bval")).where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        bit_count(expr("s1 ^ s2")).cast("int").as("hamming"))
+    sh.select(col("doc_id"), col("simhash"), explode(blockArr).as("p"))
+      .select(col("p.blk").as("blk"), col("p.bval").as("bval"),
+        struct(col("doc_id"), col("simhash")).as("m"))
+      .groupBy(col("blk"), col("bval"))
+      // sorted by doc_id (unique first struct field) — the star
+      // anchor is the minimum id, all-pairs come out i<j ordered
+      .agg(sort_array(collect_list(col("m"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .observe(s"hamming_buckets_${obsId.incrementAndGet()}",
+        sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L))
+          .as("overflow_buckets"),
+        coalesce(max(size(col("ds"))), lit(0)).as("max_bucket_size"))
+      .select(explode(expr(
+        s"""CASE WHEN size(ds) <= $maxBucket THEN
+           |  flatten(transform(sequence(1, size(ds) - 1),
+           |    i -> transform(slice(ds, i + 1, size(ds) - i),
+           |      j -> struct(element_at(ds, i) as a, j as b))))
+           |ELSE
+           |  transform(slice(ds, 2, size(ds) - 1),
+           |    j -> struct(element_at(ds, 1) as a, j as b))
+           |END""".stripMargin)).as("p"))
+      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
+        bit_count(expr("p.a.simhash ^ p.b.simhash")).cast("int")
+          .as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
   }

@@ -431,6 +431,37 @@ class StressSpec extends AnyFunSuite {
     } finally { cc.unpersist(); () }
   }
 
+  test("stress: a degenerate Hamming bucket (20k identical docs) " +
+    "star-expands instead of going quadratic") {
+    // 20k copies of ONE text: every fingerprint identical, so each of
+    // the 2 blocks has ONE bucket holding all 20k docs — all-pairs
+    // would be 2 × C(20k,2) ≈ 400M pair rows in two tasks. The cap
+    // must (a) finish fast, (b) emit exactly the n-1 anchor-star
+    // pairs, (c) say so in the observe metric.
+    val n = 20000
+    val corpus = spark.range(n).select(col("id").as("doc_id"),
+      lit("same text repeated in every single document body").as("text"))
+    val pairs = timed("degenerate hamming bucket, n=20k")(
+      Dedup.simhashHammingDups(corpus, spark, maxDist = 1).persist())
+    try {
+      val cnt = pairs.count()
+      assert(cnt == (n - 1).toLong,
+        s"expected ${n - 1} anchor-star pairs, got $cnt")
+      // all pairs anchored at doc 0, all hamming 0
+      assert(pairs.where(col("d1") =!= 0L).count() == 0L)
+      assert(pairs.where(col("hamming") =!= 0).count() == 0L)
+      val overflow = pairs.queryExecution.observedMetrics.collect {
+        case (name, row) if name.startsWith("hamming_buckets_") =>
+          (row.getAs[Long]("overflow_buckets"),
+            row.getAs[Int]("max_bucket_size"))
+      }
+      assert(overflow.nonEmpty, "observe metric not recorded")
+      assert(overflow.head._1 == 2L, // one degenerate bucket per block
+        s"expected 2 overflow buckets, got ${overflow.head._1}")
+      assert(overflow.head._2 == n)
+    } finally { pairs.unpersist(); () }
+  }
+
   test("stress: a 100%-hot boilerplate header never parks on one reducer") {
     // 30k docs, every one opening with the SAME 4-token header chunk —
     // the operator's own target pathology (site chrome on every page).
