@@ -138,6 +138,24 @@ object StreamOps {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Continuous KMV distinct-token sketch: the per-cell distinct
+    * vocabulary estimate ([[graft.operators.TextStats
+    * .kmvDistinctTokens]]) maintained over a document stream. The
+    * batch operator is one explode + one UDAF aggregate, so it runs
+    * under Structured Streaming as-is — this alias exists to state
+    * the streaming contract: the bounded k-smallest-distinct-hash
+    * buffer becomes per-group STATE-STORE state, merged per
+    * micro-batch exactly as the batch aggregate merges per
+    * partition, so stream-over-prefix ≡ batch-over-prefix at every
+    * micro-batch boundary (the sketch's mergeability is what makes
+    * this exact, not approximate — pinned in StreamOpsSpec). No
+    * watermark: a stratum cell lives for the stream's life, and its
+    * state is k longs — O(cells × k) total, the operator's whole
+    * point. Emit with `complete`/`update` output mode. */
+  def streamingKmvDistinct(docs: DataFrame, groupCols: Seq[String],
+      k: Int = 128, salt: String = "kmv"): DataFrame =
+    graft.operators.TextStats.kmvDistinctTokens(docs, groupCols, k, salt)
+
   /** Streaming MinHash-LSH NEAR-dup detection with watermark-bounded
     * state — the streaming form of
     * [[graft.operators.Dedup.minhashNearDups]]'s array-native

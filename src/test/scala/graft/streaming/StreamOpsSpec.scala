@@ -329,4 +329,36 @@ class StreamOpsSpec extends AnyFunSuite {
           ("b", 1L, 0.0)))
     } finally q.stop()
   }
+
+  test("streamingKmvDistinct: sketch state equals the batch sketch " +
+    "over the stream prefix at every micro-batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val b1 = (0 until 30).map(i => (i.toLong, s"l${i % 2}",
+      s"tok$i shared common words here"))
+    val b2 = (30 until 60).map(i => (i.toLong, s"l${i % 2}",
+      s"tok$i shared common words here plus tok${i - 30}"))
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "lang", "text")
+    val agg = StreamOps.streamingKmvDistinct(docs, Seq("lang"), k = 8)
+    val q = agg.writeStream.format("memory").queryName("kmv")
+      .outputMode("complete").start()
+    def batchOver(rows: Seq[(Long, String, String)]) =
+      graft.operators.TextStats.kmvDistinctTokens(
+          rows.toDF("doc_id", "lang", "text"), Seq("lang"), k = 8)
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    def streamed() = spark.table("kmv").orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOver(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOver(b1 ++ b2))
+    } finally q.stop()
+  }
 }
