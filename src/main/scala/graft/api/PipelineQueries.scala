@@ -2069,6 +2069,153 @@ object PipelineQueries {
       |  least(cell_tokens, target_tokens) AS kept_tokens_est
       |FROM tgt ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- count-min sketch
+  /** p53 — Count-Min frequency sketch per lang
+    * ([[TextStats.countMinFreq]], depth 4 × width 32): the
+    * bounded-state token-FREQUENCY sibling of p52's KMV distinct
+    * counter, probed for two stopwords, one content token, and one
+    * absent token. Width 32 is deliberately small so hash collisions
+    * actually overcount at sf0.01 — both branches of the estimate are
+    * exercised, and the audit columns pin the CMS one-sided guarantee
+    * (overcount ≥ 0) cell-for-cell against the DuckDB replica. */
+  private def p53(s: SparkSession, dir: String): DataFrame =
+    TextStats.countMinFreq(docsSpread(s, dir), Seq("lang"),
+      probes = Seq("the", "a", "join", "zzz_missing"),
+      depth = 4, width = 32)
+      .orderBy(col("lang"), col("tok"))
+
+  private val p53Sql =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |js AS (SELECT j FROM range(0, 4) t(j)),
+       |cells AS (
+       |  SELECT lang, j,
+       |    ${polyHashSql("'cms' || CAST(j AS VARCHAR) || ':' || w")} % 32
+       |      AS bucket,
+       |    count(*) AS cnt
+       |  FROM tok CROSS JOIN js GROUP BY 1, 2, 3),
+       |pr AS (SELECT unnest(['the', 'a', 'join', 'zzz_missing']) AS tok),
+       |pb AS (
+       |  SELECT g.lang, pr.tok, js.j,
+       |    ${polyHashSql("'cms' || CAST(js.j AS VARCHAR) || ':' || pr.tok")} % 32
+       |      AS bucket
+       |  FROM (SELECT DISTINCT lang FROM documents) g
+       |  CROSS JOIN pr CROSS JOIN js),
+       |est AS (
+       |  SELECT pb.lang, pb.tok,
+       |    min(COALESCE(c.cnt, 0)) AS est_freq
+       |  FROM pb LEFT JOIN cells c
+       |    ON c.lang = pb.lang AND c.j = pb.j AND c.bucket = pb.bucket
+       |  GROUP BY pb.lang, pb.tok),
+       |ex AS (
+       |  SELECT lang, w AS tok, count(*) AS exact_freq
+       |  FROM tok WHERE w IN ('the', 'a', 'join', 'zzz_missing')
+       |  GROUP BY lang, w)
+       |SELECT e.lang, e.tok, e.est_freq,
+       |  COALESCE(x.exact_freq, 0) AS exact_freq,
+       |  e.est_freq - COALESCE(x.exact_freq, 0) AS overcount
+       |FROM est e LEFT JOIN ex x ON x.lang = e.lang AND x.tok = e.tok
+       |ORDER BY e.lang, e.tok""".stripMargin
+
+  // ---------------------------------------------------------------- embedding covariance
+  /** p54 — exact covariance statistics over the first 8 embedding
+    * dimensions ([[Similarity.covarianceStats]]): the PCA/whitening
+    * preprocessing aggregate — one corpus scan, O(d²) integer state,
+    * covariance as an exact-integer numerator over n² in one IEEE
+    * division. The oracle rebuilds every pair from a self-join of the
+    * unnested components; the engine never materializes that join. */
+  private def p54(s: SparkSession, dir: String): DataFrame =
+    Similarity.covarianceStats(emb(s, dir), nDims = 8)
+      .orderBy(col("i"), col("j"))
+
+  private val p54Sql =
+    """WITH comp AS (
+      |  SELECT vec_id, d,
+      |    CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS q
+      |  FROM (
+      |    SELECT vec_id, unnest(embedding) AS v,
+      |           generate_subscripts(embedding, 1) AS d
+      |    FROM embeddings)
+      |  WHERE d <= 8),
+      |pairs AS (
+      |  SELECT CAST(a.d AS INTEGER) AS i, CAST(b.d AS INTEGER) AS j,
+      |    count(*) AS n,
+      |    CAST(sum(a.q) AS BIGINT) AS s_i,
+      |    CAST(sum(b.q) AS BIGINT) AS s_j,
+      |    CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+      |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.d <= b.d
+      |  GROUP BY 1, 2)
+      |SELECT i, j, n, s_i, s_j, s_ij,
+      |  CAST(n * s_ij - s_i * s_j AS DOUBLE)
+      |    / CAST(n * n AS DOUBLE) AS cov
+      |FROM pairs ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------- split leakage
+  /** p55 — split-leakage audit ([[Sampling.splitLeakage]] over
+    * [[Dedup.minhashNearDups]] pairs): near-duplicate pairs whose two
+    * sides land in DIFFERENT hash splits — the eval-integrity check a
+    * train/test fence needs before held-out numbers mean anything.
+    * Split labels are recomputed in-row from the pair ids with the
+    * exact [[Sampling.assignSplits]] hash — no corpus-sized
+    * assignment join — so the audit costs one projection over the
+    * pair set. The planted near-dups guarantee cross-split pairs at
+    * sf0.01 (copy ids hash independently of their originals). */
+  private def p55(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitLeakage(
+      Dedup.minhashNearDups(
+        TextOps.withPlantedNearDups(docsSpread(s, dir), every = 25,
+          dropWords = 3),
+        s, shingleK = 3, numPerms = 16, rowsPerBand = 4,
+        threshold = 0.5))
+      .orderBy(col("d1"), col("d2"))
+
+  private val p55Sql =
+    s"""$NearDupCtes,
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_inter
+       |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+       |    JOIN dt y ON y.doc_id = c.d2 AND y.tid = x.tid
+       |  GROUP BY c.d1, c.d2),
+       |pairs AS (
+       |  SELECT i.d1, i.d2, i.n_inter,
+       |    s1.n + s2.n - i.n_inter AS n_union,
+       |    CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter)
+       |      AS jaccard
+       |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
+       |    JOIN sz s2 ON s2.doc_id = i.d2
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter)
+       |    >= 0.5),
+       |sp AS (
+       |  SELECT p.*,
+       |    ${polyHashSql("'split:' || CAST(d1 AS VARCHAR)")} % 100 AS b1,
+       |    ${polyHashSql("'split:' || CAST(d2 AS VARCHAR)")} % 100 AS b2
+       |  FROM pairs p)
+       |SELECT d1, d2, n_inter, n_union, jaccard,
+       |  CASE WHEN b1 < 80 THEN 'train' WHEN b1 < 90 THEN 'val'
+       |       ELSE 'test' END AS split1,
+       |  CASE WHEN b2 < 80 THEN 'train' WHEN b2 < 90 THEN 'val'
+       |       ELSE 'test' END AS split2
+       |FROM sp
+       |WHERE (CASE WHEN b1 < 80 THEN 'train' WHEN b1 < 90 THEN 'val'
+       |       ELSE 'test' END)
+       |   <> (CASE WHEN b2 < 80 THEN 'train' WHEN b2 < 90 THEN 'val'
+       |       ELSE 'test' END)
+       |ORDER BY d1, d2""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2123,7 +2270,10 @@ object PipelineQueries {
     "p49_temperature_mixture" -> (p49 _),
     "p50_diversity_sample" -> (p50 _),
     "p51_simhash_hamming" -> (p51 _),
-    "p52_kmv_distinct" -> (p52 _))
+    "p52_kmv_distinct" -> (p52 _),
+    "p53_countmin_freq" -> (p53 _),
+    "p54_embed_covariance" -> (p54 _),
+    "p55_split_leakage" -> (p55 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2179,5 +2329,8 @@ object PipelineQueries {
     "p49_temperature_mixture" -> p49Sql,
     "p50_diversity_sample" -> p50Sql,
     "p51_simhash_hamming" -> p51Sql,
-    "p52_kmv_distinct" -> p52Sql)
+    "p52_kmv_distinct" -> p52Sql,
+    "p53_countmin_freq" -> p53Sql,
+    "p54_embed_covariance" -> p54Sql,
+    "p55_split_leakage" -> p55Sql)
 }

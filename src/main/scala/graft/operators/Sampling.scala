@@ -129,6 +129,38 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Split-LEAKAGE audit: near-duplicate pairs that STRADDLE a
+    * train/val/test boundary — the eval-integrity check a hash split
+    * ([[assignSplits]]) needs before anyone trusts held-out numbers
+    * (a doc-level split is blind to duplicate structure: two
+    * near-copies land on opposite sides with probability
+    * 1 − Σ pₛ², and every such pair silently inflates eval scores).
+    * Input is any near-dup pair frame (e.g.
+    * [[Dedup.minhashNearDups]]'s `(d1, d2, …, jaccard)`); each side's
+    * split is recomputed IN-ROW from the same salted hash
+    * [[assignSplits]] uses — no join against a corpus-sized
+    * assignment table, so the audit costs one projection over the
+    * (already small) pair set regardless of corpus size. Cross-split
+    * pairs survive with both labels; fixing them (quarantining one
+    * side, or re-keying the split on the dedup cluster id from
+    * [[Dedup.nearDupClusters]] so whole clusters travel together) is
+    * the caller's policy decision. */
+  def splitLeakage(pairs: DataFrame, salt: String = "split",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    graft.functions.PolyHash31.register(pairs.sparkSession)
+    def splitOf(c: Column): Column = {
+      val b = splitHash(salt, c) % 100
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test")
+    }
+    pairs
+      .withColumn("split1", splitOf(col("d1")))
+      .withColumn("split2", splitOf(col("d2")))
+      .where(col("split1") =!= col("split2"))
+  }
+
   /** Mixture rebalancing plan: per stratum cell (e.g. lang × source),
     * the deterministic downsampling rate that moves the corpus toward
     * a UNIFORM token budget per cell — `target = total_tokens div

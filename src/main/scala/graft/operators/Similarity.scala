@@ -426,6 +426,50 @@ object Similarity {
     emb.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact second-moment (covariance) statistics over the first
+    * `nDims` embedding components — the one-pass aggregate PCA /
+    * whitening / decorrelation preprocessing needs before any
+    * projection can be chosen. For every dimension pair i ≤ j the
+    * exact int64 sums n, Σvᵢ, Σvⱼ, Σvᵢvⱼ over the e4-quantized
+    * components (the p11/p13/p38 fixed-point convention), plus the
+    * covariance itself — numerator `n·Σvᵢvⱼ − Σvᵢ·Σvⱼ` formed in
+    * exact integer arithmetic and divided by n² in ONE IEEE step, so
+    * any engine reproduces it bit-for-bit (a naive mean-centered
+    * float accumulation is order-dependent AND catastrophically
+    * cancels; the integer form is neither).
+    *
+    * Scale shape: ONE projection + ONE global hash aggregate — state
+    * is O(nDims²) longs total (map-side partial, no shuffle of the
+    * corpus, nothing materialized per row pair); the d² pair fan-out
+    * happens on the SINGLE aggregated row, not per vector. Headroom:
+    * |v| ≤ ~2·10⁴ ⇒ |Σvᵢvⱼ| < 2⁶³ up to ~2·10¹⁰ rows and
+    * |n·Σvᵢvⱼ| < 2⁶³ up to ~5·10⁹ rows at this quantization — past
+    * that, run per-partition and combine the sums as decimals; the
+    * sums themselves stay mergeable by addition. Output:
+    * (i, j, n, s_i, s_j, s_ij, cov), i ≤ j. */
+  def covarianceStats(emb: DataFrame, nDims: Int): DataFrame = {
+    require(nDims >= 1, s"nDims must be >= 1, got $nDims")
+    val comp = emb.select((1 to nDims).map(d => expr(
+      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)")
+      .as(s"v$d")): _*)
+    val pairIdx = for { i <- 1 to nDims; j <- i to nDims } yield (i, j)
+    val aggCols = Seq(count(lit(1)).as("n")) ++
+      (1 to nDims).map(d => sum(col(s"v$d")).as(s"s$d")) ++
+      pairIdx.map { case (i, j) =>
+        sum(col(s"v$i") * col(s"v$j")).as(s"p${i}_$j") }
+    val one = comp.agg(aggCols.head, aggCols.tail: _*)
+    val pairs = array(pairIdx.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"), col(s"s$i").as("s_i"),
+        col(s"s$j").as("s_j"), col(s"p${i}_$j").as("s_ij")) }: _*)
+    one.select(col("n"), explode(pairs).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("n"),
+        col("p.s_i").as("s_i"), col("p.s_j").as("s_j"),
+        col("p.s_ij").as("s_ij"),
+        ((col("n") * col("p.s_ij") - col("p.s_i") * col("p.s_j"))
+          .cast("double") /
+          (col("n") * col("n")).cast("double")).as("cov"))
+  }
+
   /** Symmetric int8 quantization audit per vector — the vector-store
     * compression step: per-vector scale = maxabs/127, q_i =
     * round(v_i/scale) ∈ [-127, 127], plus the reconstruction error the

@@ -601,4 +601,94 @@ object TextStats {
     docs.select(col("lang"), langGuess.as("guess"))
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n"))
+
+  /** COUNT-MIN sketch cells per stratum — the bounded-state token
+    * FREQUENCY sibling of [[kmvDistinctTokens]]'s distinct counter
+    * (Cormode & Muthukrishnan's CM sketch): `depth` hash rows ×
+    * `width` buckets of plain occurrence sums. An exact per-token
+    * frequency table shuffles the whole vocabulary (the p33/p37 freq
+    * join needed salting for exactly that reason); the sketch's state
+    * is depth×width longs per group NO MATTER the vocabulary — the
+    * map-side partial aggregate is bounded at depth×width×groups
+    * counters per task, and cells merge by ADDITION, so
+    * union-then-sketch ≡ sum-of-sketches across partitions, days, or
+    * corpora (pinned in the spec; the same mergeability that lets the
+    * KMV sketch run as streaming state).
+    *
+    * Determinism is total, not just statistical: cell counts are sums
+    * of exact occurrence counts routed by the shared `poly_hash31`
+    * (row j's hash is salted `"cms<j>:" ++ token`), independent of
+    * partitioning and merge order — a DuckDB replica reproduces every
+    * cell bit-for-bit, not merely the estimates. Output: groupCols,
+    * j (hash row), bucket, cnt — only OCCUPIED cells are emitted
+    * (absent cells are zero by construction; readers coalesce). */
+  def countMinCells(docs: DataFrame, groupCols: Seq[String],
+      depth: Int = 4, width: Int = 32, salt: String = "cms"): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val jb = array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        pmod(call_function("poly_hash31",
+          concat(lit(s"$salt$j:"), col("w"))), lit(width.toLong)).as("bucket"))
+    }: _*)
+    docs
+      .select(groupCols.map(col) :+
+        explode(split(col("text"), " ")).as("w"): _*)
+      .select(groupCols.map(col) :+ explode(jb).as("jb"): _*)
+      .select(groupCols.map(col) ++ Seq(col("jb.j").as("j"),
+        col("jb.bucket").as("bucket")): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("j"), col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the CM sketch for a probe token list: est(tok) =
+    * min over the depth rows of that token's cell count — the classic
+    * one-sided estimate (est ≥ exact ALWAYS; overcount comes only
+    * from colliding tokens sharing all of a row's bucket). The audit
+    * columns (`exact_freq`, `overcount`) re-count the probe tokens
+    * exactly — cheap here because the exact aggregate is FILTERED to
+    * the probes before grouping; a production caller at 100 TB reads
+    * `est_freq` alone and skips that scan. The probe side is
+    * groups×|probes|×depth rows built from literals, and the sketch
+    * side arrives pre-aggregated (depth×width×groups rows) through a
+    * broadcast — the corpus is scanned once per aggregate and never
+    * joined row-to-row. Output: groupCols, tok, est_freq, exact_freq,
+    * overcount (≥ 0, pinned in the spec). */
+  def countMinFreq(docs: DataFrame, groupCols: Seq[String],
+      probes: Seq[String], depth: Int = 4, width: Int = 32,
+      salt: String = "cms"): DataFrame = {
+    require(probes.nonEmpty, "probe token list must be non-empty")
+    val spark = docs.sparkSession
+    graft.functions.PolyHash31.register(spark)
+    val cells = countMinCells(docs, groupCols, depth, width, salt)
+    val probeDf = spark.range(1)
+      .select(explode(array(probes.map(lit): _*)).as("tok"))
+    val jb = array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        pmod(call_function("poly_hash31",
+          concat(lit(s"$salt$j:"), col("tok"))), lit(width.toLong)).as("bucket"))
+    }: _*)
+    val probed = docs.select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(probeDf))
+      .select(groupCols.map(col) ++ Seq(col("tok"),
+        explode(jb).as("jb")): _*)
+      .select(groupCols.map(col) ++ Seq(col("tok"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket")): _*)
+    val est = probed
+      .join(broadcast(cells), groupCols ++ Seq("j", "bucket"), "left")
+      .groupBy(groupCols.map(col) :+ col("tok"): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_freq"))
+    val exact = docs
+      .select(groupCols.map(col) :+
+        explode(split(col("text"), " ")).as("tok"): _*)
+      .where(col("tok").isin(probes: _*))
+      .groupBy(groupCols.map(col) :+ col("tok"): _*)
+      .agg(count(lit(1)).as("exact_freq"))
+    est.join(exact, groupCols :+ "tok", "left")
+      .select(groupCols.map(col) ++ Seq(col("tok"), col("est_freq"),
+        coalesce(col("exact_freq"), lit(0L)).as("exact_freq"),
+        (col("est_freq") - coalesce(col("exact_freq"), lit(0L)))
+          .as("overcount")): _*)
+  }
 }

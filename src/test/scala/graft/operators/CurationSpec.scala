@@ -310,4 +310,75 @@ class CurationSpec extends AnyFunSuite {
           r.getLong(3))).toSeq
     assert(run(1) == run(8), "union-then-sketch must equal merged sketches")
   }
+
+  // ---------------------------------------------------------------- countMinFreq
+
+  private def cmsBucket(j: Int, w: String, width: Int): Long =
+    graft.functions.PolyHash31.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"cms$j:" + w)
+    ) % width
+
+  /** Reference CM estimate: min over rows of the summed counts of all
+    * tokens sharing the probe's bucket in that row. */
+  private def cmsRef(counts: Map[String, Long], probe: String,
+      depth: Int, width: Int): Long =
+    (0 until depth).map { j =>
+      val b = cmsBucket(j, probe, width)
+      counts.collect {
+        case (w, c) if cmsBucket(j, w, width) == b => c
+      }.sum
+    }.min
+
+  test("countMinFreq: estimates match the reference sketch cell-for-cell " +
+    "and never undercount, even at width 2") {
+    val d = Seq(
+      (0L, "en", "a b b c c c d"),
+      (1L, "en", "a a e f g"),
+      (2L, "en", "b h")).toDF("doc_id", "lang", "text")
+    val counts = Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 1L,
+      "e" -> 1L, "f" -> 1L, "g" -> 1L, "h" -> 1L)
+    for (width <- Seq(2, 8, 1024)) {
+      val probes = Seq("a", "c", "h", "nope")
+      val r = TextStats.countMinFreq(d, Seq("lang"), probes,
+        depth = 4, width = width).orderBy("tok").collect()
+      assert(r.length == probes.length)
+      r.foreach { row =>
+        val tok = row.getString(1)
+        val exact = counts.getOrElse(tok, 0L)
+        assert(row.getLong(2) == cmsRef(counts, tok, 4, width),
+          s"est($tok) at width $width")
+        assert(row.getLong(3) == exact, s"exact($tok)")
+        assert(row.getLong(4) == row.getLong(2) - exact
+          && row.getLong(4) >= 0L, s"overcount($tok) must be >= 0")
+      }
+      // the sketch is one-sided by construction; at a generous width
+      // the estimate collapses to the exact count
+      if (width == 1024)
+        r.foreach(row => assert(row.getLong(4) == 0L))
+    }
+  }
+
+  test("countMinCells: cells merge by addition — partitioning never " +
+    "changes a cell") {
+    val d = (0 until 300).map(i => (i.toLong, s"l${i % 2}",
+        s"tok${i % 50} tok${i % 7} shared")).toDF("doc_id", "lang", "text")
+    def run(parts: Int) =
+      TextStats.countMinCells(d.repartition(parts), Seq("lang"),
+        depth = 3, width = 16)
+        .orderBy("lang", "j", "bucket").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(run(1) == run(7), "sum-of-sketches must equal union-then-sketch")
+  }
+
+  test("countMinCells: per-group state is bounded at depth x width " +
+    "occupied cells no matter the vocabulary") {
+    val d = (0 until 2000).map(i => (i.toLong, "en", s"u$i v$i w$i"))
+      .toDF("doc_id", "lang", "text")
+    val cells = TextStats.countMinCells(d, Seq("lang"),
+      depth = 4, width = 32).collect()
+    assert(cells.length <= 4 * 32)
+    // 6000 token occurrences all land somewhere
+    assert(cells.map(_.getLong(3)).sum == 6000L * 4)
+  }
 }

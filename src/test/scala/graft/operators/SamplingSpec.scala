@@ -295,6 +295,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == r.map(_.toSeq).toSeq)
   }
 
+  test("splitLeakage: keeps only cross-split pairs, labels match " +
+    "assignSplits, columns carried through") {
+    def splitOf(id: Long): String = {
+      val b = graft.functions.PolyHash31.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"split:$id")
+      ) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    // scan ids until we have one same-split and one cross-split pair
+    val ids = (0L until 200L)
+    val base = ids.find(i => splitOf(i) == "train").get
+    val same = ids.find(i => i != base && splitOf(i) == "train").get
+    val cross = ids.find(i => splitOf(i) != "train").get
+    val pairs = Seq((base, same, 0.9), (base, cross, 0.8))
+      .toDF("d1", "d2", "jaccard")
+    val r = Sampling.splitLeakage(pairs).collect()
+    assert(r.length == 1, "same-split pair must be filtered out")
+    assert(r.head.getLong(0) == base && r.head.getLong(1) == cross)
+    assert(r.head.getDouble(2) == 0.8, "payload columns carried through")
+    assert(r.head.getString(3) == "train"
+      && r.head.getString(4) == splitOf(cross))
+    // in-row recompute: no join appears in the plan
+    val joins = Sampling.splitLeakage(pairs).queryExecution.optimizedPlan
+      .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, "split labels must be recomputed in-row")
+    // agreement with assignSplits over the same ids
+    val docs = Seq(base, same, cross).toDF("doc_id")
+    Sampling.assignSplits(docs).collect().foreach { row =>
+      assert(row.getString(3) == splitOf(row.getLong(0)))
+    }
+  }
+
   test("scrub: redacts planted spans, counts them, normalizes whitespace") {
     val d = Seq(
       (0L, "hello  bob@mail.example  call 555-1234 now "),

@@ -393,4 +393,39 @@ class SimilaritySpec extends AnyFunSuite {
     val s = Similarity.quantizationStats(short).collect().head
     assert(s.getLong(4) == 127L && s.isNullAt(5))
   }
+
+  test("covarianceStats: exact integer moments, hand-checked covariance") {
+    val emb = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.covarianceStats(emb, nDims = 2)
+      .orderBy("i", "j").collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq
+      == Seq((1, 1), (1, 2), (2, 2)))
+    // v = (10000, 20000), (30000, 40000): every pair covariance is
+    // (2·s_ij − s_i·s_j)/4 = 1e8 for this rank-1 layout
+    r.foreach { x =>
+      assert(x.getLong(2) == 2L, "n")
+      assert(x.getDouble(6) == 1e8, s"cov(${x.getInt(0)},${x.getInt(1)})")
+    }
+    val p11 = r(0) // i=j=1: s=40000, s_ij=1e9
+    assert(p11.getLong(3) == 40000L && p11.getLong(5) == 1000000000L)
+    val p12 = r(1) // s_i=40000, s_j=60000, s_ij=1.4e9
+    assert(p12.getLong(3) == 40000L && p12.getLong(4) == 60000L
+      && p12.getLong(5) == 1400000000L)
+  }
+
+  test("covarianceStats: one aggregate, no join — the pair fan-out " +
+    "happens on the single aggregated row") {
+    val emb = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(4.0f, 5.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.covarianceStats(emb, nDims = 3)
+    val plan = r.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"covariance must not self-join: $joins")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.length == 1, s"expected exactly one aggregate, got $aggs")
+    assert(r.count() == 6) // 3·4/2 pairs from one row
+  }
 }
