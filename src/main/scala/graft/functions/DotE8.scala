@@ -183,6 +183,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("poly_hash31"),
       new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
       (args: Seq[Expression]) => PolyHash31(args.head)))
+    ext.injectFunction((FunctionIdentifier("micros_of"),
+      new ExpressionInfo(classOf[MicrosOf].getName, "micros_of"),
+      (args: Seq[Expression]) => MicrosOf(args.head)))
     // derived-column predicate derivation (pushable raw-ts bounds from
     // filters on `t = ts div 1000` — see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.DerivedDivBounds)

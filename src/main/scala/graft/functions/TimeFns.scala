@@ -1,7 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Time helpers mirroring the reference's semantics.
   *
@@ -68,6 +72,10 @@ object TimeFns {
   def inRangeInclusive(tUs: Column, t0Us: Long, t1Us: Long): Column =
     tUs >= lit(t0Us) && tUs <= lit(t1Us)
 
+  /** Whether [[MicrosOf]] applies to the column's type. */
+  def isTimestampLike(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
   /** C3 — naive-UTC timestamp parsing (reference `utils.py:14-19`): an
     * ISO timestamp with no zone is ASSUMED UTC; an explicit offset is
     * honored then normalized to UTC; date-only means midnight UTC.
@@ -94,4 +102,47 @@ object TimeFns {
     }
     utc.toInstant.getEpochSecond * 1000000L + utc.toInstant.getNano / 1000L
   }
+}
+
+/** `micros_of(ts)` — the epoch-µs long of a timestamp column as a pure
+  * REINTERPRET of Catalyst's internal representation (TimestampType and
+  * TimestampNTZType both store a long of microseconds): no timezone
+  * arithmetic, no cast, no rounding. The mapping `t = micros_of(ts)` is
+  * therefore a bijection with the stored value, which is what lets
+  * [[graft.plans.DerivedDivBounds]] rewrite `micros_of(ts) cmp lit`
+  * into an equivalent raw `ts cmp timestamp-literal` predicate that
+  * reaches the parquet footer (row-group pruning). For NTZ data the
+  * result is the naive wall-clock read as UTC — exactly the DuckDB
+  * oracle's `epoch_us(ts)`; `unix_micros(cast(ts as timestamp))` would
+  * compute the same ONLY under a UTC session zone, and its cast blocks
+  * pushdown. */
+case class MicrosOf(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"micros_of requires a timestamp argument, got ${dt.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "micros_of"
+
+  // the internal value IS the result — identity on the physical long
+  override def nullSafeEval(v: Any): Any = v
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MicrosOf = copy(child = newChild)
+}
+
+object MicrosOf {
+  private[graft] val builder = (args: Seq[Expression]) => {
+    require(args.length == 1, "micros_of takes exactly 1 argument")
+    MicrosOf(args.head)
+  }
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    DotE8.registerOnce(spark, "micros_of", builder)
 }

@@ -115,33 +115,48 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
   // filter on the derived `t` must row-group-prune even in sessions
   // built without GraftExtensions or the harness entry points
   graft.plans.DerivedDivBounds.register(spark)
+  graft.functions.MicrosOf.register(spark)
 
   private val eventTypes =
     Seq("click", "error", "purchase", "signup", "view") // sorted, stable ids
 
-  /** The driver's `events.parquet` stores `ts` as parquet
-    * TIMESTAMP(NANOS,false), which Spark 4 rejects at scan time by
-    * default ([PARQUET_TYPE_ILLEGAL]). `nanosAsLong` (runtime-settable)
-    * reads it as a bigint of epoch-nanoseconds instead; the µs epoch the
-    * engine works in is then the exact integer `ts div 1000` — matching
-    * DuckDB's `epoch_us(ts)` truncation bit-for-bit. */
+  /** The driver's `events.parquet` has shipped `ts` under TWO
+    * encodings: parquet `timestamp[us]` (Spark TIMESTAMP_NTZ — the
+    * current files) and legacy TIMESTAMP(NANOS,false), which Spark 4
+    * rejects at scan time by default ([PARQUET_TYPE_ILLEGAL]);
+    * `nanosAsLong` (runtime-settable, harmless for µs data) reads the
+    * latter as a bigint of epoch-nanoseconds. [[pointsAll]] dispatches
+    * on the RESULTING Spark type, so both encodings flow through the
+    * same downstream plan. */
   def raw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
-  /** events in archive-point shape, with the derived epoch-µs `t`. */
+  /** events in archive-point shape, with the derived epoch-µs `t`.
+    *
+    * Encoding dispatch for `t`:
+    *  - long epoch-nanos (legacy): `ts div 1000` — exact long division
+    *    (Spark's `/` on longs is double division, lossy above 2^53);
+    *  - timestamp / timestamp_ntz (current): `micros_of(ts)` — a pure
+    *    reinterpret of the internal µs long ([[graft.functions
+    *    .MicrosOf]]), timezone-free and bijective, matching DuckDB's
+    *    `epoch_us(ts)` bit-for-bit.
+    * Either way [[graft.plans.DerivedDivBounds]] (registered above)
+    * rewrites range predicates on `t` into raw-`ts` bounds the parquet
+    * footer can prune on — no manual predicate pairing needed. */
   def pointsAll: DataFrame = {
     val typeId = eventTypes.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (t, i)) =>
         when(col("event_type") === t, lit(i)).otherwise(acc)
       }
     val df = raw
-    // `ts div 1000` is exact long division (Spark's `/` on longs is
-    // double division — lossy above 2^53, i.e. for any epoch-nanos).
     val tUs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => TimeFns.epochUs(col("ts").cast("timestamp"))
+      case dt if TimeFns.isTimestampLike(dt) => expr("micros_of(ts)")
+      case dt => throw new IllegalStateException(
+        s"events.ts has unsupported type ${dt.sql} (expected " +
+          "epoch-nano bigint, timestamp, or timestamp_ntz)")
     }
     df.select(
       col("event_id").as("point_id"),
@@ -153,10 +168,6 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
       date_format(timestamp_micros(tUs), "yyyy-MM-dd").as("period"),
       timestamp_micros(tUs).as("data_time"),
       tUs.as("t"),
-      // the RAW scan column rides along so time predicates built by
-      // [[EventsArchiveAdapter.tsRangeUs]] can reach the parquet footer
-      // (a range on the derived `t = ts div 1000` is opaque to pushdown)
-      col("ts").as("ts_raw"),
       col("value").as("value_r"),
       col("props").as("error_desc"))
   }
@@ -313,30 +324,31 @@ object CassandraArchiveSource {
 object EventsArchiveAdapter {
   import graft.cache.ArchiveCache.TtlCache
 
-  /** Pushdown-friendly µs-range predicates over [[EventsArchiveAdapter
-    * .pointsAll]]: each pairs the EXACT predicate on the derived µs `t`
-    * with the equivalent range on the raw nanosecond `ts_raw` column —
-    * only the latter reaches the parquet row-group statistics (at scale
-    * the difference is pruning vs a full-archive read). `ts div 1000 ∈
-    * [t0,t1] ⟺ ts ∈ [t0·1000, t1·1000+999]`, so the pair is a no-op on
-    * the result set and the oracle is unaffected. */
+  /** µs-range predicates over [[EventsArchiveAdapter.pointsAll]]'s
+    * derived `t`. They are PLAIN range filters: the pushable raw-`ts`
+    * bound is derived by [[graft.plans.DerivedDivBounds]] (which the
+    * adapter registers unconditionally) for BOTH storage encodings —
+    * `t = ts div 1000` over legacy epoch-nanos longs and
+    * `t = micros_of(ts)` over timestamp/timestamp_ntz data. Earlier
+    * rounds paired an epoch-NANO literal bound on the raw column here
+    * manually; that hard-wired one encoding and broke outright when the
+    * driver regenerated `events.parquet` as `timestamp[us]` — the rule
+    * route is encoding-agnostic and covers naive user filters too
+    * (PlanGuardSpec / FreshSessionSpec assert the footer pushdown). */
   def tsRangeUs(t0Us: Long, t1Us: Long): org.apache.spark.sql.Column =
-    graft.functions.TimeFns.inRangeInclusive(col("t"), t0Us, t1Us) &&
-      col("ts_raw").between(t0Us * 1000L, t1Us * 1000L + 999L)
+    graft.functions.TimeFns.inRangeInclusive(col("t"), t0Us, t1Us)
 
-  /** Half-open [t0, t1): `t >= t0 && t < t1` with pushable raw bounds. */
+  /** Half-open [t0, t1). */
   def tsGeLtUs(t0Us: Long, t1Us: Long): org.apache.spark.sql.Column =
-    col("t") >= t0Us && col("t") < t1Us &&
-      col("ts_raw") >= t0Us * 1000L && col("ts_raw") < t1Us * 1000L
+    col("t") >= t0Us && col("t") < t1Us
 
-  /** Open (t0, t1): `t > t0 && t < t1` with pushable raw bounds. */
+  /** Open (t0, t1). */
   def tsGtLtUs(t0Us: Long, t1Us: Long): org.apache.spark.sql.Column =
-    col("t") > t0Us && col("t") < t1Us &&
-      col("ts_raw") > t0Us * 1000L + 999L && col("ts_raw") < t1Us * 1000L
+    col("t") > t0Us && col("t") < t1Us
 
-  /** Strictly-before cutoff with a pushable raw bound. */
+  /** Strictly-before cutoff. */
   def tsLtUs(t1Us: Long): org.apache.spark.sql.Column =
-    col("t") < t1Us && col("ts_raw") < t1Us * 1000L
+    col("t") < t1Us
 
   private val caches =
     new java.util.concurrent.ConcurrentHashMap[String, TtlCache[DataFrame]]()

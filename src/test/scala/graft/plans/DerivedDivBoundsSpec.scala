@@ -4,21 +4,38 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
-/** The derived-bound rule: a NAIVE filter on the derived µs column
-  * `t = ts div 1000` — no manually paired raw bound — must still put a
-  * raw-`ts` predicate into the parquet footer, and must never change
-  * results, including at the truncation edge cases the sign guards
-  * protect. */
+/** The derived-bound rule: a NAIVE filter on the derived µs column —
+  * `t = ts div 1000` over legacy epoch-nano longs, `t = micros_of(ts)`
+  * over the current timestamp_ntz encoding, no manually paired raw
+  * bound either way — must still put a raw-`ts` predicate into the
+  * parquet footer, and must never change results, including at the
+  * truncation edge cases the sign guards protect. */
 class DerivedDivBoundsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** The driver's current events.parquet: ts is timestamp[us] → the
+    * adapter derives t via micros_of. */
+  private def eventsNtz = {
+    graft.functions.MicrosOf.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("ts"), expr("ts div 1000").as("t"), col("user_id"))
+      .select(col("ts"), expr("micros_of(ts)").as("t"), col("user_id"))
   }
 
-  test("naive t-range filter reaches the footer as a raw ts bound") {
+  /** The legacy encoding: epoch-nano longs (what TIMESTAMP(NANOS)
+    * data looks like after the nanosAsLong read) → t = ts div 1000. */
+  private lazy val legacyPath = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ddb-legacy").toString
+    eventsNtz.select((col("t") * 1000L).as("ts"), col("user_id"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private def eventsLegacy =
+    spark.read.parquet(legacyPath)
+      .select(col("ts"), expr("ts div 1000").as("t"), col("user_id"))
+
+  private def assertPrunes(events: => org.apache.spark.sql.DataFrame,
+      label: String): Unit = {
     DerivedDivBounds.register(spark)
     val Seq(t0, t1) = events.agg(min("t"), max("t")).collect()
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSeq
@@ -31,13 +48,23 @@ class DerivedDivBoundsSpec extends AnyFunSuite {
     }
     assert(pushed.exists(s => s.contains("GreaterThanOrEqual(ts")
       && s.contains("LessThanOrEqual(ts")),
-      s"no derived raw-ts bounds pushed (pushed=$pushed)")
-    // identical rows to the un-deriving formulation (count + endpoint)
+      s"$label: no derived raw-ts bounds pushed (pushed=$pushed)")
+    // identical rows to the un-deriving formulation (count + endpoint);
+    // key on (t, user_id) so the comparison is encoding-agnostic
     val expected = events.collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .filter { case (_, t) => t >= mid0 && t <= mid1 }
-    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(got.toSet == expected.toSet && got.length == expected.length)
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .filter { case (t, _) => t >= mid0 && t <= mid1 }
+    val got = df.collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSet == expected.toSet && got.length == expected.length,
+      s"$label: rule changed the result set")
+  }
+
+  test("naive t-range filter reaches the footer (timestamp_ntz encoding)") {
+    assertPrunes(eventsNtz, "ntz")
+  }
+
+  test("naive t-range filter reaches the footer (legacy nano-long encoding)") {
+    assertPrunes(eventsLegacy, "legacy")
   }
 
   test("truncation edges: x = 0 lower bound must NOT be derived") {
