@@ -41,6 +41,57 @@ object SkewOps {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Skew-GATED salted equi-join: [[saltedJoin]]'s hot-key spreading,
+    * paid ONLY for keys that are actually hot. `weightCol` is a column
+    * of `dim` holding the fact-side row count for that key (every call
+    * site already has one — the frequency/df/count column IS the
+    * probe-row count); a key is hot when its share of the total
+    * exceeds `1/(2·buckets)`, i.e. it would fill more than half a
+    * reducer by itself. Consequences, both by construction:
+    *
+    *  - at most `2·buckets` keys can exceed that share, so the hot set
+    *    is always broadcastable (≤ 2048 keys at the 1024-bucket cap) —
+    *    no "what if the hot list is huge" failure mode;
+    *  - on a skew-free corpus the hot set is EMPTY: every row gets the
+    *    constant salt 0, the dim side replicates nothing, and the join
+    *    is value- and cost-identical to the plain equi-join — the
+    *    measured 1.25–2.65× flat insurance of unconditional salting
+    *    (StressSpec) drops to ≈1×.
+    *
+    * The gate itself costs one scalar aggregate + two broadcast-hash
+    * probes over `dim`'s key set — vocabulary-sized work, noise next
+    * to the postings; the `dim` subtree appears three times in the
+    * logical plan but its shuffle is reused (one exchange, two
+    * ReusedExchange reads — asserted in SkewOpsSpec). Salting stays
+    * deterministic (hash of `saltFrom`, threshold from exact counts),
+    * so retries repartition identically and results are bit-equal to
+    * the plain join. */
+  /** The gate: keys whose `weightCol` share of the total exceeds
+    * `1/(2·buckets)` — at most `2·buckets` rows can qualify. */
+  private[operators] def hotKeys(dim: DataFrame, key: String,
+      weightCol: String, buckets: Int): DataFrame = {
+    val tot = dim.agg(sum(col(weightCol)).as("_tot"))
+    dim.crossJoin(broadcast(tot))
+      .where(col(weightCol) * (2L * buckets) > col("_tot"))
+      .select(col(key), lit(1).as("_hot"))
+  }
+
+  def hotSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFrom: String, buckets: Int, weightCol: String): DataFrame = {
+    require(buckets > 1, "need at least 2 salt buckets")
+    val hot = broadcast(hotKeys(dim, key, weightCol, buckets))
+    val salted = fact.join(hot, Seq(key), "left")
+      .withColumn("_salt", when(col("_hot").isNotNull,
+        pmod(xxhash64(col(saltFrom)), lit(buckets)).cast("int"))
+        .otherwise(lit(0)))
+      .drop("_hot")
+    val replicated = dim.join(hot, Seq(key), "left")
+      .withColumn("_salt", explode(when(col("_hot").isNotNull,
+        sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0)))))
+      .drop("_hot")
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Two-phase salted aggregation: partial-aggregate on (keys, salt)
     * first — splitting each hot key's rows over `buckets` reducers —
     * then merge the partials per key. `partials` maps an input column

@@ -265,7 +265,7 @@ object TextStats {
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    saltedFreqJoin(tf, dfT, "w")
+    saltedFreqJoin(tf, dfT, "w", "df")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * expr("(n_docs * 1000000L) div df"))
       .groupBy(col("doc_id"))
@@ -281,25 +281,22 @@ object TextStats {
     * splits that here: the frequency side reuses its own aggregate's
     * hash partitioning (exchange elided), and AQE's skew split only
     * rewrites joins whose BOTH sides are ENSURE_REQUIREMENTS shuffles.
-    * [[SkewOps.saltedJoin]] instead salts the probe on `doc_id`
+    * [[SkewOps.hotSaltedJoin]] salts the probe on `doc_id`
     * (deterministic — retries repartition identically) over
-    * `spark.sql.shuffle.partitions` buckets and replicates the
-    * frequency side per salt: the hot token spreads across every
-    * reducer, the probe shuffle volume is UNCHANGED, and the only new
-    * cost is a vocabulary×buckets replication — at corpus scale the
-    * vocabulary is orders of magnitude smaller than the postings, so
-    * that is noise. Buckets track the shuffle-partition count (balance
-    * needs bucket count ~ reducer count) but cap at 1024: past that,
-    * replication grows linearly with cluster width while the residual
-    * imbalance of even an 80%-share key is already ≤ 0.08% of the
-    * corpus per reducer — insurance priced at ≤ vocabulary×1024 rows,
-    * paid flat on skew-free corpora too. Value-identical to
-    * `probe.join(freq, key)`; per-task balance under an 80%-hot token
-    * is listener-measured in StressSpec. */
+    * `spark.sql.shuffle.partitions` buckets, GATED on observed
+    * frequency: only keys holding more than half a reducer's share get
+    * salted (the freq side's own count column is exactly the per-key
+    * probe-row count, so the gate costs one scalar aggregate, not a
+    * corpus pass). A hot token spreads across every reducer while a
+    * skew-free corpus pays ≈ nothing — the round-8 measured 1.25–2.65×
+    * flat insurance of unconditional salting is gone (both priced in
+    * StressSpec). Value-identical to `probe.join(freq, key)`; per-task
+    * balance under an 80%-hot token is listener-measured in
+    * StressSpec. */
   private def saltedFreqJoin(probe: DataFrame, freq: DataFrame,
-      key: String): DataFrame =
-    SkewOps.saltedJoin(probe, freq, key, "doc_id",
-      SkewOps.defaultBuckets(probe))
+      key: String, weightCol: String): DataFrame =
+    SkewOps.hotSaltedJoin(probe, freq, key, "doc_id",
+      SkewOps.defaultBuckets(probe), weightCol)
 
   /** Per-doc RARE-TOKEN rate against the corpus vocabulary: the
     * fraction of a doc's token occurrences whose corpus-wide frequency
@@ -319,7 +316,7 @@ object TextStats {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    saltedFreqJoin(toks, freq, "tok")
+    saltedFreqJoin(toks, freq, "tok", "freq")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("freq") < minCount, 1L).otherwise(0L)).as("n_rare"))
@@ -446,12 +443,16 @@ object TextStats {
     * bi/u exactly. Colliding bigram ids merge counts and inherit the
     * min prefix, identically in both engines. The prefix totals
     * re-aggregate the COUNT TABLE (bigram-vocabulary-sized), not the
-    * corpus; the counts⋈prefix join is salted against Zipf prefixes. */
+    * corpus; the counts⋈prefix join is salted against Zipf prefixes,
+    * gated on `_nb` — the distinct-bigram count per prefix, which IS
+    * the probe-row count of this join (computed in the same prefix
+    * aggregate, zero extra passes). */
   private def bigramModel(bo: DataFrame, buckets: Int): DataFrame = {
     val cnt = bo.groupBy(col("b"))
       .agg(count(lit(1)).as("bi"), min(col("w1")).as("w1"))
-    val uni = cnt.groupBy(col("w1")).agg(sum(col("bi")).as("u"))
-    SkewOps.saltedJoin(cnt, uni, "w1", "b", buckets)
+    val uni = cnt.groupBy(col("w1"))
+      .agg(sum(col("bi")).as("u"), count(lit(1)).as("_nb"))
+    SkewOps.hotSaltedJoin(cnt, uni, "w1", "b", buckets, "_nb").drop("_nb")
   }
 
   def bigramSurprise(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
@@ -459,8 +460,10 @@ object TextStats {
     val buckets = SkewOps.defaultBuckets(docs)
     val bo = bigramOccurrences(docs)
     val cntU = bigramModel(bo, buckets).select(col("b"), col("bi"), col("u"))
-    SkewOps.saltedJoin(bo.select(col("doc_id"), col("b")), cntU, "b",
-        "doc_id", buckets)
+    // gated on bi — a bigram's occurrence count is exactly its
+    // probe-row count in this postings⋈model join
+    SkewOps.hotSaltedJoin(bo.select(col("doc_id"), col("b")), cntU, "b",
+        "doc_id", buckets, "bi")
       .select(col("doc_id"),
         expr(s"(u * ${scale}L) div bi").as("s"))
       .groupBy(col("doc_id"))
@@ -507,13 +510,15 @@ object TextStats {
     val mT = bigramModel(bigramOccurrences(target), buckets)
       .select(col("b"), col("bi").as("bi_t"), col("u").as("u_t"))
     // vocab-sized ⋈ vocab-sized on the bigram id; unseen-in-target
-    // bigrams keep NULL bi_t/u_t and score 0 below
+    // bigrams keep NULL bi_t/u_t and score 0 below. bi_c rides along
+    // as the skew gate's weight: the corpus-side occurrence count is
+    // exactly this join's probe-row count per bigram id.
     val stats = mC.join(mT, Seq("b"), "left")
-      .select(col("b"),
+      .select(col("b"), col("bi_c"),
         coalesce(expr(s"(bi_t * u_c * ${scale}L) div (bi_c * u_t)"),
           lit(0L)).as("r"))
-    SkewOps.saltedJoin(bo.select(col("doc_id"), col("b")), stats, "b",
-        "doc_id", buckets)
+    SkewOps.hotSaltedJoin(bo.select(col("doc_id"), col("b")), stats, "b",
+        "doc_id", buckets, "bi_c")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("ratio_sum"))
       .withColumn("mean_ratio",

@@ -45,6 +45,75 @@ class SkewOpsSpec extends AnyFunSuite {
       s"null-salt rows dropped or duplicated: $r")
   }
 
+  test("hotKeys gate: empty on uniform weights, exact on a whale, " +
+    "bounded by construction") {
+    val uniform = (1 to 100).map(i => (i, 10L)).toDF("key", "w")
+    assert(SkewOps.hotKeys(uniform, "key", "w", 8).count() == 0,
+      "uniform weights must produce an EMPTY hot set (no salting cost)")
+    // one key holds 90% — with 8 buckets the half-reducer share is
+    // 1/16, so only the whale qualifies
+    val whale = ((1, 900L) +: (2 to 11).map(i => (i, 10L))).toDF("key", "w")
+    val hot = SkewOps.hotKeys(whale, "key", "w", 8)
+      .select("key").as[Int].collect().toSeq
+    assert(hot == Seq(1), s"expected only the whale key, got $hot")
+    // boundedness: shares are capped at 1 so > 1/(2·buckets) admits
+    // fewer than 2·buckets keys no matter the distribution
+    val adversarial = (1 to 1000).map(i => (i, 1L)).toDF("key", "w")
+    assert(SkewOps.hotKeys(adversarial, "key", "w", 2).count() <= 4)
+  }
+
+  test("hotSaltedJoin matches the plain join with and without a whale") {
+    val whaleFact = ((1 to 900).map(i => (1, i.toLong)) ++
+      (1 to 100).map(i => (i % 7 + 2, 1000L + i))).toDF("key", "row_id")
+    val uniformFact = (1 to 800).map(i => (i % 8 + 1, i.toLong))
+      .toDF("key", "row_id")
+    val dims = Seq((1, "hot"), (2, "a"), (3, "b"), (4, "c"), (5, "d"),
+      (6, "e"), (7, "f"), (8, "g")).toDF("key", "label")
+    Seq("whale" -> whaleFact, "uniform" -> uniformFact).foreach {
+      case (lbl, fact) =>
+        val w = fact.groupBy("key").agg(count(lit(1)).as("w"))
+        val dim = dims.join(w, "key")
+        val plain = fact.join(dim, "key").groupBy("label")
+          .agg(count(lit(1)).as("n")).orderBy("label")
+          .as[(String, Long)].collect().toSeq
+        val gated = SkewOps.hotSaltedJoin(fact, dim, "key", "row_id", 8, "w")
+          .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
+          .as[(String, Long)].collect().toSeq
+        assert(plain == gated, s"$lbl: gated join diverged")
+    }
+  }
+
+  test("hotSaltedJoin: the dim aggregate's shuffle is reused, not " +
+    "recomputed, across the gate's reads") {
+    // the gate references the dim subtree three times (total, hot set,
+    // replication); if the exchange were NOT reused the gate would
+    // triple the vocabulary aggregate's cost at 100 TB. AQE reuses the
+    // stage at runtime (canonical-plan stage cache), so the assertion
+    // must read the FINAL adaptive plan after executing THIS query
+    // (head() would fork a limit plan and leave it unexecuted). The
+    // fixture plants a whale so the hot set is non-empty — with an
+    // empty hot set AQE's empty-relation propagation folds the gate
+    // branches away entirely and there is nothing left to reuse
+    // (which is the uniform-corpus ≈1× result StressSpec prices).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = s.range(2000).select(
+      when(col("id") % 10 === 0, 1).otherwise(col("id").cast("int") % 50 + 2)
+        .as("key"),
+      col("id").as("row_id"))
+    val whale = s.range(18000).select(lit(1).as("key"),
+      (col("id") + 10000L).as("row_id"))
+    val all = fact.unionByName(whale) // key 1 holds 90% of rows
+    val dim = all.groupBy("key").agg(count(lit(1)).as("w"))
+    val q = SkewOps.hotSaltedJoin(all, dim, "key", "row_id", 8, "w")
+      .agg(count(lit(1)))
+    assert(q.collect()(0).getLong(0) == 20000L)
+    val plan = q.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"),
+      s"dim aggregate recomputed (no exchange reuse) in:\n${finalPlan.take(3000)}")
+  }
+
   test("saltedAgg equals the direct aggregation") {
     val df = ((1 to 500).map(_ => ("hot", 1.0)) ++
       Seq(("a", 2.0), ("a", 4.0), ("b", 9.0))).toDF("k", "v")
