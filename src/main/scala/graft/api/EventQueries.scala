@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{GlobFns, TimeFns}
 import graft.operators.{Catalog, Extrema, Raster, Resample}
-import graft.sources.EventsArchiveAdapter
+import graft.sources.{ArchiveWriter, EventsArchiveAdapter, ParquetArchiveSource}
 
 /** SURVEY §2 core operators expressed over the driver's `events` table
   * (the HDB++-points stand-in, see FIXTURES.md §1), each with a DuckDB
@@ -779,9 +779,73 @@ object EventQueries {
        |WHERE event_type = 'click' AND t BETWEEN $T0 AND $T1
        |ORDER BY t, point_id""".stripMargin
 
+  // ---------------------------------------------------------------- multi-type pointsResolved
+  /** q31 — the multi-TYPE archive scan ([[ParquetArchiveSource
+    * .pointsResolved]], reference `hdbpp.py:404-410`): each requested
+    * attribute's data table is resolved from `att_conf.data_type`, each
+    * table scanned only for its own ids, and the frames unioned with
+    * `value_r` widened to double. Until this round the widened-union
+    * path was scalatest-only; this pins it against the events oracle.
+    *
+    * Fixture: a deterministic two-type archive DERIVED from the events
+    * table (built once per session×dir into a temp dir, reused across
+    * bench passes) — click/error/purchase points land in
+    * `att_scalar_devdouble_ro` as doubles, signup/view points in
+    * `att_scalar_devfloat_ro` NARROWED to float (both engines round
+    * ties-to-even, so the float step is bit-reproducible and the
+    * widening is observable in the hash). The oracle replays the same
+    * narrowing with `CAST(value_r AS REAL)` directly over events. */
+  private val multiTypeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def multiTypeArchive(s: SparkSession, dir: String): String =
+    multiTypeRoots.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-multitype").toString
+      val p = pts(s, dir).select(col("att_conf_id"), col("period"),
+        col("point_id"), col("t"), col("value_r"),
+        pmod(col("att_conf_id"), lit(8)).as("_ty"))
+      ArchiveWriter.write(p.where(col("_ty") < 3).drop("_ty"),
+        root, "att_scalar_devdouble_ro", mode = "overwrite")
+      ArchiveWriter.write(
+        p.where(col("_ty") >= 3)
+          .withColumn("value_r", col("value_r").cast("float")).drop("_ty"),
+        root, "att_scalar_devfloat_ro", mode = "overwrite")
+      pts(s, dir)
+        .select(col("att_conf_id").cast("int").as("att_conf_id"),
+          pmod(col("att_conf_id"), lit(8)).as("_ty")).distinct()
+        .withColumn("data_type", when(col("_ty") < 3,
+          "scalar_devdouble_ro").otherwise("scalar_devfloat_ro"))
+        .drop("_ty")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/att_conf")
+      root
+    })
+
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val src = new ParquetArchiveSource(s, multiTypeArchive(s, dir))
+    // u1/u2/u3 × {click → double table, view → float table}
+    src.pointsResolved(Seq(8, 12, 16, 20, 24, 28),
+      "2024-01-05", "2024-01-20")
+      .select(col("att_conf_id").cast("long").as("att_conf_id"),
+        col("point_id"), col("t"), col("value_r"))
+      .orderBy(col("att_conf_id"), col("point_id"))
+  }
+
+  // period ∈ ['2024-01-05','2024-01-20'] ⟺ t ∈ [Jan5, Jan21) in µs
+  private val q31Sql =
+    s"""${PtsSql}SELECT att_conf_id, point_id, t,
+       |  CASE WHEN att_conf_id % 8 >= 3
+       |       THEN CAST(CAST(value_r AS REAL) AS DOUBLE)
+       |       ELSE value_r END AS value_r
+       |FROM pts
+       |WHERE att_conf_id IN (8, 12, 16, 20, 24, 28)
+       |  AND t >= $T0 AND t < ${T1 + 86400000000L}
+       |ORDER BY att_conf_id, point_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_points_resolved" -> (q31 _),
     "q27_naive_time_range" -> (q27 _),
     "q28_raster_line_aa" -> (q28 _),
     "q29_raster_line_aa_log" -> (q29 _),
@@ -814,6 +878,7 @@ object EventQueries {
     "q26_sessionize" -> (q26 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q31_points_resolved" -> q31Sql,
     "q27_naive_time_range" -> q27Sql,
     "q28_raster_line_aa" -> q28Sql,
     "q29_raster_line_aa_log" -> q29Sql,
