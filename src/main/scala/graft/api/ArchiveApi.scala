@@ -118,9 +118,34 @@ object ArchiveApi {
     * LinkedHashMap that buffered all ≤cap rows a second time. The cap
     * bounds the intervaled (resampled) path too: a micro-interval over
     * a wide range explodes the same way raw points do. */
-  def rawQuery(points: DataFrame, attrNames: Seq[String],
-      t0Us: Long, t1Us: Long, interval: Option[String],
-      asCsv: Boolean, maxRows: Int = DefaultRawRowCap): String = {
+  /** Target rows per range partition of the raw render's final sort —
+    * the unit `toLocalIterator` buffers driver-side. 64k rows of
+    * (name, t, value) is a few MB; at the 1M default cap the regroup
+    * spreads over ~16 partitions, so peak driver state is ~1/16 of the
+    * cap instead of the whole cap. */
+  val RawRenderBatchRows: Int = 65536
+
+  /** The distributed plan behind [[rawQuery]], exposed so RenderSpec
+    * can measure the O(one-sort-partition) driver-buffer claim on the
+    * REAL frame instead of a reconstruction: cap on the time-first
+    * sort, then the request-attribute-major re-sort whose RANGE
+    * partitions are what `toLocalIterator` pulls one at a time.
+    *
+    * The explicit `repartitionByRange` before the regroup sort is
+    * load-bearing: `limit(maxRows)` plans TakeOrderedAndProject, whose
+    * output is ONE partition — and a single partition trivially
+    * satisfies the outer sort's distribution requirement, so without
+    * the repartition the regroup runs as a LOCAL sort and
+    * `toLocalIterator` would buffer the entire cap at once (measured:
+    * the RenderSpec peak-buffer case fails exactly that way). Range
+    * partitioning on the same sort key keeps partition order = global
+    * order, so streaming partition-by-partition still renders in
+    * order; boundaries come from sampling, which moves rows between
+    * partitions but never changes content or order. */
+  private[graft] def rawQueryFrame(points: DataFrame,
+      attrNames: Seq[String], t0Us: Long, t1Us: Long,
+      interval: Option[String], maxRows: Int,
+      batchRows: Int = RawRenderBatchRows): DataFrame = {
     require(maxRows > 0, s"maxRows must be positive: $maxRows")
     val filtered = points.where(col("att_name").isin(attrNames: _*))
     val resampled = Resample
@@ -139,9 +164,20 @@ object ArchiveApi {
     // is guaranteed by the isin filter above, so 0-for-absent cannot
     // occur)
     val reqIdx = array_position(typedLit(attrNames), col("att_name"))
-    val regrouped = ordered.limit(maxRows)
-      .withColumn("_ord", reqIdx)
-      .orderBy(col("_ord"), col("t"), col("value_r"))
+    val capped = ordered.limit(maxRows).withColumn("_ord", reqIdx)
+    val sortCols = Seq(col("_ord"), col("t"), col("value_r"))
+    val parts = math.max(1,
+      math.ceil(maxRows.toDouble / math.max(1, batchRows)).toInt)
+    if (parts == 1) capped.orderBy(sortCols: _*)
+    else capped.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+  }
+
+  def rawQuery(points: DataFrame, attrNames: Seq[String],
+      t0Us: Long, t1Us: Long, interval: Option[String],
+      asCsv: Boolean, maxRows: Int = DefaultRawRowCap): String = {
+    val regrouped =
+      rawQueryFrame(points, attrNames, t0Us, t1Us, interval, maxRows)
     val it = regrouped.toLocalIterator()
     val w: Render.SeriesStream =
       if (asCsv) new Render.CsvStream(new java.lang.StringBuilder)

@@ -136,6 +136,55 @@ class RenderSpec extends AnyFunSuite {
     assert(full.split("\n").length == 5002)
   }
 
+  test("streaming raw render: peak driver buffer is ONE sort partition, " +
+    "not the whole cap") {
+    // the rawQuery scaladoc claims toLocalIterator holds one range
+    // partition of the final sort at a time; this measures that claim
+    // on the REAL frame (rawQueryFrame IS what rawQuery iterates).
+    // Without rawQueryFrame's explicit repartitionByRange the claim is
+    // VACUOUS: limit() emits one TakeOrderedAndProject partition,
+    // which trivially satisfies the regroup sort's distribution, so
+    // the whole cap would sit in a single local-sorted partition (this
+    // test failed exactly that way before the operator fix). With it,
+    // the capped rows must spread over ceil(cap/batchRows) range
+    // partitions, none holding more than a balanced share — peak
+    // driver state is one batch, not the cap — and partition order
+    // must equal global render order so the stream is still in-order.
+    val n = 40000
+    val cap = 8000
+    val pts = (0 until n)
+      .map(i => (s"a${i % 4}/attr", i.toLong, i.toLong * 3, i.toDouble))
+      .toDF("att_name", "point_id", "t", "value_r")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val frame = ArchiveApi.rawQueryFrame(pts,
+        Seq("a0/attr", "a1/attr", "a2/attr", "a3/attr"),
+        0L, 1000000000L, None, cap, batchRows = 2000)
+      val perPart = frame.rdd
+        .mapPartitions(it => Iterator.single(it.toSeq)).collect()
+      val sizes = perPart.map(_.size)
+      assert(sizes.sum == cap)
+      val nonEmpty = sizes.filter(_ > 0)
+      assert(nonEmpty.length > 1,
+        s"cap landed in one partition — peak buffer IS the cap: " +
+          s"${sizes.mkString(",")}")
+      val mean = cap.toDouble / nonEmpty.length
+      assert(nonEmpty.max <= 2.0 * mean,
+        s"range partitions unbalanced: max ${nonEmpty.max} vs mean $mean")
+      // partition-concatenation order IS the render order: attr-major
+      // (_ord), then time — flattening partitions in index order must
+      // yield a globally sorted sequence
+      val flat = perPart.flatten.map(r =>
+        (r.getLong(3), r.getDouble(1), r.getDouble(2)))
+      assert(flat.length == cap && flat.sameElements(flat.sorted),
+        "partition order diverged from global render order")
+      info(s"cap=$cap over ${nonEmpty.length} partition(s), " +
+        s"peak buffered rows=${nonEmpty.max}")
+    } finally spark.conf.set(coalesceKey, saved)
+  }
+
   test("rawQuery with interval resamples before rendering (A1 + K2)") {
     val pts = Seq(("a", 1L, 400L, 2.0), ("a", 2L, 600L, 4.0),
       ("a", 3L, 1400L, 6.0)).toDF("att_name", "point_id", "t", "value_r")
