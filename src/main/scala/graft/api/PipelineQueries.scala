@@ -653,6 +653,95 @@ object PipelineQueries {
        |SELECT clab, CAST(rn AS BIGINT) AS rn, vec_id, h_quota
        |FROM ranked WHERE rn <= 20 ORDER BY clab, rn""".stripMargin
 
+  // ---------------------------------------------------------------- product quantization
+  /** Shared PQ CTE chain (m=8 subspaces × 8 dims, 16 codes): quantized
+    * components split by subspace, the deterministic init
+    * `(vec_id + 3·sub) mod 16`, one Lloyd round of integer-exact
+    * centroid means (p38's positive-mod floor division), and the
+    * encoding — per (vector, subspace) the code maximizing
+    * `2·dot − ‖c‖²` (= argmin distance up to the code-independent
+    * ‖x‖²), ties to the smallest code. Mirrors
+    * [[Similarity.pqCodebooks]]/[[Similarity.pqEncode]] term by term. */
+  private val pqCtes =
+    s"""el AS (
+       |  SELECT vec_id,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+       |      AS qv,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |sel AS (SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub,
+       |               ((i - 1) % 8) + 1 AS j, qv FROM el),
+       |pa0 AS (SELECT DISTINCT vec_id, sub,
+       |          CAST(((vec_id + 3 * sub) % 16) + 1 AS INTEGER) AS c0
+       |        FROM sel),
+       |pn AS (SELECT sub, c0, count(*) AS n FROM pa0 GROUP BY sub, c0),
+       |pcs AS (
+       |  SELECT pa0.sub, pa0.c0, sel.j, CAST(sum(sel.qv) AS BIGINT) AS s
+       |  FROM pa0 JOIN sel ON pa0.vec_id = sel.vec_id AND pa0.sub = sel.sub
+       |  GROUP BY pa0.sub, pa0.c0, sel.j),
+       |pcq AS (
+       |  SELECT pcs.sub, pcs.c0, pcs.j,
+       |    (s - (((s % pn.n) + pn.n) % pn.n)) / pn.n AS cc
+       |  FROM pcs JOIN pn ON pcs.sub = pn.sub AND pcs.c0 = pn.c0),
+       |pc2 AS (SELECT sub, c0, CAST(sum(cc * cc) AS BIGINT) AS csq
+       |        FROM pcq GROUP BY sub, c0),
+       |pdd AS (
+       |  SELECT sel.vec_id, sel.sub, pcq.c0,
+       |    CAST(sum(sel.qv * pcq.cc) AS BIGINT) AS dot
+       |  FROM sel JOIN pcq ON sel.sub = pcq.sub AND sel.j = pcq.j
+       |  GROUP BY sel.vec_id, sel.sub, pcq.c0),
+       |enc AS (SELECT vec_id, sub, c0 AS code FROM (
+       |  SELECT pdd.vec_id, pdd.sub, pdd.c0,
+       |    row_number() OVER (PARTITION BY pdd.vec_id, pdd.sub
+       |      ORDER BY 2 * pdd.dot - pc2.csq DESC, pdd.c0) AS rn
+       |  FROM pdd JOIN pc2 ON pdd.sub = pc2.sub AND pdd.c0 = pc2.c0)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** p56 — product-quantization train + encode
+    * ([[Similarity.pqEncode]]): the 32×-compression codebook path of
+    * the ANN family as a first-class oracled query. The full per-
+    * (vector, subspace) code matrix is hash-pinned — a wrong centroid
+    * floor-div, distance expansion, or tie-break in ANY subspace flips
+    * some code. */
+  private def p56(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(emb(s, dir))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .orderBy(col("vec_id"), col("sub"))
+
+  private val p56Sql =
+    s"""WITH $pqCtes
+       |SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub""".stripMargin
+
+  /** p57 — PQ asymmetric-distance top-k ([[Similarity.pqSearchAdc]]):
+    * full-precision queries against the CODES via per-query distance
+    * tables — the billion-vector ANN serving layout (scan reads m
+    * small ints per vector, not the embedding). The oracle replays the
+    * table lookups as an enc⋈table join; ranking-vs-exact-dot is the
+    * PQ approximation trade and is NOT asserted — determinism of the
+    * quantized pipeline is. */
+  private def p57(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqSearchAdc(emb(s, dir), nQueries = 10, k = 5)
+      .orderBy(col("qid"), col("rn"))
+
+  private val p57Sql =
+    s"""WITH $pqCtes,
+       |qd AS (
+       |  SELECT sel.vec_id AS qid, pcq.sub, pcq.c0,
+       |    CAST(sum(sel.qv * pcq.cc) AS BIGINT) AS dot
+       |  FROM sel JOIN pcq ON sel.sub = pcq.sub AND sel.j = pcq.j
+       |  WHERE sel.vec_id < 10
+       |  GROUP BY sel.vec_id, pcq.sub, pcq.c0),
+       |sc AS (
+       |  SELECT qd.qid, enc.vec_id AS nid, CAST(sum(qd.dot) AS BIGINT) AS adc
+       |  FROM enc JOIN qd ON enc.sub = qd.sub AND enc.code = qd.c0
+       |  WHERE enc.vec_id <> qd.qid
+       |  GROUP BY qd.qid, enc.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc DESC, nid) AS rn FROM sc)
+       |SELECT qid, CAST(rn AS BIGINT) AS rn, nid, adc
+       |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   // ---------------------------------------------------------------- cosine near-dup
   private def p15(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(emb(s, dir), threshold = 0.3)
@@ -2273,7 +2362,9 @@ object PipelineQueries {
     "p52_kmv_distinct" -> (p52 _),
     "p53_countmin_freq" -> (p53 _),
     "p54_embed_covariance" -> (p54 _),
-    "p55_split_leakage" -> (p55 _))
+    "p55_split_leakage" -> (p55 _),
+    "p56_pq_encode" -> (p56 _),
+    "p57_pq_adc_topk" -> (p57 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2332,5 +2423,7 @@ object PipelineQueries {
     "p52_kmv_distinct" -> p52Sql,
     "p53_countmin_freq" -> p53Sql,
     "p54_embed_covariance" -> p54Sql,
-    "p55_split_leakage" -> p55Sql)
+    "p55_split_leakage" -> p55Sql,
+    "p56_pq_encode" -> p56Sql,
+    "p57_pq_adc_topk" -> p57Sql)
 }

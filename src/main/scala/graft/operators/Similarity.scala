@@ -513,4 +513,137 @@ object Similarity {
             (size(col("vs")).cast("long") * lit(16129L) * col("m") * col("m"))
               .cast("double"))
           .as("rel_sse"))
+
+  // ------------------------------------------------------------- product quantization
+  /** Product-quantization codebooks: the vector is split into `m`
+    * contiguous subspaces of `dims/m` components; per subspace a
+    * `codes`-cell codebook is trained with ONE Lloyd round from the
+    * deterministic init `(vec_id + 3·sub) mod codes` (the p38/p40
+    * convention — label-derived init, integer-exact centroid means
+    * `floorDiv(Σ round(e·10⁴), n)`). PQ is the memory-compression
+    * path of the similarity family: a 64-dim float vector becomes m
+    * small ints (8 bytes at m=8), a 32× shrink, at the cost of
+    * quantized distances — the standard layout for billion-vector ANN
+    * (IVF lists of PQ codes).
+    *
+    * Scale shape: codebook training is one corpus-scan hash aggregate
+    * over the m-exploded subvectors (state = m×codes×(dims/m+1) longs
+    * through the driver — the broadcast-Lloyd layout, O(1) in corpus
+    * size); encoding is a pure per-row projection (the m argmin cells
+    * emitted as literal dot_e4c structs, each over a dims/m slice —
+    * m×codes cells of dims/m components ≈ the documented
+    * [[LiteralCentroidMaxL]] literal budget). Nothing ever shuffles
+    * the corpus. All arithmetic int64-exact, so the codebooks AND
+    * codes are DuckDB-reproducible (p56).
+    *
+    * Returns `(sub → sorted centroid list (code, components, ‖c‖²))`
+    * keyed 1..codes; empty cells drop out in both engines. */
+  private[graft] def pqCodebooks(emb: DataFrame, m: Int, codes: Int,
+      dims: Int): Array[Array[(Int, Array[Long], Long)]] = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sd = dims / m
+    val subbed = emb.select(col("vec_id"),
+      explode(lit((0 until m).toArray)).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * sd + 1, lit(sd)).as("subvec"),
+        (pmod(col("vec_id") + col("sub") * 3, lit(codes)) + 1)
+          .cast("int").as("c0"))
+    val compSums = (1 to sd).map(j => sum(expr(
+      s"cast(round(cast(element_at(subvec, $j) as double) * 10000) " +
+        "as bigint)")).as(s"s$j"))
+    val aggs = count(lit(1)).as("n") +: compSums
+    val rows = subbed.groupBy(col("sub"), col("c0"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    Array.tabulate(m) { s =>
+      rows.filter(_.getInt(0) == s).map { r =>
+        val n = r.getLong(2)
+        val comps = Array.tabulate(sd)(j =>
+          Math.floorDiv(r.getLong(3 + j), n))
+        (r.getInt(1), comps, comps.map(c => c * c).sum)
+      }.sortBy(_._1)
+    }
+  }
+
+  /** PQ-encode the corpus: `(vec_id, codes array<int> of length m)` —
+    * per subspace the argmin-distance codebook cell, computed as
+    * argmax of `2·(x·c) − ‖c‖²` (equal up to the code-independent
+    * ‖x‖², so int64-exact with no squared-difference blowup), ties to
+    * the smallest code — the [[CentroidSet]] `array_max(struct(d,
+    * −code))` idiom per subspace. */
+  def pqEncode(emb: DataFrame, m: Int = 8, codes: Int = 16,
+      dims: Int = 64): DataFrame = {
+    ensureDotE8(emb)
+    val sd = dims / m
+    val books = pqCodebooks(emb, m, codes, dims)
+    val codeCols = books.zipWithIndex.map { case (cents, s) =>
+      val cells = cents.map { case (c, comps, c2) =>
+        s"struct(2L * dot_e4c(slice(embedding, ${s * sd + 1}, $sd), " +
+          s"array(${comps.mkString("L,")}L)) - ${c2}L AS d, ${-c} AS nc)"
+      }.mkString("array(", ", ", ")")
+      expr(s"cast(-array_max($cells).nc as int)").as(s"code_$s")
+    }
+    emb.select(col("vec_id") +: codeCols.toIndexedSeq: _*)
+      .select(col("vec_id"),
+        array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search: queries stay
+    * full-precision, the corpus is its PQ codes, and a query×code
+    * score is the table lookup Σ_s dt[s][code_s] with dt[s][c] =
+    * round(q·10⁴)·c — the classic ADC layout. The per-query distance
+    * tables (Q×m×codes longs) are computed driver-side from the
+    * collected query vectors and ride a broadcast; the corpus side is
+    * one projection over the CODES (m small ints per row — the point
+    * of PQ: at 100 TB the scan reads 32× less than the embeddings),
+    * no corpus shuffle until the per-query top-k. Scores are exact
+    * int64, ties to the smaller neighbor id; ranking quality vs exact
+    * dot is the PQ approximation trade, pinned against the DuckDB
+    * replay (p57), not against brute force. */
+  def pqSearchAdc(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
+      codes: Int = 16, dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sd = dims / m
+    val books = pqCodebooks(emb, m, codes, dims)
+    val encoded = pqEncode(emb, m, codes, dims)
+    val qs = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => DotE8Round.e4(x)).toArray))
+    val dts = qs.map { case (qid, qv) =>
+      val dt = Array.tabulate(m) { s =>
+        val row = Array.fill(codes)(0L) // missing cells never referenced
+        books(s).foreach { case (c, comps, _) =>
+          var acc = 0L
+          var j = 0
+          while (j < sd) { acc += qv(s * sd + j) * comps(j); j += 1 }
+          row(c - 1) = acc
+        }
+        row.toSeq
+      }.toSeq
+      (qid, dt)
+    }.toSeq
+    val qdf = dts.toDF("qid", "dt")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc").desc, col("nid").asc)
+    encoded.crossJoin(broadcast(qdf))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), expr(
+        s"""aggregate(sequence(1, $m), 0L, (acc, s) ->
+           |  acc + element_at(element_at(dt, s),
+           |                   element_at(codes, s)))""".stripMargin)
+        .as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"), col("adc"))
+  }
+}
+
+/** Shared e4 rounding for driver-side table builds — the same
+  * half-away-from-zero contract as [[graft.functions.DotE8.roundE4]]
+  * (aliased here to keep the call sites short). */
+private object DotE8Round {
+  def e4(x: Float): Long = graft.functions.DotE8.roundE4(x)
 }

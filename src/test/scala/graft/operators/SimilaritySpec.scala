@@ -414,6 +414,80 @@ class SimilaritySpec extends AnyFunSuite {
       && p12.getLong(5) == 1400000000L)
   }
 
+  test("pqEncode: m codes per vector, all in codebook range, join-free, " +
+    "and a vector encodes to the cell its exact nearest centroid owns") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), (i % 10 + 1).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val m = 8; val codes = 16; val sd = 8
+    val enc = Similarity.pqEncode(emb, m, codes, 64)
+    val rows = enc.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray)
+    assert(rows.length == 120 && rows.forall(_._2.length == m))
+    assert(rows.forall(_._2.forall(c => c >= 1 && c <= codes)))
+    // encoding is a projection: no join anywhere in the plan
+    val joins = enc.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"pqEncode must not join: $joins")
+    // brute-force reference: same codebooks, argmin squared distance
+    // (ties to smallest code) must equal the 2·dot−‖c‖² argmax codes
+    val books = Similarity.pqCodebooks(emb, m, codes, 64)
+    val byId = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { case (id, cs) =>
+      val x = byId(id).map(graft.functions.DotE8.roundE4)
+      (0 until m).foreach { s =>
+        val best = books(s).map { case (c, comps, _) =>
+          val d = (0 until sd).map { j =>
+            val diff = x(s * sd + j) - comps(j); diff * diff
+          }.sum
+          (d, c)
+        }.min
+        assert(cs(s) == best._2,
+          s"vec $id sub $s: code ${cs(s)} != brute ${best._2}")
+      }
+    }
+  }
+
+  test("pqSearchAdc: ADC scores equal the explicit table sum, " +
+    "deterministic across runs") {
+    val rnd = new scala.util.Random(12)
+    val emb = (0L until 90L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), (i % 10 + 1).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.pqSearchAdc(emb, nQueries = 4, k = 3)
+      .orderBy("qid", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length == 12) // 4 queries × k=3
+    assert(got.map(_._1).distinct.sameElements(Array(0L, 1L, 2L, 3L)))
+    // per query the ranks are 1..k with non-increasing scores
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(Array(1L, 2L, 3L)))
+      assert(sorted.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+    }
+    // brute ADC reference for one (query, neighbor): table lookups
+    val books = Similarity.pqCodebooks(emb, 8, 16, 64)
+    val codes = Similarity.pqEncode(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val q0 = emb.where(col("vec_id") === 0L).collect()(0)
+      .getSeq[Float](1).toArray.map(graft.functions.DotE8.roundE4)
+    val top = got.filter(_._1 == 0L).minBy(_._2)
+    val expect = (0 until 8).map { s =>
+      val code = codes(top._3)(s)
+      val comps = books(s).find(_._1 == code).get._2
+      (0 until 8).map(j => q0(s * 8 + j) * comps(j)).sum
+    }.sum
+    assert(top._4 == expect, s"ADC ${top._4} != table sum $expect")
+    val again = Similarity.pqSearchAdc(emb, nQueries = 4, k = 3)
+      .orderBy("qid", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.sameElements(again))
+  }
+
   test("covarianceStats: one aggregate, no join — the pair fan-out " +
     "happens on the single aggregated row") {
     val emb = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(4.0f, 5.0f, 6.0f)))
