@@ -798,13 +798,26 @@ object EventQueries {
   private val multiTypeRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The six attributes q31 resolves — u1/u2/u3 × {click, view}. The
+    * data-table fixture is restricted to THEM: the layout is
+    * `(att_conf_id, period)`-partitioned, so writing the full events
+    * id space would create #atts × #days partition directories of a
+    * few rows each (at sf0.1 that is ~300k shell-out file creations —
+    * measured as a bench-killing multi-hour write), while the query
+    * only ever prunes down to these six. The catalog keeps ALL
+    * attributes so the data_type resolution still searches a
+    * realistic table. */
+  private val Q31Ids = Seq(8, 12, 16, 20, 24, 28)
+
   private def multiTypeArchive(s: SparkSession, dir: String): String =
     multiTypeRoots.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-multitype").toString
-      val p = pts(s, dir).select(col("att_conf_id"), col("period"),
-        col("point_id"), col("t"), col("value_r"),
-        pmod(col("att_conf_id"), lit(8)).as("_ty"))
+      val p = pts(s, dir)
+        .where(col("att_conf_id").isin(Q31Ids: _*))
+        .select(col("att_conf_id"), col("period"),
+          col("point_id"), col("t"), col("value_r"),
+          pmod(col("att_conf_id"), lit(8)).as("_ty"))
       ArchiveWriter.write(p.where(col("_ty") < 3).drop("_ty"),
         root, "att_scalar_devdouble_ro", mode = "overwrite")
       ArchiveWriter.write(
@@ -842,9 +855,76 @@ object EventQueries {
        |  AND t >= $T0 AND t < ${T1 + 86400000000L}
        |ORDER BY att_conf_id, point_id""".stripMargin
 
+  // ---------------------------------------------------------------- R1/A1 streaming resample
+  /** q32 — Structured Streaming as a first-class ORACLED query: the
+    * events file read through `readStream` and aggregated by
+    * [[graft.streaming.StreamOps.streamingResample]] (the A1
+    * round-to-nearest 5m resample as a watermarked windowed streaming
+    * aggregation), run to completion with an availableNow trigger into
+    * a complete-mode memory sink, and returned as the sink table.
+    * Until now streaming parity was scalatest-only; this puts the
+    * actual streaming execution path — file stream source, event-time
+    * window state, sink commit — under the driver's DuckDB hash gate.
+    *
+    * The float mean column is dropped: a streaming avg's accumulation
+    * order is not reproducible across engines, and mean determinism is
+    * already oracled batch-side (q02); bucket labels and counts are
+    * exact integers. The oracle is the same centered-bucket SQL the
+    * batch resample uses — stream-over-the-whole-file must equal
+    * batch-over-the-whole-file. */
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val streamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MicrosOf.register(s)
+    val ad = new EventsArchiveAdapter(s, dir)
+    val schema = ad.raw.schema // also sets nanosAsLong for legacy data
+    val tUs = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("micros_of(ts)")
+    }
+    // the file-stream source requires a DIRECTORY (a bare file path
+    // fails with "'basePath' must be a directory", and the basePath
+    // option does not override that for streams) — stage the single
+    // events file into a temp dir once per session×dir and stream that
+    val stream = s.readStream.schema(schema)
+      .parquet(streamDirs.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"),
+          d.resolve("events.parquet"))
+        d.toString
+      }))
+      .select(
+        concat(lit("u"), col("user_id"), lit("/"), col("event_type"))
+          .as("att_name"),
+        timestamp_micros(tUs).as("data_time"),
+        col("value").as("value_r"))
+    val resampled =
+      graft.streaming.StreamOps.streamingResample(stream, "5m", "1 minute")
+    val name = s"q32_sink_${streamSinkSeq.incrementAndGet()}"
+    val q = resampled.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("att_name"), col("bucket_us"), col("n"))
+      .orderBy(col("att_name"), col("bucket_us"))
+  }
+
+  private val q32Sql =
+    s"""${PtsSql}SELECT att_name,
+       |  ${TimeFns.roundBucketSql("t", 300000000L)} AS bucket_us,
+       |  count(*) AS n
+       |FROM pts GROUP BY att_name, bucket_us
+       |ORDER BY att_name, bucket_us""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_stream_resample" -> (q32 _),
     "q31_points_resolved" -> (q31 _),
     "q27_naive_time_range" -> (q27 _),
     "q28_raster_line_aa" -> (q28 _),
@@ -878,6 +958,7 @@ object EventQueries {
     "q26_sessionize" -> (q26 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q32_stream_resample" -> q32Sql,
     "q31_points_resolved" -> q31Sql,
     "q27_naive_time_range" -> q27Sql,
     "q28_raster_line_aa" -> q28Sql,
