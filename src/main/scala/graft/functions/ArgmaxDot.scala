@@ -90,6 +90,51 @@ case class TopCellsDotE4(child: Expression,
       : TopCellsDotE4 = copy(child = newChild)
 }
 
+/** Product-quantization encoder — ALL subspaces in one expression.
+  *
+  * The literal form (per subspace an `array_max` over `codes`
+  * `struct(2·dot_e4c(slice(…)) − ‖c‖², −code)` entries) is m×codes
+  * dot nodes — ~1k expression nodes at the default 8×16 geometry,
+  * which costs seconds of analyzer+Janino time PER QUERY BUILD
+  * (measured: the p56 literal projection dominated its sf0.1 bench
+  * time on a 5000-row corpus). Here the codebooks travel as one
+  * broadcast and the plan holds a single node: O(1) plan size in
+  * m×codes, codegen is one static call per row, and the vector is
+  * quantized once per row instead of once per cell.
+  *
+  * Semantics pinned to the literal form (p56 oracle hash): per
+  * subspace argmax of `2·dot − ‖c‖²` (= argmin distance up to the
+  * code-independent ‖x‖²), ties to the SMALLEST code, dots over
+  * `min(subDims, |slice|, |c|)` components with [[DotE8.roundE4]]
+  * rounding. */
+case class PqCodesE4(child: Expression,
+    bc: Broadcast[Array[(Array[Int], Array[Array[Long]], Array[Long])]],
+    subDims: Int) extends UnaryExpression {
+  require(subDims >= 1, s"subDims must be >= 1, got $subDims")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes_e4 requires array<float>, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes_e4"
+
+  override def nullSafeEval(a: Any): Any =
+    ArgmaxDot.pqCodes(a.asInstanceOf[ArrayData], bc, subDims)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bcRef = ctx.addReferenceObj("codebooksBc", bc,
+        classOf[Broadcast[_]].getName)
+      val cls = ArgmaxDot.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls$$.MODULE$$.pqCodes($a, $bcRef, $subDims);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqCodesE4 = copy(child = newChild)
+}
+
 object ArgmaxDot {
 
   private def quantize(a: ArrayData): Array[Long] = {
@@ -126,6 +171,43 @@ object ArgmaxDot {
       l += 1
     }
     bestLab
+  }
+
+  /** One PQ code per subspace: argmax of `2·dot − ‖c‖²` over the
+    * subspace's cells, ties to the smallest code (the literal form's
+    * `array_max` over (d, −code) structs). Shared by the interpreted
+    * and codegen paths. */
+  def pqCodes(a: ArrayData,
+      bc: Broadcast[Array[(Array[Int], Array[Array[Long]], Array[Long])]],
+      subDims: Int): ArrayData = {
+    val books = bc.value
+    val q = quantize(a)
+    val out = new Array[Any](books.length)
+    var s = 0
+    while (s < books.length) {
+      val (codes, matrix, c2) = books(s)
+      val off = s * subDims
+      var bestD = Long.MinValue
+      var bestC = Int.MaxValue
+      var first = true
+      var l = 0
+      while (l < matrix.length) {
+        val c = matrix(l)
+        val lim = math.min(math.min(subDims, c.length),
+          math.max(0, q.length - off))
+        var acc = 0L
+        var j = 0
+        while (j < lim) { acc += q(off + j) * c(j); j += 1 }
+        val d = 2L * acc - c2(l)
+        if (first || d > bestD || (d == bestD && codes(l) < bestC)) {
+          first = false; bestD = d; bestC = codes(l)
+        }
+        l += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** The `min(k, L)` best labels by (dot desc, label asc), in that

@@ -572,20 +572,30 @@ object Similarity {
     * the smallest code — the [[CentroidSet]] `array_max(struct(d,
     * −code))` idiom per subspace. */
   def pqEncode(emb: DataFrame, m: Int = 8, codes: Int = 16,
-      dims: Int = 64): DataFrame = {
-    ensureDotE8(emb)
+      dims: Int = 64): DataFrame =
+    pqEncodeWith(emb, pqCodebooks(emb, m, codes, dims), m, dims)
+
+  /** [[pqEncode]] against ALREADY-TRAINED codebooks — what
+    * [[pqSearchAdc]] uses so training's corpus aggregate runs once,
+    * not once per consumer. Encoding runs on the broadcast
+    * [[graft.functions.PqCodesE4]] expression: the literal
+    * per-subspace `array_max(struct(dot_e4c…))` form is ~m×codes
+    * expression nodes and its analyzer+Janino cost dominated the p56
+    * bench at the default 8×16 geometry; the broadcast expression
+    * keeps the plan O(1) in the codebook size (same argument as
+    * [[LiteralCentroidMaxL]]'s large-L path, applied unconditionally
+    * here because PQ's m×codes product starts past the literal
+    * sweet spot). */
+  private[graft] def pqEncodeWith(emb: DataFrame,
+      books: Array[Array[(Int, Array[Long], Long)]], m: Int,
+      dims: Int): DataFrame = {
     val sd = dims / m
-    val books = pqCodebooks(emb, m, codes, dims)
-    val codeCols = books.zipWithIndex.map { case (cents, s) =>
-      val cells = cents.map { case (c, comps, c2) =>
-        s"struct(2L * dot_e4c(slice(embedding, ${s * sd + 1}, $sd), " +
-          s"array(${comps.mkString("L,")}L)) - ${c2}L AS d, ${-c} AS nc)"
-      }.mkString("array(", ", ", ")")
-      expr(s"cast(-array_max($cells).nc as int)").as(s"code_$s")
-    }
-    emb.select(col("vec_id") +: codeCols.toIndexedSeq: _*)
-      .select(col("vec_id"),
-        array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
+    val bc = emb.sparkSession.sparkContext.broadcast(
+      books.map(cents => (cents.map(_._1), cents.map(_._2),
+        cents.map(_._3))))
+    emb.select(col("vec_id"), GraftPlanBridge.column(
+      graft.functions.PqCodesE4(UnresolvedAttribute("embedding"), bc, sd))
+      .as("codes"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k search: queries stay
@@ -606,7 +616,7 @@ object Similarity {
     import spark.implicits._
     val sd = dims / m
     val books = pqCodebooks(emb, m, codes, dims)
-    val encoded = pqEncode(emb, m, codes, dims)
+    val encoded = pqEncodeWith(emb, books, m, dims)
     val qs = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .collect()
