@@ -662,14 +662,18 @@ object PipelineQueries {
     * `2·dot − ‖c‖²` (= argmin distance up to the code-independent
     * ‖x‖²), ties to the smallest code. Mirrors
     * [[Similarity.pqCodebooks]]/[[Similarity.pqEncode]] term by term. */
-  private val pqCtes =
+  /** The quantized-component CTE shared by the PQ chain; p58 swaps in
+    * a superset `el` that also carries `label` for the IVF side. */
+  private val pqElCte =
     s"""el AS (
        |  SELECT vec_id,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
        |      AS qv,
        |    generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
-       |sel AS (SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub,
+       |  FROM embeddings)""".stripMargin
+
+  private val pqChain =
+    s"""sel AS (SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS sub,
        |               ((i - 1) % 8) + 1 AS j, qv FROM el),
        |pa0 AS (SELECT DISTINCT vec_id, sub,
        |          CAST(((vec_id + 3 * sub) % 16) + 1 AS INTEGER) AS c0
@@ -709,7 +713,8 @@ object PipelineQueries {
       .orderBy(col("vec_id"), col("sub"))
 
   private val p56Sql =
-    s"""WITH $pqCtes
+    s"""WITH $pqElCte,
+       |$pqChain
        |SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub""".stripMargin
 
   /** p57 — PQ asymmetric-distance top-k ([[Similarity.pqSearchAdc]]):
@@ -724,7 +729,8 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rn"))
 
   private val p57Sql =
-    s"""WITH $pqCtes,
+    s"""WITH $pqElCte,
+       |$pqChain,
        |qd AS (
        |  SELECT sel.vec_id AS qid, pcq.sub, pcq.c0,
        |    CAST(sum(sel.qv * pcq.cc) AS BIGINT) AS dot
@@ -740,6 +746,71 @@ object PipelineQueries {
        |  SELECT qid, nid, adc, row_number() OVER (PARTITION BY qid
        |    ORDER BY adc DESC, nid) AS rn FROM sc)
        |SELECT qid, CAST(rn AS BIGINT) AS rn, nid, adc
+       |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** p58 — IVF+PQ composed ([[Similarity.ivfPqTopK]]): the
+    * billion-vector serving layout as one oracled query — IVF cells
+    * bound the candidates (nprobe=2 of the probe order p41 pins), PQ
+    * codes bound the bytes per candidate (the code matrix p56 pins),
+    * ADC tables score the intersection. The oracle composes the same
+    * CTE families: p41's probe ranks over the centroid dots, the PQ
+    * chain's `enc`, and p57's table-lookup join, restricted to the
+    * probed cells — a drift in ANY of the three stages (probe order,
+    * cell membership, code, table value) moves a ranking and breaks
+    * the hash. */
+  private def p58(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(emb(s, dir), nQueries = 10, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("rn"))
+
+  private val p58Sql =
+    s"""WITH el AS (
+       |  SELECT vec_id, label,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+       |      AS qv,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label AS clab, i, CAST(sum(qv) AS BIGINT) AS s,
+       |         count(*) AS n
+       |  FROM el GROUP BY label, i),
+       |centq AS (
+       |  SELECT clab, i, (s - (((s % n) + n) % n)) / n AS c FROM cent),
+       |dots AS (
+       |  SELECT el.vec_id, centq.clab,
+       |    CAST(sum(el.qv * centq.c) AS BIGINT) AS d
+       |  FROM el JOIN centq ON el.i = centq.i
+       |  GROUP BY el.vec_id, centq.clab),
+       |assigned AS (
+       |  SELECT vec_id, clab FROM (
+       |    SELECT vec_id, clab,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY d DESC, clab) AS rn
+       |    FROM dots) WHERE rn = 1),
+       |q AS (SELECT p.vec_id AS qid, p.clab
+       |      FROM (
+       |        SELECT vec_id, clab, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY d DESC, clab) AS prn
+       |        FROM dots) p
+       |      WHERE p.vec_id < 10 AND p.prn <= 2),
+       |$pqChain,
+       |qd AS (
+       |  SELECT sel.vec_id AS qid, pcq.sub, pcq.c0,
+       |    CAST(sum(sel.qv * pcq.cc) AS BIGINT) AS dot
+       |  FROM sel JOIN pcq ON sel.sub = pcq.sub AND sel.j = pcq.j
+       |  WHERE sel.vec_id < 10
+       |  GROUP BY sel.vec_id, pcq.sub, pcq.c0),
+       |pairs AS (
+       |  SELECT q.qid, q.clab, a.vec_id AS nid,
+       |    CAST(sum(qd.dot) AS BIGINT) AS adc
+       |  FROM q JOIN assigned a ON a.clab = q.clab AND a.vec_id <> q.qid
+       |    JOIN enc ON enc.vec_id = a.vec_id
+       |    JOIN qd ON qd.qid = q.qid AND qd.sub = enc.sub
+       |      AND qd.c0 = enc.code
+       |  GROUP BY q.qid, q.clab, a.vec_id),
+       |ranked AS (
+       |  SELECT qid, clab, nid, adc, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc DESC, nid) AS rn FROM pairs)
+       |SELECT qid, clab, CAST(rn AS BIGINT) AS rn, nid, adc
        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   // ---------------------------------------------------------------- cosine near-dup
@@ -2364,7 +2435,8 @@ object PipelineQueries {
     "p54_embed_covariance" -> (p54 _),
     "p55_split_leakage" -> (p55 _),
     "p56_pq_encode" -> (p56 _),
-    "p57_pq_adc_topk" -> (p57 _))
+    "p57_pq_adc_topk" -> (p57 _),
+    "p58_ivf_pq" -> (p58 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2425,5 +2497,6 @@ object PipelineQueries {
     "p54_embed_covariance" -> p54Sql,
     "p55_split_leakage" -> p55Sql,
     "p56_pq_encode" -> p56Sql,
-    "p57_pq_adc_topk" -> p57Sql)
+    "p57_pq_adc_topk" -> p57Sql,
+    "p58_ivf_pq" -> p58Sql)
 }

@@ -588,14 +588,14 @@ object Similarity {
     * sweet spot). */
   private[graft] def pqEncodeWith(emb: DataFrame,
       books: Array[Array[(Int, Array[Long], Long)]], m: Int,
-      dims: Int): DataFrame = {
+      dims: Int, keep: Seq[String] = Nil): DataFrame = {
     val sd = dims / m
     val bc = emb.sparkSession.sparkContext.broadcast(
       books.map(cents => (cents.map(_._1), cents.map(_._2),
         cents.map(_._3))))
-    emb.select(col("vec_id"), GraftPlanBridge.column(
+    emb.select(col("vec_id") +: keep.map(col) :+ (GraftPlanBridge.column(
       graft.functions.PqCodesE4(UnresolvedAttribute("embedding"), bc, sd))
-      .as("codes"))
+      .as("codes")): _*)
   }
 
   /** PQ asymmetric-distance (ADC) top-k search: queries stay
@@ -610,6 +610,32 @@ object Similarity {
     * int64, ties to the smaller neighbor id; ranking quality vs exact
     * dot is the PQ approximation trade, pinned against the DuckDB
     * replay (p57), not against brute force. */
+  /** The per-query ADC distance table: dt[s][c−1] = q_s · centroid c
+    * of subspace s (exact int64 over e4-quantized components) — m ×
+    * codes longs per query, built driver-side from the collected
+    * query vector. Cells absent from a codebook stay 0 and are never
+    * referenced (no vector encodes to a missing cell). */
+  private def adcTable(qv: Array[Long],
+      books: Array[Array[(Int, Array[Long], Long)]], m: Int, sd: Int,
+      codes: Int): Seq[Seq[Long]] =
+    Array.tabulate(m) { s =>
+      val row = Array.fill(codes)(0L)
+      books(s).foreach { case (c, comps, _) =>
+        var acc = 0L
+        var j = 0
+        while (j < sd) { acc += qv(s * sd + j) * comps(j); j += 1 }
+        row(c - 1) = acc
+      }
+      row.toSeq
+    }.toSeq
+
+  /** The ADC score column: Σ_s dt[s][code_s] — table lookups over the
+    * broadcast per-query tables, an 8-step in-row fold. */
+  private def adcCol(m: Int): Column = expr(
+    s"""aggregate(sequence(1, $m), 0L, (acc, s) ->
+       |  acc + element_at(element_at(dt, s),
+       |                   element_at(codes, s)))""".stripMargin)
+
   def pqSearchAdc(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
       codes: Int = 16, dims: Int = 64): DataFrame = {
     val spark = emb.sparkSession
@@ -617,37 +643,75 @@ object Similarity {
     val sd = dims / m
     val books = pqCodebooks(emb, m, codes, dims)
     val encoded = pqEncodeWith(emb, books, m, dims)
-    val qs = emb.where(col("vec_id") < nQueries)
+    val dts = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Float](1).map(x => DotE8Round.e4(x)).toArray))
-    val dts = qs.map { case (qid, qv) =>
-      val dt = Array.tabulate(m) { s =>
-        val row = Array.fill(codes)(0L) // missing cells never referenced
-        books(s).foreach { case (c, comps, _) =>
-          var acc = 0L
-          var j = 0
-          while (j < sd) { acc += qv(s * sd + j) * comps(j); j += 1 }
-          row(c - 1) = acc
-        }
-        row.toSeq
+      .map { r =>
+        val qv = r.getSeq[Float](1).map(x => DotE8Round.e4(x)).toArray
+        (r.getLong(0), adcTable(qv, books, m, sd, codes))
       }.toSeq
-      (qid, dt)
-    }.toSeq
     val qdf = dts.toDF("qid", "dt")
     val w = Window.partitionBy("qid")
       .orderBy(col("adc").desc, col("nid").asc)
     encoded.crossJoin(broadcast(qdf))
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), expr(
-        s"""aggregate(sequence(1, $m), 0L, (acc, s) ->
-           |  acc + element_at(element_at(dt, s),
-           |                   element_at(codes, s)))""".stripMargin)
-        .as("adc"))
+      .select(col("qid"), col("vec_id").as("nid"), adcCol(m).as("adc"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .select(col("qid"), col("rn"), col("nid"), col("adc"))
+  }
+
+  /** IVF+PQ — the composed billion-vector serving layout: the corpus
+    * lives as (cell, codes) — one IVF Lloyd step from the label init
+    * (the p13 contract) for the cells, global PQ codebooks (the flat
+    * IVF-PQ variant; per-cell residual books are the next refinement)
+    * for the codes — and a query probes its `nprobe` nearest cells
+    * (same centroid dots and tie-break as the assignment), then
+    * ADC-scores ONLY those cells' codes via its broadcast distance
+    * table.
+    *
+    * The scale contract is the two knobs composing: IVF bounds the
+    * candidates to nprobe/L of the corpus, PQ bounds the bytes per
+    * candidate to m small ints — the scan cost is
+    * (nprobe/L)·corpus·m ints where brute force reads corpus·dims
+    * floats. The corpus shuffles once on `clab` (its resident
+    * partitioning in a real deployment); the query side is wholly
+    * broadcast. Recall is cell-bound (the [[ivfTopK]]/[[annLsh]]
+    * contract) ON TOP of PQ's quantization error; both knobs are
+    * pinned by the p58 oracle, which replays probe order, cell
+    * membership, codes, and table lookups exactly. */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nprobe: Int = 2,
+      m: Int = 8, codes: Int = 16, dims: Int = 64,
+      literalMaxL: Int = LiteralCentroidMaxL): DataFrame = {
+    ensureDotE8(emb)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sd = dims / m
+    val cells = new CentroidSet(emb,
+      collectCentroids(emb, "label", dims), literalMaxL)
+    val books = pqCodebooks(emb, m, codes, dims)
+    val corpus = pqEncodeWith(emb.withColumn("clab", cells.assignCol),
+      books, m, dims, keep = Seq("clab"))
+    val qrows = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"),
+        cells.probeCol(nprobe).as("probes"))
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Float](1).map(x => DotE8Round.e4(x)).toArray
+        (r.getLong(0), r.getSeq[Int](2),
+          adcTable(qv, books, m, sd, codes))
+      }.toSeq
+    val qdf = qrows.toDF("qid", "probes", "dt")
+      .select(col("qid"), explode(col("probes")).as("clab"), col("dt"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc").desc, col("nid").asc)
+    corpus.join(broadcast(qdf), Seq("clab"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("clab"), col("vec_id").as("nid"),
+        adcCol(m).as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("clab"), col("rn"), col("nid"), col("adc"))
   }
 }
 

@@ -488,6 +488,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.sameElements(again))
   }
 
+  test("ivfPqTopK: every neighbor lives in one of the query's top-nprobe " +
+    "cells, ranked by exact ADC table sums") {
+    val rnd = new scala.util.Random(13)
+    val n = 150
+    val embRows = (0L until n).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), (i % 6 + 1).toInt))
+    val emb = embRows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfPqTopK(emb, nQueries = 3, k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.forall(_._3 >= 1) && got.forall(_._3 <= 4))
+    // brute IVF reference: label-init centroids (floorDiv of e4 sums),
+    // per-vector cell = argmax dot (tie smallest label), per-query
+    // probes = top-2 cells by the same order
+    val q = embRows.map { case (id, e, lab) =>
+      (id, e.map(graft.functions.DotE8.roundE4), lab) }
+    val cents = q.groupBy(_._3).map { case (lab, rows) =>
+      val nn = rows.length
+      lab -> Array.tabulate(64)(d =>
+        Math.floorDiv(rows.map(_._2(d)).sum, nn))
+    }
+    def dots(v: Array[Long]) = cents.toSeq.map { case (lab, c) =>
+      ((0 until 64).map(d => v(d) * c(d)).sum, lab) }
+    def cellOf(v: Array[Long]) =
+      dots(v).maxBy { case (d, lab) => (d, -lab) }._2
+    def probesOf(v: Array[Long]) =
+      dots(v).sortBy { case (d, lab) => (-d, lab) }.take(2).map(_._2).toSet
+    val cellById = q.map(r => r._1 -> cellOf(r._2)).toMap
+    val vById = q.map(r => r._1 -> r._2).toMap
+    got.foreach { case (qid, clab, _, nid, _) =>
+      assert(cellById(nid) == clab, s"neighbor $nid not in cell $clab")
+      assert(probesOf(vById(qid)).contains(clab),
+        s"query $qid scored un-probed cell $clab")
+    }
+  }
+
   test("covarianceStats: one aggregate, no join — the pair fan-out " +
     "happens on the single aggregated row") {
     val emb = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(4.0f, 5.0f, 6.0f)))
