@@ -52,11 +52,17 @@ object SkewOps {
     *  - at most `2·buckets` keys can exceed that share, so the hot set
     *    is always broadcastable (≤ 2048 keys at the 1024-bucket cap) —
     *    no "what if the hot list is huge" failure mode;
-    *  - on a skew-free corpus the hot set is EMPTY: every row gets the
-    *    constant salt 0, the dim side replicates nothing, and the join
-    *    is value- and cost-identical to the plain equi-join — the
-    *    measured 1.25–2.65× flat insurance of unconditional salting
-    *    (StressSpec) drops to ≈1×.
+    *  - on a skew-free corpus the hot set is EMPTY: every row gets
+    *    the constant salt 0, the dim side replicates nothing, and
+    *    AQE's empty-relation propagation folds both probe joins into
+    *    null-literal projections — the join's WORK is that of the
+    *    plain equi-join. The residual wall-clock cost is the gate's
+    *    serialized critical path (the dim aggregate must materialize
+    *    before the fact stages replan): StressSpec prices it at
+    *    ~1.3–1.4× plain on a 1.2M-posting local run, a latency
+    *    constant that amortizes as the fact side grows — vs the
+    *    1.25–2.65× PROPORTIONAL replication insurance of
+    *    unconditional salting, which worsens with bucket count.
     *
     * The gate itself costs one scalar aggregate + two broadcast-hash
     * probes over `dim`'s key set — vocabulary-sized work, noise next
