@@ -876,26 +876,36 @@ object EventQueries {
   private val streamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The file-stream source requires a DIRECTORY (a bare file path
+    * fails with "'basePath' must be a directory", and the basePath
+    * option does not override that for streams) — stage the single
+    * events file into a temp dir once per session×dir. */
+  private def stagedStreamDir(s: SparkSession, dir: String): String =
+    streamDirs.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
+
+  /** Shared by q32/q33: the events stream's derived event-time column
+    * under either storage encoding ([[EventsArchiveAdapter.pointsAll]]'s
+    * dispatch, streaming side). */
+  private def eventTimeUs(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("micros_of(ts)")
+    }
+
   private def q32(s: SparkSession, dir: String): DataFrame = {
     graft.functions.MicrosOf.register(s)
     val ad = new EventsArchiveAdapter(s, dir)
     val schema = ad.raw.schema // also sets nanosAsLong for legacy data
-    val tUs = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => expr("micros_of(ts)")
-    }
-    // the file-stream source requires a DIRECTORY (a bare file path
-    // fails with "'basePath' must be a directory", and the basePath
-    // option does not override that for streams) — stage the single
-    // events file into a temp dir once per session×dir and stream that
+    val tUs = eventTimeUs(schema)
     val stream = s.readStream.schema(schema)
-      .parquet(streamDirs.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(dir, "events.parquet"),
-          d.resolve("events.parquet"))
-        d.toString
-      }))
+      .parquet(stagedStreamDir(s, dir))
       .select(
         concat(lit("u"), col("user_id"), lit("/"), col("event_type"))
           .as("att_name"),
@@ -921,9 +931,61 @@ object EventQueries {
        |FROM pts GROUP BY att_name, bucket_us
        |ORDER BY att_name, bucket_us""".stripMargin
 
+  /** q33 — native `session_window` sessionization as a STREAMING
+    * oracled query: the q26 gap semantics (30-min gap, break on
+    * strictly-greater — Spark's session merge is INCLUSIVE of an
+    * event landing exactly at lastEvent+gap, verified empirically)
+    * run through the real streaming machinery: file stream, merging
+    * session state, complete-mode memory sink. Sessions are keyed by
+    * start time instead of a per-key ordinal (a stream cannot total-
+    * order an unbounded past — the [[graft.streaming.StreamOps
+    * .streamingSessions]] contract), and `t_end` is the session
+    * window's EXCLUSIVE end = last event + gap; the oracle mirrors
+    * both. Together with q32 this pins the two stateful streaming
+    * aggregation families (tumbling window, merging session window)
+    * against DuckDB. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MicrosOf.register(s)
+    val ad = new EventsArchiveAdapter(s, dir)
+    val schema = ad.raw.schema // also sets nanosAsLong for legacy data
+    val stream = s.readStream.schema(schema)
+      .parquet(stagedStreamDir(s, dir))
+      .select(col("user_id"),
+        timestamp_micros(eventTimeUs(schema)).as("data_time"))
+    val sessions = graft.streaming.StreamOps.streamingSessions(
+      stream, "user_id", "data_time", "30 minutes", "1 minute")
+    val name = s"q33_sink_${streamSinkSeq.incrementAndGet()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("user_id"), col("t_start"))
+  }
+
+  private val q33Sql =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+       |s AS (
+       |  SELECT user_id, t,
+       |    CASE WHEN lag(t) OVER win IS NULL
+       |           OR t - lag(t) OVER win > 1800000000
+       |         THEN 1 ELSE 0 END AS starts
+       |  FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY t)),
+       |g AS (
+       |  SELECT user_id, t,
+       |    CAST(sum(starts) OVER (PARTITION BY user_id ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS seq
+       |  FROM s)
+       |SELECT user_id, min(t) AS t_start, max(t) + 1800000000 AS t_end,
+       |  count(*) AS n_events
+       |FROM g GROUP BY user_id, seq
+       |ORDER BY user_id, t_start""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_stream_sessionize" -> (q33 _),
     "q32_stream_resample" -> (q32 _),
     "q31_points_resolved" -> (q31 _),
     "q27_naive_time_range" -> (q27 _),
@@ -958,6 +1020,7 @@ object EventQueries {
     "q26_sessionize" -> (q26 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q33_stream_sessionize" -> q33Sql,
     "q32_stream_resample" -> q32Sql,
     "q31_points_resolved" -> q31Sql,
     "q27_naive_time_range" -> q27Sql,
