@@ -982,9 +982,61 @@ object EventQueries {
        |FROM g GROUP BY user_id, seq
        |ORDER BY user_id, t_start""".stripMargin
 
+  /** q34 — watermarked STREAM-STREAM range join under the oracle
+    * gate ([[graft.streaming.StreamOps.streamingRangeJoin]]): every
+    * error event opens a 1-hour incident window; purchases of the
+    * same user inside the window join to it — q25's batch semantics
+    * (inclusive both ends) through the real stream-stream join path:
+    * two file streams over the same source, watermark-bounded join
+    * state, append-mode emission. Raw match rows are returned (a
+    * second stateful aggregate after a stream-stream join would
+    * chain stateful operators; the batch q25 already pins the
+    * rollup). With q32/q33 the three stateful streaming families —
+    * tumbling window, merging session window, stream-stream join —
+    * are all DuckDB-pinned. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MicrosOf.register(s)
+    val ad = new EventsArchiveAdapter(s, dir)
+    val schema = ad.raw.schema // also sets nanosAsLong for legacy data
+    def src = s.readStream.schema(schema).parquet(stagedStreamDir(s, dir))
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        timestamp_micros(eventTimeUs(schema)).as("pt"),
+        col("value").as("value_r"))
+    val errors = src.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        timestamp_micros(eventTimeUs(schema)).as("ot"))
+    val joined = graft.streaming.StreamOps.streamingRangeJoin(
+      purchases, errors, "user_id", "pt", "ot", "1 hour", "1 minute")
+    val name = s"q34_sink_${streamSinkSeq.incrementAndGet()}"
+    val q = joined
+      .select(col("user_id"), col("err_id"), col("pid"),
+        unix_micros(col("pt")).as("t"), col("value_r"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("user_id"), col("err_id"), col("pid"))
+  }
+
+  private val q34Sql =
+    s"""WITH purchases AS (
+       |  SELECT user_id, event_id AS pid, epoch_us(ts) AS t,
+       |         value AS value_r
+       |  FROM events WHERE event_type = 'purchase'),
+       |errs AS (
+       |  SELECT user_id, event_id AS err_id, epoch_us(ts) AS lo
+       |  FROM events WHERE event_type = 'error')
+       |SELECT p.user_id, e.err_id, p.pid, p.t, p.value_r
+       |FROM purchases p JOIN errs e ON p.user_id = e.user_id
+       |  AND p.t >= e.lo AND p.t <= e.lo + 3600000000
+       |ORDER BY p.user_id, e.err_id, p.pid""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_stream_range_join" -> (q34 _),
     "q33_stream_sessionize" -> (q33 _),
     "q32_stream_resample" -> (q32 _),
     "q31_points_resolved" -> (q31 _),
@@ -1020,6 +1072,7 @@ object EventQueries {
     "q26_sessionize" -> (q26 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q34_stream_range_join" -> q34Sql,
     "q33_stream_sessionize" -> q33Sql,
     "q32_stream_resample" -> q32Sql,
     "q31_points_resolved" -> q31Sql,
