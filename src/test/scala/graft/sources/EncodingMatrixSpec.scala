@@ -58,18 +58,38 @@ class EncodingMatrixSpec extends AnyFunSuite {
     dir
   }
 
+  /** Written as parquet `timestamp[us]` ADJUSTED to UTC (Spark
+    * TimestampType/LTZ) — the third plausible regeneration. The
+    * default parquet output for LTZ is INT96, whose stats parquet
+    * cannot push predicates against, so the writer pins
+    * TIMESTAMP_MICROS; under the UTC session zone the stored micros
+    * equal the NTZ encoding's. */
+  private lazy val ltzDir = {
+    val dir = Files.createTempDirectory("graft-enc-ltz").toString
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try logical.select(col("event_id"),
+      timestamp_micros(col("t_us")).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set(key, saved)
+    dir
+  }
+
   private def rows(df: DataFrame): Set[(Long, Long, String, Long, Double)] =
     df.select("point_id", "att_conf_id", "att_name", "t", "value_r")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
         r.getDouble(4))).toSet
 
-  test("pointsAll is encoding-invariant (µs-timestamp ≡ nano-long)") {
+  test("pointsAll is encoding-invariant (µs-ntz ≡ nano-long ≡ µs-ltz)") {
     val ntz = new EventsArchiveAdapter(spark, ntzDir)
     val nano = new EventsArchiveAdapter(spark, nanoDir)
+    val ltz = new EventsArchiveAdapter(spark, ltzDir)
     val a = rows(ntz.pointsAll)
-    val b = rows(nano.pointsAll)
-    assert(a.nonEmpty && a == b)
+    assert(a.nonEmpty && a == rows(nano.pointsAll)
+      && a == rows(ltz.pointsAll))
     // the derived t is the exact epoch-µs of the fixture
     assert(ntz.pointsAll.agg(min("t")).head().getLong(0) == Base)
   }
@@ -87,15 +107,15 @@ class EncodingMatrixSpec extends AnyFunSuite {
         .map(_.select("point_id").collect().map(_.getLong(0)).toSet)
     }
     val ntz = run(ntzDir)
-    val nano = run(nanoDir)
-    assert(ntz == nano)
+    assert(ntz == run(nanoDir) && ntz == run(ltzDir))
     // semantics, not just invariance: inclusive 10..30 = 21 hourly points
     assert(ntz(0).size == 21 && ntz(1).size == 20
       && ntz(2).size == 19 && ntz(3).size == 30)
   }
 
-  test("helper predicates reach the parquet footer in both encodings") {
-    Seq("ntz" -> ntzDir, "nano" -> nanoDir).foreach { case (label, dir) =>
+  test("helper predicates reach the parquet footer in every encoding") {
+    Seq("ntz" -> ntzDir, "nano" -> nanoDir, "ltz" -> ltzDir)
+      .foreach { case (label, dir) =>
       val p = new EventsArchiveAdapter(spark, dir).pointsAll
         .where(EventsArchiveAdapter.tsRangeUs(
           Base + 10 * HourUs, Base + 30 * HourUs))
