@@ -878,26 +878,28 @@ object EventQueries {
 
   /** The file-stream source requires a DIRECTORY (a bare file path
     * fails with "'basePath' must be a directory", and the basePath
-    * option does not override that for streams) — stage the single
-    * events file into a temp dir once per session×dir. */
-  private def stagedStreamDir(s: SparkSession, dir: String): String =
-    streamDirs.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+    * option does not override that for streams). A directory-shaped
+    * events.parquet (a Spark-written dataset) streams as-is; a single
+    * FILE (the driver's current layout) is staged into a temp dir
+    * once per session×dir — `Files.copy` on a directory would copy
+    * only the empty directory entry and the stream would silently
+    * read zero rows. */
+  private def stagedStreamDir(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else streamDirs.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"),
-        d.resolve("events.parquet"))
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
       d.toString
     })
+  }
 
-  /** Shared by q32/q33: the events stream's derived event-time column
-    * under either storage encoding ([[EventsArchiveAdapter.pointsAll]]'s
-    * dispatch, streaming side). */
+  /** Shared by q32–q34: the events stream's derived event-time column
+    * — the SAME dispatch the batch adapter uses, so the two paths
+    * cannot drift. */
   private def eventTimeUs(schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.Column =
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => expr("micros_of(ts)")
-    }
+    EventsArchiveAdapter.tsMicrosExpr(schema("ts").dataType)
 
   private def q32(s: SparkSession, dir: String): DataFrame = {
     graft.functions.MicrosOf.register(s)
@@ -919,9 +921,14 @@ object EventQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    val out = s.table(name)
       .select(col("att_name"), col("bucket_us"), col("n"))
       .orderBy(col("att_name"), col("bucket_us"))
+    // the analyzed plan embeds the sink relation, so dropping the name
+    // changes nothing for `out` — but without it every bench/verify
+    // pass pins another full-result memory sink for the session's life
+    s.catalog.dropTempView(name)
+    out
   }
 
   private val q32Sql =
@@ -960,7 +967,9 @@ object EventQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy(col("user_id"), col("t_start"))
+    val out = s.table(name).orderBy(col("user_id"), col("t_start"))
+    s.catalog.dropTempView(name) // see q32 — bounds sink accumulation
+    out
   }
 
   private val q33Sql =
@@ -1017,7 +1026,10 @@ object EventQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy(col("user_id"), col("err_id"), col("pid"))
+    val out = s.table(name)
+      .orderBy(col("user_id"), col("err_id"), col("pid"))
+    s.catalog.dropTempView(name) // see q32 — bounds sink accumulation
+    out
   }
 
   private val q34Sql =

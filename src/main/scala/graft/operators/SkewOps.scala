@@ -73,13 +73,20 @@ object SkewOps {
     * so retries repartition identically and results are bit-equal to
     * the plain join. */
   /** The gate: keys whose `weightCol` share of the total exceeds
-    * `1/(2·buckets)` — at most `2·buckets` rows can qualify. */
+    * `1/(2·buckets)` — at most `2·buckets` DISTINCT keys can qualify.
+    * The distinct matters for the join contract: a dim with duplicate
+    * rows for a hot key would otherwise emit the key twice here, and
+    * both gate probes are plain (not semi) joins — each duplicate
+    * would MULTIPLY the fact and dim sides and the final join would no
+    * longer equal `fact.join(dim, key)`. Current call sites pass
+    * aggregated dims, but the API must not depend on that. */
   private[operators] def hotKeys(dim: DataFrame, key: String,
       weightCol: String, buckets: Int): DataFrame = {
     val tot = dim.agg(sum(col(weightCol)).as("_tot"))
     dim.crossJoin(broadcast(tot))
       .where(col(weightCol) * (2L * buckets) > col("_tot"))
-      .select(col(key), lit(1).as("_hot"))
+      .select(col(key)).distinct()
+      .withColumn("_hot", lit(1))
   }
 
   def hotSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,

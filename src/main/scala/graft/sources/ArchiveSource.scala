@@ -151,13 +151,7 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
         when(col("event_type") === t, lit(i)).otherwise(acc)
       }
     val df = raw
-    val tUs = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case dt if TimeFns.isTimestampLike(dt) => expr("micros_of(ts)")
-      case dt => throw new IllegalStateException(
-        s"events.ts has unsupported type ${dt.sql} (expected " +
-          "epoch-nano bigint, timestamp, or timestamp_ntz)")
-    }
+    val tUs = EventsArchiveAdapter.tsMicrosExpr(df.schema("ts").dataType)
     df.select(
       col("event_id").as("point_id"),
       col("user_id"),
@@ -323,6 +317,21 @@ object CassandraArchiveSource {
 
 object EventsArchiveAdapter {
   import graft.cache.ArchiveCache.TtlCache
+
+  /** THE ts-encoding dispatch — epoch-µs `t` from any supported `ts`
+    * type, shared by [[EventsArchiveAdapter.pointsAll]] and the
+    * streaming queries (api/EventQueries q32–q34) so the two paths
+    * cannot drift; anything unsupported fails loudly here rather than
+    * as a downstream `micros_of` type-check error. */
+  def tsMicrosExpr(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case t if graft.functions.TimeFns.isTimestampLike(t) =>
+      expr("micros_of(ts)")
+    case t => throw new IllegalStateException(
+      s"events.ts has unsupported type ${t.sql} (expected " +
+        "epoch-nano bigint, timestamp, or timestamp_ntz)")
+  }
 
   /** µs-range predicates over [[EventsArchiveAdapter.pointsAll]]'s
     * derived `t`. They are PLAIN range filters: the pushable raw-`ts`
