@@ -813,6 +813,30 @@ object PipelineQueries {
        |SELECT qid, clab, CAST(rn AS BIGINT) AS rn, nid, adc
        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- shard export
+  /** p59 — deterministic training-shard export
+    * ([[Sampling.exportShards]]): the assembly pipeline's last stage —
+    * content-hash shard assignment plus a reproducible in-shard global
+    * shuffle, ranked by the two-pass distributed prefix count (never a
+    * per-shard window). The full (shard, rn, doc_id) matrix is
+    * hash-pinned: a wrong shard mod, a drifted order hash, or a rank
+    * off-by-one anywhere breaks it. */
+  private def p59(s: SparkSession, dir: String): DataFrame =
+    Sampling.exportShards(docs(s, dir), nShards = 8)
+      .orderBy(col("shard"), col("rn"))
+
+  private val p59Sql =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${polyHashSql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
+       |      AS shard,
+       |    ${polyHashSql("'shard-ord:' || CAST(doc_id AS VARCHAR)")}
+       |      AS h_ord
+       |  FROM documents)
+       |SELECT shard, CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY h_ord, doc_id) AS BIGINT) AS rn, doc_id, h_ord
+       |FROM h ORDER BY shard, rn""".stripMargin
+
   // ---------------------------------------------------------------- cosine near-dup
   private def p15(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(emb(s, dir), threshold = 0.3)
@@ -2436,7 +2460,8 @@ object PipelineQueries {
     "p55_split_leakage" -> (p55 _),
     "p56_pq_encode" -> (p56 _),
     "p57_pq_adc_topk" -> (p57 _),
-    "p58_ivf_pq" -> (p58 _))
+    "p58_ivf_pq" -> (p58 _),
+    "p59_export_shards" -> (p59 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2498,5 +2523,6 @@ object PipelineQueries {
     "p55_split_leakage" -> p55Sql,
     "p56_pq_encode" -> p56Sql,
     "p57_pq_adc_topk" -> p57Sql,
-    "p58_ivf_pq" -> p58Sql)
+    "p58_ivf_pq" -> p58Sql,
+    "p59_export_shards" -> p59Sql)
 }

@@ -339,6 +339,38 @@ object Sampling {
       strataCols: Seq[String]): DataFrame =
     runningSum(base, strataCols, Seq("doc_id"), "n_tok")
 
+  /** Deterministic training-shard export — the assembly pipeline's
+    * LAST stage: assign every doc a shard and a stable in-shard
+    * position, so N independent writers emit N bit-reproducible shard
+    * files in ONE pass. Shard = shard-hash mod `nShards` (a pure
+    * projection, stable under corpus growth exactly like
+    * [[assignSplits]] — a doc's shard never moves when others
+    * arrive); in-shard position = the rank of (order-hash, doc_id) —
+    * a deterministic GLOBAL SHUFFLE, decorrelating training batches
+    * from crawl/source order, which `rand()`-based shuffles cannot do
+    * reproducibly across engines or retries.
+    *
+    * Scale shape: the rank is [[runningSum]]'s two-pass
+    * range-repartition prefix count, NOT a per-shard `row_number`
+    * window — with the few hundred shards a real export uses, a
+    * window would sort corpus/nShards rows through single tasks;
+    * the two-pass form spreads every shard across ordered partition
+    * ranges (the one-stratum StressSpec pathology). Returns
+    * `(shard, rn, doc_id, h_ord)`. */
+  def exportShards(docs: DataFrame, nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"))
+      .withColumn("shard",
+        pmod(splitHash(salt, col("doc_id")), lit(nShards)))
+      .withColumn("h_ord", splitHash(salt + "-ord", col("doc_id")))
+      .withColumn("one", lit(1L))
+    runningSum(base, Seq("shard"), Seq("h_ord", "doc_id"), "one")
+      .withColumnRenamed("cum", "rn")
+      .select(col("shard"), col("rn"), col("doc_id"), col("h_ord"))
+  }
+
   /** Generalization of [[runningTokenSum]] to an arbitrary total order
     * and summand: `cum` = the inclusive per-stratum prefix sum of
     * `valueCol` (LongType; null counts 0) in (strata…, orderCols…)

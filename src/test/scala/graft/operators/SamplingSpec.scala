@@ -344,4 +344,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(r(0).getLong(3) == clean0.length)
     assert(r(0).getString(4) == fp0)
   }
+
+  test("exportShards: every doc lands in exactly one shard with a " +
+    "contiguous deterministic in-shard rank") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val r = Sampling.exportShards(docs, nShards = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.length == 500 && r.map(_._3).distinct.length == 500)
+    assert(r.forall(x => x._1 >= 0 && x._1 < 8))
+    r.toSeq.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      // ranks are 1..n and follow (h_ord, doc_id) order exactly
+      assert(sorted.map(_._2) == (1L to g.length.toLong).toSeq)
+      assert(sorted.map(x => (x._4, x._3)) ==
+        sorted.map(x => (x._4, x._3)).sorted)
+    }
+    // stable: a second run reproduces the assignment bit-for-bit
+    val again = Sampling.exportShards(docs, nShards = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq.sortBy(x => (x._1, x._2)) ==
+      again.toSeq.sortBy(x => (x._1, x._2)))
+  }
 }
