@@ -837,6 +837,68 @@ object PipelineQueries {
        |    ORDER BY h_ord, doc_id) AS BIGINT) AS rn, doc_id, h_ord
        |FROM h ORDER BY shard, rn""".stripMargin
 
+  // ---------------------------------------------------------------- streaming corpus dedup
+  /** p60 — stream-STATIC exact dedup against PERSISTED corpus state
+    * ([[graft.streaming.StreamOps.streamingExactDedupAgainstCorpus]]
+    * over [[Dedup.writeDedupState]] output): the continuous-ingest
+    * gate — new documents stream in, anything whose content digest is
+    * already in the persisted corpus drops, survivors flow on. Zero
+    * stream state (the corpus IS the state, re-read per micro-batch
+    * through file-source caching). The fixture persists the even-id
+    * half of the corpus as the "already ingested" state and streams
+    * the whole file; the oracle is the digest anti-join in DuckDB
+    * (sha-256 hex on both sides). Completes the streaming coverage:
+    * windowed agg (q32), session agg (q33), stream-stream join (q34),
+    * stream-static join (this). */
+  private val p60Roots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def p60(s: SparkSession, dir: String): DataFrame = {
+    val (stateRoot, streamDir) =
+      p60Roots.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+        val state = java.nio.file.Files
+          .createTempDirectory("graft-p60-state").toString
+        Dedup.writeDedupState(
+          docs(s, dir).where(col("doc_id") % 2 === 0), state)
+        // the file-stream source needs a directory; documents.parquet
+        // is a single file in the driver layout (see EventQueries
+        // .stagedStreamDir for the directory-shaped case's handling)
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        val sd =
+          if (java.nio.file.Files.isDirectory(src)) src.toString
+          else {
+            val d = java.nio.file.Files
+              .createTempDirectory("graft-p60-stream")
+            java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
+            d.toString
+          }
+        (state, sd)
+      })
+    val stream = s.readStream.schema(docs(s, dir).schema).parquet(streamDir)
+    val name = s"p60_sink_${p60Sink.incrementAndGet()}"
+    val q = graft.streaming.StreamOps
+      .streamingExactDedupAgainstCorpus(stream, stateRoot)
+      .select(col("doc_id"), col("fp"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name).orderBy(col("doc_id"))
+    s.catalog.dropTempView(name) // bounds sink accumulation (q32 note)
+    out
+  }
+  private val p60Sink = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val p60Sql =
+    s"""WITH state AS (
+       |  SELECT DISTINCT sha256(text) AS fp FROM documents
+       |  WHERE doc_id % 2 = 0)
+       |SELECT d.doc_id, sha256(d.text) AS fp
+       |FROM documents d LEFT JOIN state s ON sha256(d.text) = s.fp
+       |WHERE s.fp IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- cosine near-dup
   private def p15(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDups(emb(s, dir), threshold = 0.3)
@@ -2461,7 +2523,8 @@ object PipelineQueries {
     "p56_pq_encode" -> (p56 _),
     "p57_pq_adc_topk" -> (p57 _),
     "p58_ivf_pq" -> (p58 _),
-    "p59_export_shards" -> (p59 _))
+    "p59_export_shards" -> (p59 _),
+    "p60_stream_dedup" -> (p60 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2524,5 +2587,6 @@ object PipelineQueries {
     "p56_pq_encode" -> p56Sql,
     "p57_pq_adc_topk" -> p57Sql,
     "p58_ivf_pq" -> p58Sql,
-    "p59_export_shards" -> p59Sql)
+    "p59_export_shards" -> p59Sql,
+    "p60_stream_dedup" -> p60Sql)
 }
