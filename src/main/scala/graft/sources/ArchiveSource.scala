@@ -121,13 +121,26 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
     Seq("click", "error", "purchase", "signup", "view") // sorted, stable ids
 
   /** The driver's `events.parquet` has shipped `ts` under TWO
-    * encodings: parquet `timestamp[us]` (Spark TIMESTAMP_NTZ — the
-    * current files) and legacy TIMESTAMP(NANOS,false), which Spark 4
-    * rejects at scan time by default ([PARQUET_TYPE_ILLEGAL]);
-    * `nanosAsLong` (runtime-settable, harmless for µs data) reads the
-    * latter as a bigint of epoch-nanoseconds. [[pointsAll]] dispatches
-    * on the RESULTING Spark type, so both encodings flow through the
-    * same downstream plan. */
+    * encodings: parquet `timestamp[us]` (unadjusted — the current
+    * files) and legacy TIMESTAMP(NANOS,false), which Spark 4 rejects
+    * at scan time by default ([PARQUET_TYPE_ILLEGAL]); `nanosAsLong`
+    * (runtime-settable, harmless for µs data) reads the latter as a
+    * bigint of epoch-nanoseconds. [[pointsAll]] dispatches on the
+    * RESULTING Spark type, so every encoding flows through the same
+    * downstream plan.
+    *
+    * Row-group-level pruning caveat (measured, EncodingMatrixSpec):
+    * Spark's parquet filter layer constructs a stats predicate only
+    * for ADJUSTED-to-UTC timestamp columns — on unadjusted
+    * `timestamp[us]` files (the driver's current encoding) the time
+    * bound appears in the scan's PushedFilters metadata but every
+    * row group is read, REGARDLESS of the Spark-side read type (LTZ
+    * via disabled NTZ inference or an explicit schema changes
+    * nothing: the FILE annotation governs). Epoch-long and adjusted-
+    * µs files skip normally. The engine's own layout is unaffected:
+    * [[ArchiveWriter]] writes adjusted µs (prunable) and the
+    * `(att_conf_id, period)` partition dirs prune at day granularity
+    * before row-group stats even matter. */
   def raw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")

@@ -26,7 +26,16 @@ object ArchiveWriter {
 
   /** Write `points` into `root/<table>/att_conf_id=…/period=…/`.
     * Requires `att_conf_id` and `data_time`; derives `period`
-    * (UTC date string) if missing. */
+    * (UTC date string) if missing.
+    *
+    * Timestamps are written as parquet TIMESTAMP_MICROS ADJUSTED to
+    * UTC — a load-bearing choice, not a default: Spark's parquet
+    * filter layer constructs row-group stats predicates ONLY for
+    * adjusted timestamp columns (measured in EncodingMatrixSpec —
+    * unadjusted µs and INT96, the session default for LTZ, both read
+    * every group under a pushed time bound), so this is what makes a
+    * within-day `data_time` range prune at the row-group layer on
+    * top of the partition-dir pruning. */
   def write(points: DataFrame, root: String,
       table: String = "att_scalar_devdouble_ro",
       mode: String = "append"): Unit = {
@@ -34,12 +43,17 @@ object ArchiveWriter {
       if (points.columns.contains("period")) points
       else points.withColumn("period",
         date_format(col("data_time"), "yyyy-MM-dd"))
-    withPeriod
+    val conf = points.sparkSession.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = conf.get(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try withPeriod
       .repartition(col("att_conf_id"), col("period"))
       .write
       .partitionBy("att_conf_id", "period")
       .mode(mode)
       .parquet(s"$root/$table")
+    finally conf.set(key, saved)
   }
 
   /** Write the attribute-properties log (`root/att_parameter`; reference

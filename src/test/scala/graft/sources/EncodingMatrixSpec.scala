@@ -129,6 +129,79 @@ class EncodingMatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("row-group skipping measured per encoding: long and adjusted-µs " +
+    "prune, unadjusted-µs CANNOT (Spark builds no stats predicate)") {
+    // the driver's events file is ONE row group, so the green
+    // pushdown assertions above prove the predicate REACHES the
+    // footer but not that groups get skipped. This writes ts-sorted
+    // files with deliberately tiny row groups and measures the scan's
+    // surfaced rows under a ~2% time window, per encoding:
+    //  - epoch-nano LONG: skips (stats predicates on int64 work);
+    //  - ADJUSTED-to-UTC µs timestamp (what ArchiveWriter pins via
+    //    TIMESTAMP_MICROS output): skips;
+    //  - UNADJUSTED µs (the driver's current events encoding): reads
+    //    EVERY group — Spark's parquet filter layer constructs stats
+    //    predicates only for adjusted timestamps, and the FILE
+    //    annotation governs (disabling NTZ inference or forcing an
+    //    LTZ read schema changes nothing; all three were measured).
+    // The third expectation is asserted too: if a Spark upgrade ever
+    // starts pruning unadjusted files, this fails and the limitation
+    // note (and the ArchiveWriter choice) should be revisited.
+    import spark.implicits._
+    val n = 50000
+    val minuteUs = 60000000L
+    val logicalBig = (0 until n).map(i =>
+      (i.toLong, Base + i.toLong * minuteUs, 1L, "click", 1.0 + i, s"p$i"))
+      .toDF("event_id", "t_us", "user_id", "event_type", "value", "props")
+    val t0 = Base + 30000L * minuteUs
+    val t1 = Base + 31000L * minuteUs
+
+    def measure(label: String)(writeTs: DataFrame => DataFrame): Long = {
+      val dir = Files.createTempDirectory(s"graft-rg-$label").toString
+      writeTs(logicalBig)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).sortWithinPartitions("ts")
+        .write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite").parquet(s"$dir/events.parquet")
+      // filter-only plan: no exchange → no AQE wrapper, so the scan
+      // node (and its metrics) stays reachable from executedPlan
+      val q = new EventsArchiveAdapter(spark, dir).pointsAll
+        .where(EventsArchiveAdapter.tsRangeUs(t0, t1))
+      assert(q.collect().length == 1001, s"$label: wrong row count")
+      val scanned = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+      info(s"$label: scan surfaced $scanned of $n rows " +
+        s"(${math.round(scanned * 100.0 / n)}%) for a 1001-row window")
+      scanned
+    }
+
+    val long = measure("long")(df =>
+      df.select((col("t_us") * 1000).as("ts"), col("*")))
+    assert(long > 0 && long < n / 4,
+      s"epoch-long encoding did not row-group-prune: $long of $n")
+
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    val adjusted =
+      try measure("adjusted-us")(df =>
+        df.select(timestamp_micros(col("t_us")).as("ts"), col("*")))
+      finally spark.conf.set(key, saved)
+    assert(adjusted > 0 && adjusted < n / 4,
+      s"adjusted-µs encoding did not row-group-prune: $adjusted of $n")
+
+    val unadjusted = measure("unadjusted-us")(df =>
+      df.select(timestamp_micros(col("t_us")).cast("timestamp_ntz")
+        .as("ts"), col("*")))
+    assert(unadjusted == n,
+      s"unadjusted-µs files suddenly prune ($unadjusted of $n) — a " +
+        "Spark upgrade lifted the limitation; revisit the adapter and " +
+        "ArchiveWriter scaladocs")
+  }
+
   test("flagship entry runs against the LIVE driver testdata") {
     // guards the fixture contract itself: if the driver regenerates
     // /root/testdata under yet another encoding, this fails in sbt test
