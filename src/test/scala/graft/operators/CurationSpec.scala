@@ -311,6 +311,99 @@ class CurationSpec extends AnyFunSuite {
     assert(run(1) == run(8), "union-then-sketch must equal merged sketches")
   }
 
+  // ---------------------------------------------------------------- hllDistinctTokens
+
+  private def hllHash(w: String): Long = {
+    var h = graft.functions.PolyHash31.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hll:" + w))
+    h = (h * TextStats.HllMixC1) % TextStats.HashP31
+    h = h ^ (h >> 15)
+    h = (h * TextStats.HllMixC2) % TextStats.HashP31
+    h ^ (h >> 13)
+  }
+
+  /** Reference registers for logM=6 (m=64, restBits=25, maxRank=26). */
+  private def hllRef(words: Seq[String]): Array[Int] = {
+    val regs = new Array[Int](64)
+    words.foreach { w =>
+      val h = hllHash(w)
+      val j = (h % 64).toInt
+      val rest = h / 64
+      val r = if (rest == 0) 26
+        else 26 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (r > regs(j)) regs(j) = r
+    }
+    regs
+  }
+
+  test("hllDistinctTokens: registers match a hand-computed reference, " +
+    "estimate is the exact integer form over them") {
+    val words = (0 until 300).map(i => s"tok$i")
+    val d = Seq((0L, "en", words.take(150).mkString(" ")),
+        (1L, "en", words.drop(150).mkString(" ") + " tok0"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextStats.hllDistinctTokens(d, Seq("lang")).collect()
+    assert(r.length == 1)
+    val ref = hllRef(words)
+    assert(r.head.getString(2) == ref.mkString(","))        // regs
+    assert(r.head.getLong(3) == ref.count(_ == 0).toLong)   // n_zero
+    val denom = ref.map(x => 1L << (26 - x)).sum
+    assert(r.head.getLong(4) == denom)
+    assert(r.head.getLong(5) == 709L * 64 * 64 * (1L << 26) / denom)
+    // sanity: the estimate lands within 30% of the true 300 distinct
+    val est = r.head.getLong(5) / 1000.0
+    assert(est > 210 && est < 390, s"HLL estimate off: $est vs 300")
+  }
+
+  test("hllDistinctTokens: merge-by-max — sketch(A ∪ B) is the " +
+    "element-wise max of sketch(A) and sketch(B); partition-invariant") {
+    val wa = (0 until 80).map(i => s"a$i")
+    val wb = (0 until 80).map(i => s"b$i") ++ wa.take(20) // overlap
+    def df(ws: Seq[String], id: Long) =
+      Seq((id, "en", ws.mkString(" "))).toDF("doc_id", "lang", "text")
+    def regs(d: org.apache.spark.sql.DataFrame): Array[Int] =
+      TextStats.hllDistinctTokens(d, Seq("lang")).collect()
+        .head.getString(2).split(",").map(_.toInt)
+    val ra = regs(df(wa, 0L))
+    val rb = regs(df(wb, 1L))
+    val runion = regs(df(wa, 0L).union(df(wb, 1L)))
+    assert(runion.toSeq == ra.zip(rb).map { case (x, y) => math.max(x, y) }.toSeq)
+    // dup-blind: 500 repeats of one token change nothing
+    val hot = df(wa :+ ("a0 " * 500).trim, 2L)
+    assert(regs(hot).toSeq == ra.toSeq)
+    // partition invariance
+    val big = (0 until 100).map(i => (i.toLong, s"l${i % 2}",
+      s"t$i u${i * 7 % 43} shared")).toDF("doc_id", "lang", "text")
+    def run(p: Int) = TextStats.hllDistinctTokens(big.repartition(p),
+      Seq("lang")).orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(5))).toSeq
+    assert(run(1) == run(8))
+  }
+
+  // ---------------------------------------------------------------- bpePairStats
+
+  test("bpePairStats: adjacent char pairs weighted by word frequency, " +
+    "in-word repeats counted, single-char words skipped") {
+    // word freqs: "aab"×3, "ab"×2, "a"×4 → pairs: aa: 3, ab: 3+2 = 5
+    val d = Seq((0L, "aab aab a a"), (1L, "aab ab ab a a"))
+      .toDF("doc_id", "text")
+    val r = TextStats.bpePairStats(d, k = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("ab", 5L), ("aa", 3L)))
+    // in-word repeats: "aaa" has TWO "aa" positions
+    val d2 = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val r2 = TextStats.bpePairStats(d2, k = 10).collect()
+    assert(r2.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("aa", 2L)))
+  }
+
+  test("bpePairStats: top-k cut with (count desc, pair asc) ties") {
+    val d = Seq((0L, "xy xz xy xz yy")).toDF("doc_id", "text")
+    val r = TextStats.bpePairStats(d, k = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("xy", 2L), ("xz", 2L))) // yy(1) cut; tie by pair
+  }
+
   // ---------------------------------------------------------------- countMinFreq
 
   private def cmsBucket(j: Int, w: String, width: Int): Long =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkTestBase
 import graft.model.{AttributePath, TangoTypes}
 
@@ -219,6 +220,77 @@ class MiscSpec extends AnyFunSuite {
     // corrupt: zero dims, zero features, checksum still computed
     assert(r(1).width == 0 && r(1).height == 0)
     assert(r(1).feature.forall(_ == 0f) && r(1).checksum != 0L)
+  }
+
+  test("GifVideoCodecProvider decodes an animated GIF as real video: " +
+    "frame count, temporal sampling, per-frame pixels") {
+    // a JDK-written 3-frame 4×2 animation: black, white, half-and-half
+    def solid(rgb: Int) = {
+      val im = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(x => (0 until 2).foreach(y => im.setRGB(x, y, rgb)))
+      im
+    }
+    val half = solid(0x000000)
+    (0 until 4).foreach(x => half.setRGB(x, 0, 0xffffff))
+    val frames = Seq(solid(0x000000), solid(0xffffff), half)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(im => writer.writeToSequence(
+      new javax.imageio.IIOImage(im, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    val gif = bos.toByteArray
+    // claims routing: video/gif here, still image/gif unchanged, mp4 fake
+    assert(MediaCodec.forKind("video/gif").isInstanceOf[GifVideoCodecProvider])
+    assert(MediaCodec.forKind("image/gif").isInstanceOf[ImageIoCodecProvider])
+    assert(MediaCodec.forKind("video/mp4").isInstanceOf[FakeCodecProvider])
+    // whole-animation decode through the operator
+    val media = Seq(
+      (1L, "video/gif", gif),
+      (2L, "video/gif", "not a gif".getBytes("UTF-8")))
+      .toDF("doc_id", "kind", "payload")
+    val r = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(r(0).width == 4 && r(0).height == 2)
+    val crc = new java.util.zip.CRC32
+    crc.update(gif)
+    assert(r(0).checksum == crc.getValue)
+    // luminance over ALL 24 pixels: 12 black (bin 0) + 12 white (bin 7)
+    assert(math.abs(r(0).feature(0) - 0.5f) < 1e-6)
+    assert(math.abs(r(0).feature(7) - 0.5f) < 1e-6)
+    assert(r(1).width == 0 && r(1).height == 0) // corrupt marker
+    assert(r(1).feature.forall(_ == 0f) && r(1).checksum != 0L)
+    // temporal sampling: 3 of 3 real frames, 8 pixels each, and the
+    // per-frame checksums match an independent direct-ImageIO re-read
+    val fr = Multimodal.sampleFrames(
+      media.where(col("doc_id") === 1L), 3).collect().sortBy(_.frame_no)
+    assert(fr.length == 3)
+    assert(fr.forall(_.frame_len == 8L))
+    val stream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = javax.imageio.ImageIO.getImageReaders(stream).next()
+    reader.setInput(stream)
+    assert(reader.getNumImages(true) == 3)
+    val want = (0 until 3).map { i =>
+      val im = reader.read(i)
+      val c = new java.util.zip.CRC32
+      (0 until im.getHeight).foreach(y => (0 until im.getWidth).foreach { x =>
+        val rgb = im.getRGB(x, y)
+        c.update((rgb >> 16) & 0xff); c.update((rgb >> 8) & 0xff)
+        c.update(rgb & 0xff)
+      })
+      c.getValue
+    }
+    reader.dispose(); stream.close()
+    assert(fr.map(_.checksum).toSeq == want)
+    assert(want.distinct.length == 3) // the frames really differ
+    // corrupt payloads sample to zero frames, no task failure
+    assert(Multimodal.sampleFrames(
+      media.where(col("doc_id") === 2L), 3).collect().isEmpty)
   }
 
   test("Multimodal.sampleFrames fans one payload into n decoded frames") {

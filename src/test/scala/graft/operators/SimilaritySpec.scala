@@ -524,6 +524,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedDecontaminate: exact cosines, argmax ties to smallest " +
+    "bench id, threshold verdicts") {
+    val train = Seq(
+      (0L, Array.fill(4)(0.5f)),              // ≡ bench 10 → cos 1.0
+      (1L, Array(0.5f, -0.5f, 0.5f, -0.5f)),  // ⊥ bench 10, ≡ bench 12
+      (2L, Array(0.5f, 0.5f, 0.5f, -0.5f)))   // cos 0.5 vs both
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array.fill(4)(0.5f)),
+      (11L, Array.fill(4)(0.5f)),              // duplicate of 10: tie
+      (12L, Array(0.5f, -0.5f, 0.5f, -0.5f)))
+      .toDF("bench_id", "embedding")
+    val r = Similarity.embedDecontaminate(train, bench, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(r(0).getDouble(1) == 1.0 && r(0).getLong(2) == 10L
+      && r(0).getBoolean(3))                   // tie 10 vs 11 → 10
+    assert(r(1).getDouble(1) == 1.0 && r(1).getLong(2) == 12L
+      && r(1).getBoolean(3))
+    assert(math.abs(r(2).getDouble(1) - 0.5) < 1e-12 && !r(2).getBoolean(3))
+  }
+
+  test("embedDecontaminate: one scan, zero joins, zero shuffles — the " +
+    "benchmark rides the plan as literals") {
+    val train = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d) / 100.0f)))
+      .toSeq.toDF("vec_id", "embedding")
+    val bench = Seq((0L, Array(0.1f, 0.2f, 0.3f, 0.4f)))
+      .toDF("bench_id", "embedding")
+    val r = Similarity.embedDecontaminate(train, bench, threshold = 0.5)
+    val plan = r.queryExecution.optimizedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "decontamination must not join")
+    val exec = r.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), s"unexpected shuffle:\n$exec")
+    assert(r.count() == 50)
+  }
+
   test("covarianceStats: one aggregate, no join — the pair fan-out " +
     "happens on the single aggregated row") {
     val emb = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(4.0f, 5.0f, 6.0f)))
