@@ -2582,6 +2582,34 @@ object PipelineQueries {
       |  c >= 0.33 AS contaminated
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- domain caps
+  /** p64 — domain token-share caps ([[Sampling.domainTokenCaps]]):
+    * no source may exceed 4% of corpus tokens; docs kept in
+    * deterministic hash-priority order until the cap. The ~20 uniform
+    * synthetic sources each hold ~5%, so every source is genuinely
+    * cut and both verdicts populate. */
+  private def p64(s: SparkSession, dir: String): DataFrame =
+    Sampling.domainTokenCaps(docsSpread(s, dir), "source",
+      shareNum = 1, shareDen = 25)
+      .orderBy(col("source"), col("doc_id"))
+
+  private val p64Sql =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ${polyHashSql("'domcap:' || CAST(doc_id AS VARCHAR)")} AS h_ord
+       |  FROM documents),
+       |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM d),
+       |c AS (
+       |  SELECT source, doc_id, n_tok, h_ord,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY h_ord, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum
+       |  FROM d)
+       |SELECT c.source, c.doc_id, c.n_tok, c.h_ord, c.cum,
+       |  t.total // 25 AS cap, c.cum <= t.total // 25 AS kept
+       |FROM c, t ORDER BY c.source, c.doc_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2647,7 +2675,8 @@ object PipelineQueries {
     "p60_stream_dedup" -> (p60 _),
     "p61_hll_distinct" -> (p61 _),
     "p62_bpe_pairs" -> (p62 _),
-    "p63_embed_decontam" -> (p63 _))
+    "p63_embed_decontam" -> (p63 _),
+    "p64_domain_caps" -> (p64 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2714,5 +2743,6 @@ object PipelineQueries {
     "p60_stream_dedup" -> p60Sql,
     "p61_hll_distinct" -> p61Sql,
     "p62_bpe_pairs" -> p62Sql,
-    "p63_embed_decontam" -> p63Sql)
+    "p63_embed_decontam" -> p63Sql,
+    "p64_domain_caps" -> p64Sql)
 }

@@ -65,6 +65,44 @@ object Sampling {
         col("p._2").as("doc_id") :+ col("p._1").as("h_quota"): _*)
   }
 
+  /** Domain token-share CAPS — the RefinedWeb/Dolma-family source
+    * balancing rule, token-budget flavor: no domain (source, site,
+    * crawl) may contribute more than `shareNum/shareDen` of the
+    * corpus's TOKENS. Within each domain, docs are walked in
+    * deterministic hash priority ((split-hash, doc_id) — a
+    * reproducible "random" order, so the kept set is not biased
+    * toward crawl order) and kept while the domain's running token
+    * sum stays within its cap. Emits the full audit row per doc —
+    * n_tok, running cum, the domain's cap, kept — so the same output
+    * drives both the filter and the "what did the cap cost each
+    * domain" report.
+    *
+    * Scale shape: the per-domain running sum is [[runningSum]]'s
+    * two-pass range-repartition prefix (never a corpus window — a
+    * corpus-dominating domain would serialize through one sort task);
+    * the corpus total is ONE scalar aggregate broadcast back. Compare
+    * [[quotaSample]] (count-based, fixed k per stratum, needs no
+    * global pass) — caps are SHARE-based, so the bound moves with the
+    * corpus and the two operators answer different curation
+    * questions. */
+  def domainTokenCaps(docs: DataFrame, domainCol: String,
+      shareNum: Long, shareDen: Long, salt: String = "domcap"): DataFrame = {
+    require(shareNum > 0 && shareDen >= shareNum,
+      s"share must be in (0,1]: $shareNum/$shareDen")
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val nTok = coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+    val base = docs.select(col(domainCol), col("doc_id"), nTok.as("n_tok"))
+      .withColumn("h_ord", splitHash(salt, col("doc_id")))
+    val cum = runningSum(base, Seq(domainCol), Seq("h_ord", "doc_id"),
+      "n_tok")
+    val total = docs.agg(
+      coalesce(sum(nTok), lit(0L)).as("total_tokens"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("cap", expr(s"(total_tokens * $shareNum) div $shareDen"))
+      .select(col(domainCol), col("doc_id"), col("n_tok"), col("h_ord"),
+        col("cum"), col("cap"), (col("cum") <= col("cap")).as("kept"))
+  }
+
   /** Global deterministic sample of exactly `n` docs: the n smallest
     * (split-hash, doc_id) over the whole corpus. Plans as
     * `TakeOrderedAndProject` — every partition keeps its local top-n

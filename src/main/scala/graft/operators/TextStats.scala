@@ -745,15 +745,14 @@ object TextStats {
       when(expr(s"h div $m") === 0, lit(maxRank))
         .otherwise(lit(maxRank) - length(bin(expr(s"h div $m"))))
         .cast("int").as("r")): _*)
+    // ONE aggregate via the register-max buffer — O(m) map-side state,
+    // one exchange (a groupBy-j + regroup pair would pay two), and the
+    // single-aggregate plan is what lets the SAME operator run under
+    // Structured Streaming (multiple streaming aggregations are
+    // unsupported; see StreamOps.streamingHllDistinct)
     ranked
-      .groupBy(groupCols.map(col) :+ col("j"): _*)
-      .agg(max(col("r")).as("r"))
       .groupBy(groupCols.map(col): _*)
-      .agg(map_from_entries(collect_list(struct(col("j"), col("r"))))
-        .as("mp"))
-      .select(groupCols.map(col) :+
-        expr(s"transform(sequence(0, ${m - 1}), i -> " +
-          "coalesce(element_at(mp, i), 0))").as("ra"): _*)
+      .agg(TopK.registerMax(m, col("j"), col("r")).as("ra"))
       .select(groupCols.map(col) ++ Seq(
         lit(m.toLong).as("m"),
         array_join(col("ra"), ",").as("regs"),

@@ -118,4 +118,34 @@ object TopK {
     * sorted ascending, as array<long>. */
   def smallestKDistinct(k: Int, vCol: Column): Column =
     udaf(new SmallestKDistinct(k), Encoders.scalaLong).apply(vCol)
+
+  /** HLL register vector: element-wise MAX of (bucket, rank) updates
+    * over a fixed m-register buffer — the merge algebra that makes
+    * HyperLogLog sketches combinable across partitions, micro-batches,
+    * days, or corpora with no double-count (max is idempotent and
+    * commutative). O(m) state per group, map-side combinable, and a
+    * legal streaming state buffer for the same reason
+    * ([[graft.streaming.StreamOps.streamingHllDistinct]]). */
+  final case class BufR(regs: Seq[Int])
+
+  final class RegisterMax(m: Int)
+      extends Aggregator[(Int, Int), BufR, Seq[Int]] {
+    require(m > 0)
+    def zero: BufR = BufR(Vector.fill(m)(0))
+    def reduce(b: BufR, v: (Int, Int)): BufR =
+      if (v._2 <= b.regs(v._1)) b else BufR(b.regs.updated(v._1, v._2))
+    def merge(a: BufR, b: BufR): BufR =
+      BufR(a.regs.lazyZip(b.regs).map(math.max))
+    def finish(b: BufR): Seq[Int] = b.regs
+    def bufferEncoder: Encoder[BufR] = Encoders.product[BufR]
+    def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Column form: the m-element register vector (array<int>, bucket
+    * order) of max(rank) per bucket. */
+  def registerMax(m: Int, jCol: Column, rCol: Column): Column =
+    udaf(new RegisterMax(m),
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
+      .apply(jCol, rCol)
 }

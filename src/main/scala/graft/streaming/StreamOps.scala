@@ -156,6 +156,24 @@ object StreamOps {
       k: Int = 128, salt: String = "kmv"): DataFrame =
     graft.operators.TextStats.kmvDistinctTokens(docs, groupCols, k, salt)
 
+  /** Continuous HyperLogLog distinct-token sketch — the fixed-register
+    * sibling of [[streamingKmvDistinct]]
+    * ([[graft.operators.TextStats.hllDistinctTokens]]). The batch
+    * operator is one explode + one register-max UDAF aggregate
+    * ([[graft.operators.TopK.RegisterMax]]), so it runs under
+    * Structured Streaming as-is; per-group state is exactly m ints
+    * REGARDLESS of stream length, and max-merge idempotence means a
+    * replayed micro-batch cannot corrupt the sketch (addition-based
+    * sketch state would double-count on retry; max cannot). Same
+    * contract as the KMV form: no watermark, cells live for the
+    * stream's life, emit with `complete`/`update` mode;
+    * stream-over-prefix ≡ batch-over-prefix at every micro-batch
+    * boundary (pinned in StreamOpsSpec). */
+  def streamingHllDistinct(docs: DataFrame, groupCols: Seq[String],
+      logM: Int = 6, salt: String = "hll"): DataFrame =
+    graft.operators.TextStats.hllDistinctTokens(docs, groupCols,
+      logM = logM, salt = salt)
+
   /** Streaming MinHash-LSH NEAR-dup detection with watermark-bounded
     * state — the streaming form of
     * [[graft.operators.Dedup.minhashNearDups]]'s array-native

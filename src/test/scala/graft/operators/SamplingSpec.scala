@@ -60,6 +60,51 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet == brute)
   }
 
+  test("domainTokenCaps: share-based cap, hash-priority keep order, " +
+    "inclusive boundary, window parity") {
+    // two domains: "big" holds 3/4 of the tokens, "small" 1/4; cap 50%
+    val d = Seq(
+      (0L, "big", "t " * 30), (1L, "big", "t " * 30),
+      (2L, "big", "t " * 30), (3L, "big", "t " * 30),
+      (4L, "small", "t " * 40))
+      .map { case (id, s, t) => (id, s, t.trim) }
+      .toDF("doc_id", "source", "text")
+    val r = Sampling.domainTokenCaps(d, "source", 1, 2)
+      .orderBy("source", "doc_id").collect()
+    // total 160 tokens → cap 80: small (40) fully kept; big keeps docs
+    // in (h_ord, doc_id) order while cum ≤ 80 → exactly 2 of its 4
+    assert(r.forall(_.getLong(5) == 80L))
+    val big = r.filter(_.getString(0) == "big")
+    assert(big.count(_.getBoolean(6)) == 2)
+    val keptBig = big.filter(_.getBoolean(6)).map(x => (x.getLong(3), x.getLong(1)))
+    val allBig = big.map(x => (x.getLong(3), x.getLong(1))).sorted
+    assert(keptBig.sorted.toSeq == allBig.take(2).toSeq,
+      "keep priority is hash order")
+    assert(r.filter(_.getString(0) == "small").forall(_.getBoolean(6)))
+    // window-formulation parity on a wider frame
+    graft.functions.PolyHash31.register(spark)
+    val wide = (0 until 120).map(i =>
+      (i.toLong, s"s${i % 5}", ("w " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.domainTokenCaps(wide, "source", 1, 10)
+      .select("source", "doc_id", "n_tok", "h_ord", "cum", "cap", "kept")
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy("h_ord", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = wide.agg(sum(size(split(col("text"), " "))).cast("long"))
+      .head().getLong(0)
+    val brute = wide
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        Sampling.splitHash("domcap", col("doc_id")).as("h_ord"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("cap", lit(tot / 10))
+      .withColumn("kept", col("cum") <= col("cap"))
+      .collect().map(_.toSeq).toSet
+    assert(got == brute)
+  }
+
   test("packTokenBudget: greedy fill, bins chain by start offset") {
     // en docs in id order: 8, 4, 6, 5 tokens; budget 10 →
     // starts 0,8,12,18 → bins 0,0,1,1

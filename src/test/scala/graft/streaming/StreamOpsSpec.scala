@@ -361,4 +361,35 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(streamed() == batchOver(b1 ++ b2))
     } finally q.stop()
   }
+
+  test("streamingHllDistinct: register state equals the batch sketch " +
+    "over the stream prefix at every micro-batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val b1 = (0 until 30).map(i => (i.toLong, s"l${i % 2}",
+      s"tok$i shared common words here"))
+    val b2 = (30 until 60).map(i => (i.toLong, s"l${i % 2}",
+      s"tok$i shared common words here plus tok${i - 30}"))
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "lang", "text")
+    val agg = StreamOps.streamingHllDistinct(docs, Seq("lang"))
+    val q = agg.writeStream.format("memory").queryName("hll")
+      .outputMode("complete").start()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    def batchOver(rows: Seq[(Long, String, String)]) =
+      canon(graft.operators.TextStats.hllDistinctTokens(
+          rows.toDF("doc_id", "lang", "text"), Seq("lang"))
+        .orderBy("lang").collect())
+    def streamed() = canon(spark.table("hll").orderBy("lang").collect())
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOver(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOver(b1 ++ b2))
+    } finally q.stop()
+  }
 }
