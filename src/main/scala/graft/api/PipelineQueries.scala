@@ -2531,18 +2531,24 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- embed decontam
   /** p63 — embedding-space decontamination
-    * ([[Similarity.embedDecontaminate]]): every 25th vector plays the
-    * held-out benchmark; each remaining training vector reports its
-    * max cosine against the benchmark set, the arg-max benchmark id,
-    * and the ≥ τ contamination verdict. The benchmark is literal
-    * in-row dots — one corpus scan, zero joins (plan-asserted in
-    * SimilaritySpec). τ = 0.33 ≈ the p90 of max-cos on this corpus,
-    * so both verdicts are populated. */
+    * ([[Similarity.embedDecontaminate]]): every 25th vector of the
+    * first 500 plays the held-out benchmark (an SF-INVARIANT ≤ 20
+    * vectors — benchmark sets don't grow with the corpus, and the
+    * literal-dot plan must not either: at sf0.1 an unbounded %25
+    * fixture meant 200 literal centroids ≈ 12.8k literal longs, and
+    * analyzer+Janino cost dominated the query at 3.0 s vs 0.3);
+    * each remaining training vector reports its max cosine against
+    * the benchmark set, the arg-max benchmark id, and the ≥ τ
+    * contamination verdict. The benchmark is literal in-row dots —
+    * one corpus scan, zero joins (plan-asserted in SimilaritySpec).
+    * τ = 0.33 ≈ the p90 of max-cos on this corpus, so both verdicts
+    * are populated. */
   private def p63(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    val isBench = col("vec_id") % 25 === 0 && col("vec_id") < 500
     Similarity.embedDecontaminate(
-      e.where(col("vec_id") % 25 =!= 0),
-      e.where(col("vec_id") % 25 === 0)
+      e.where(!isBench),
+      e.where(isBench)
         .select(col("vec_id").as("bench_id"), col("embedding")),
       threshold = 0.33)
       .orderBy(col("vec_id"))
@@ -2550,9 +2556,9 @@ object PipelineQueries {
 
   private val p63Sql =
     """WITH b AS (SELECT vec_id AS bench_id, embedding AS be
-      |           FROM embeddings WHERE vec_id % 25 = 0),
+      |           FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
       |t AS (SELECT vec_id, embedding FROM embeddings
-      |      WHERE vec_id % 25 <> 0),
+      |      WHERE NOT (vec_id % 25 = 0 AND vec_id < 500)),
       |tl AS (SELECT vec_id,
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
       |           AS BIGINT) AS q,
@@ -2609,6 +2615,88 @@ object PipelineQueries {
        |SELECT c.source, c.doc_id, c.n_tok, c.h_ord, c.cum,
        |  t.total // 25 AS cap, c.cum <= t.total // 25 AS kept
        |FROM c, t ORDER BY c.source, c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- best-quality keep
+  /** p65 — quality-aware dedup canonical pick
+    * ([[Dedup.bestQualityKeep]]): p16's near-dup clusters re-decided
+    * by p43's quality margin — each cluster keeps its best-margin
+    * member (ties → smallest id) instead of the min id. The planted
+    * near-copies drop 3 words, so original and copy have genuinely
+    * different margins and either side can win — the audit column
+    * set (margin, winner id, verdict) is the point. */
+  private def p65(s: SparkSession, dir: String): DataFrame = {
+    val planted = TextOps.withPlantedNearDups(docsSpread(s, dir),
+      every = 25, dropWords = 3)
+    val pairs = Dedup.minhashNearDups(planted, s, shingleK = 3,
+      numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(
+      pairs.select(col("d1"), col("d2")))
+    val margins = TextStats.classifierScore(planted,
+      wStop = 3L, wUniq = 2L, wRep = 1L,
+      lenBonus = 10L, lenLo = 20L, lenHi = 200L, bias = 40L)
+    Dedup.bestQualityKeep(clusters, margins)
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  private val p65Sql =
+    s"""${NearDupCtes.replace("WITH corpus", "WITH RECURSIVE corpus")},
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_inter
+       |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+       |    JOIN dt y ON y.doc_id = c.d2 AND y.tid = x.tid
+       |  GROUP BY c.d1, c.d2),
+       |vp AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
+       |    JOIN sz s2 ON s2.doc_id = i.d2
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
+       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |reach(a, b) AS (
+       |  SELECT d1 AS a, d2 AS b FROM bi
+       |  UNION
+       |  SELECT r.a, e.d2 AS b FROM reach r JOIN bi e ON e.d1 = r.b),
+       |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |       FROM reach GROUP BY a),
+       |f AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' '))::BIGINT AS nt,
+       |    len(list_distinct(string_split(text, ' ')))::BIGINT AS nu,
+       |    len(list_filter(string_split(text, ' '),
+       |      w -> w IN ('the', 'a')))::BIGINT AS ns
+       |  FROM corpus),
+       |mg AS (
+       |  SELECT doc_id,
+       |    3 * ns + 2 * nu - 1 * (nt - nu)
+       |      + (CASE WHEN nt BETWEEN 20 AND 200 THEN 10 ELSE 0 END)
+       |      - 40 AS margin
+       |  FROM f),
+       |mem AS (
+       |  SELECT cl.cluster_id, cl.doc_id, mg.margin
+       |  FROM cl JOIN mg ON mg.doc_id = cl.doc_id),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS keep_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY margin DESC, doc_id) AS rn
+       |    FROM mem)
+       |  WHERE rn = 1)
+       |SELECT m.cluster_id, m.doc_id, m.margin, b.keep_id,
+       |  m.doc_id = b.keep_id AS keep
+       |FROM mem m JOIN best b ON b.cluster_id = m.cluster_id
+       |ORDER BY m.cluster_id, m.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
 
@@ -2676,7 +2764,8 @@ object PipelineQueries {
     "p61_hll_distinct" -> (p61 _),
     "p62_bpe_pairs" -> (p62 _),
     "p63_embed_decontam" -> (p63 _),
-    "p64_domain_caps" -> (p64 _))
+    "p64_domain_caps" -> (p64 _),
+    "p65_best_quality_keep" -> (p65 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2744,5 +2833,6 @@ object PipelineQueries {
     "p61_hll_distinct" -> p61Sql,
     "p62_bpe_pairs" -> p62Sql,
     "p63_embed_decontam" -> p63Sql,
-    "p64_domain_caps" -> p64Sql)
+    "p64_domain_caps" -> p64Sql,
+    "p65_best_quality_keep" -> p65Sql)
 }

@@ -429,6 +429,36 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Quality-aware canonical pick over dup clusters — the keep rule
+    * production dedup actually wants: within each near-dup cluster
+    * ([[connectedComponents]] output), keep the member with the BEST
+    * quality margin ([[TextStats.classifierScore]]'s integer margin —
+    * or any long score), not the smallest id; min-id keeps whichever
+    * copy was crawled first, which is routinely the boilerplate-laden
+    * one. Ties break to the smallest doc_id, so the choice is total
+    * and engine-reproducible (margins are exact int64 — no float
+    * argmax ambiguity). Emits the full cluster audit: every member
+    * with its margin, the cluster's winner, and the keep verdict.
+    *
+    * Scale shape: `clusters` is O(dup-cluster members) — collisions,
+    * not corpus — so it BROADCASTS into the corpus-wide quality frame
+    * (the join never shuffles the scores), the per-cluster argmax is
+    * one bounded struct-max aggregate over the member frame, and the
+    * winner table (one row per cluster) broadcasts back. Zero
+    * corpus-sized shuffles, no windows. */
+  def bestQualityKeep(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val members = quality.select(col("doc_id"), col("margin"))
+      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+        Seq("doc_id"))
+    val best = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("margin"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("cluster_id"), col("b.margin").as("best_margin"),
+        (-col("b.nd")).as("keep_id"))
+    members.join(broadcast(best), Seq("cluster_id"))
+      .select(col("cluster_id"), col("doc_id"), col("margin"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
   /** Incremental dedup: admit only the docs of a NEW batch that are
     * neither exact copies nor near-duplicates of an EXISTING corpus —
     * the daily-ingest shape (batch ≪ corpus), where re-running

@@ -239,6 +239,29 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("bestQualityKeep: best margin wins its cluster, ties to smallest " +
+    "id, non-members untouched, joins broadcast") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, -3L), (2L, 8L), (3L, 8L), (5L, 0L), (7L, 0L),
+      (99L, 100L)) // 99: corpus doc outside any cluster — must not appear
+      .toDF("doc_id", "margin")
+    val r = Dedup.bestQualityKeep(clusters, quality)
+    val rows = r.orderBy("cluster_id", "doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, -3L, 2L, false),  // margin tie 2 vs 3 → smallest id 2
+      (1L, 2L, 8L, 2L, true),
+      (1L, 3L, 8L, 2L, false),
+      (5L, 5L, 0L, 5L, true),    // tie 5 vs 7 → 5
+      (5L, 7L, 0L, 5L, false)))
+    // both joins must broadcast the small side — no corpus shuffle join
+    val plan = r.queryExecution.optimizedPlan.toString
+    assert(!r.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      s"expected broadcast joins:\n$plan")
+  }
+
   test("incrementalDedup: batch deduped against corpus, novel docs pass") {
     val existing = docs // 0≡1, 2, 3
     val batch = Seq(
