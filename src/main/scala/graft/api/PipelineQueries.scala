@@ -1825,6 +1825,67 @@ object PipelineQueries {
        |  CAST(n_shared AS DOUBLE) / n_fps AS shared_frac
        |FROM per ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- repeated n-gram scrub
+  /** Exact-substring dedup as a REWRITE (Lee et al. 2022 at 5-gram
+    * granularity, [[Dedup.scrubRepeatedNgrams]]): every 5-gram shared
+    * by ≥ 2 distinct docs marks its token span for removal, spans
+    * merge, docs re-emit with survivors. Planted shifted near-copies
+    * (the p35 corpus) guarantee long shared runs, so the oracle pins
+    * the span-MERGE arithmetic (m-token run → m removed, not
+    * (m−4)·5), not just gram matching. */
+  private def p66(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val corpus = TextOps.withPlantedNearDups(base, every = 25, dropWords = 3)
+    Dedup.scrubRepeatedNgrams(corpus, s, n = 5).orderBy(col("doc_id"))
+  }
+
+  private val p66Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         array_to_string(string_split(text, ' ')[4:], ' ') AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         len(string_split(text, ' ')) AS nt
+       |  FROM corpus),
+       |seq AS (SELECT doc_id, pos, w, nt, ${polyHashSql("w")} AS tid
+       |  FROM tok),
+       |g AS (
+       |  SELECT doc_id, pos, w,
+       |    CASE WHEN pos <= nt - 4 THEN
+       |      ((((tid * 31 + lead(tid, 1) OVER win) * 31
+       |        + lead(tid, 2) OVER win) * 31
+       |        + lead(tid, 3) OVER win) * 31
+       |        + lead(tid, 4) OVER win) % 2147483647
+       |    END AS h
+       |  FROM seq WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |cnt AS (SELECT h FROM g WHERE h IS NOT NULL
+       |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |fl AS (
+       |  SELECT g.doc_id, g.pos, g.w,
+       |    CASE WHEN c.h IS NOT NULL THEN g.pos END AS s
+       |  FROM g LEFT JOIN cnt c ON g.h = c.h),
+       |cov AS (
+       |  SELECT doc_id, pos, w,
+       |    max(s) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS ls
+       |  FROM fl),
+       |k AS (
+       |  SELECT doc_id, pos, w,
+       |    (ls IS NOT NULL AND pos < ls + 5) AS covered
+       |  FROM cov)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS removed_frac,
+       |  coalesce(string_agg(CASE WHEN NOT covered THEN w END, ' '
+       |    ORDER BY pos), '') AS kept_text
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- rare tokens
   /** Per-doc rare-token rate vs the corpus vocabulary (freq < 3) —
     * the integer-exact perplexity-proxy quality filter
@@ -2765,7 +2826,8 @@ object PipelineQueries {
     "p62_bpe_pairs" -> (p62 _),
     "p63_embed_decontam" -> (p63 _),
     "p64_domain_caps" -> (p64 _),
-    "p65_best_quality_keep" -> (p65 _))
+    "p65_best_quality_keep" -> (p65 _),
+    "p66_ngram_scrub" -> (p66 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2834,5 +2896,6 @@ object PipelineQueries {
     "p62_bpe_pairs" -> p62Sql,
     "p63_embed_decontam" -> p63Sql,
     "p64_domain_caps" -> p64Sql,
-    "p65_best_quality_keep" -> p65Sql)
+    "p65_best_quality_keep" -> p65Sql,
+    "p66_ngram_scrub" -> p66Sql)
 }

@@ -721,6 +721,82 @@ object Dedup {
         col("n_shared").cast("double") / col("n_fps"))
   }
 
+  /** Cross-document repeated n-gram span removal — the REWRITE form of
+    * exact-substring dedup (Lee et al. 2022's "Deduplicating Training
+    * Data Makes Language Models Better", at n-gram granularity): any
+    * n-token gram occurring in ≥ 2 DISTINCT documents marks its
+    * [start, start+n) token span for removal in every document, spans
+    * merge where they overlap (a shared run of m ≥ n tokens yields
+    * m−n+1 overlapping grams but removes exactly m tokens), and each
+    * doc is re-emitted with the surviving tokens re-joined in order.
+    *
+    * Differs from [[stripBoilerplate]] (aligned non-overlapping chunks,
+    * df above a HIGH threshold → tiny broadcastable digest set) on both
+    * axes: grams SLIDE so a copy shifted by one word still matches, and
+    * the df≥2 threshold makes the shared-gram set corpus-sized — so the
+    * flagging join cannot broadcast and instead goes through
+    * [[SkewOps.hotSaltedJoin]] (left variant): stop-phrase grams that
+    * occur everywhere spread over salt buckets instead of parking on
+    * one reducer.
+    *
+    * Scale shape:
+    *  - gram hashing is IN-ROW (one codegen projection: per-token
+    *    poly_hash31, then the 31-combine over a sequence transform —
+    *    same recurrence as [[winnowStats]]/p35, so the oracle can
+    *    replay it with window leads);
+    *  - only (doc_id, pos, 8-byte gram hash) rows shuffle into the df
+    *    aggregate and the flagging join — never token text;
+    *  - span merging is a running `max(start)` window PARTITIONED BY
+    *    doc_id (linear, parallel across docs; a token is covered iff
+    *    the latest shared start at-or-before it is < n tokens back);
+    *  - the final regroup shuffles each doc's tokens once, bounded by
+    *    document length.
+    */
+  def scrubRepeatedNgrams(corpus: DataFrame, spark: SparkSession,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    graft.functions.PolyHash31.register(spark)
+    val combine = (1 until n).foldLeft("element_at(tids, i)") {
+      case (acc, k) => s"($acc * 31 + element_at(tids, i + $k))"
+    }
+    // (doc_id, pos, token, gram-hash-starting-here | null)
+    val occ = corpus
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ")
+        .as("ws"))
+      .withColumn("tids", expr("transform(ws, x -> poly_hash31(x))"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(ws)), i -> struct(
+           |  element_at(ws, i) as w,
+           |  case when i <= size(ws) - ${n - 1}
+           |       then $combine % ${TextOps.HashP}L end as h))"""
+          .stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col.w").as("w"), col("col.h").as("h"))
+    val shared = occ.where(col("h").isNotNull)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+    val flagged = SkewOps.hotSaltedJoin(occ, shared, "h",
+      saltFrom = "doc_id", buckets = SkewOps.defaultBuckets(corpus),
+      weightCol = "nd", joinType = "left")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    flagged
+      .withColumn("ls",
+        max(when(col("nd").isNotNull, col("pos"))).over(win))
+      .withColumn("covered",
+        col("ls").isNotNull && col("pos") < col("ls") + n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(!col("covered"),
+          struct(col("pos"), col("w"))))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("n_removed").cast("double") / col("n_tokens"))
+          .as("removed_frac"),
+        array_join(expr("transform(kept, x -> x.w)"), " ").as("kept_text"))
+  }
+
   /** Corpus version diff by content digest: per doc_id across two
     * corpus versions, `added` / `removed` / `changed` / `unchanged` —
     * the lineage record an ingest audit needs ("what did this refresh

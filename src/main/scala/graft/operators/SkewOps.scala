@@ -89,9 +89,18 @@ object SkewOps {
       .withColumn("_hot", lit(1))
   }
 
+  /** `joinType` extends the contract to left joins: each fact row
+    * carries exactly one salt and its key's dim row exists AT that salt
+    * (all salts when hot, salt 0 otherwise), so unmatched-fact
+    * preservation is identical to the plain `fact.join(dim, key,
+    * "left")` — including null-key fact rows, which match nothing and
+    * survive with null dim columns. */
   def hotSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      saltFrom: String, buckets: Int, weightCol: String): DataFrame = {
+      saltFrom: String, buckets: Int, weightCol: String,
+      joinType: String = "inner"): DataFrame = {
     require(buckets > 1, "need at least 2 salt buckets")
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer", s"unsupported salted join type $joinType")
     val hot = broadcast(hotKeys(dim, key, weightCol, buckets))
     val salted = fact.join(hot, Seq(key), "left")
       .withColumn("_salt", when(col("_hot").isNotNull,
@@ -102,7 +111,7 @@ object SkewOps {
       .withColumn("_salt", explode(when(col("_hot").isNotNull,
         sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0)))))
       .drop("_hot")
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
   /** Two-phase salted aggregation: partial-aggregate on (keys, salt)

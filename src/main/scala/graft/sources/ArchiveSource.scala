@@ -143,7 +143,20 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
     * before row-group stats even matter. */
   def raw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    rawFrame
+  }
+
+  /** Built once per adapter. Multi-file event dirs go through
+    * [[TsStatsFileIndex]] so time-window queries skip whole files on
+    * footer min/max — the pruning tier that survives the unadjusted-µs
+    * encoding (see the row-group caveat above); the driver's
+    * single-file layout keeps the stock reader path, where the index
+    * could only ever return the one file anyway. */
+  private lazy val rawFrame: DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    if (TsStatsFileIndex.eligible(spark, path))
+      TsStatsFileIndex.read(spark, path, "ts")
+    else spark.read.parquet(path)
   }
 
   /** events in archive-point shape, with the derived epoch-µs `t`.

@@ -294,4 +294,40 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 2L, 3L))
   }
+
+  test("scrubRepeatedNgrams: shared runs merge into one span, " +
+    "non-shared text survives verbatim") {
+    // A and B share the 4-token run "a b c d" → two overlapping
+    // 3-grams, but exactly 4 tokens must go from each; C is too short
+    // for any 3-gram; D shares nothing
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d q"),
+      (3L, "zz ww"),
+      (4L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedNgrams(corpus, spark, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == ((6L, 4L, "e f")))
+    assert(out(2L) == ((7L, 4L, "x y q")))
+    assert(out(3L) == ((2L, 0L, "zz ww")))
+    assert(out(4L) == ((4L, 0L, "totally unrelated words here")))
+  }
+
+  test("scrubRepeatedNgrams: an exact duplicate pair is fully " +
+    "removed on BOTH sides; a within-doc repeat alone is not shared") {
+    val corpus = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five"),
+      // 3 repeats its own gram twice but NO other doc has it:
+      // df counts distinct docs, so nothing is scrubbed
+      (3L, "p q r p q r p q r"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedNgrams(corpus, spark, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == ((5L, "")) && out(2L) == ((5L, "")))
+    assert(out(3L) == ((0L, "p q r p q r p q r")))
+  }
 }

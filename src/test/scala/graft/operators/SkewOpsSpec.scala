@@ -83,6 +83,29 @@ class SkewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hotSaltedJoin left variant keeps unmatched and null-key fact " +
+    "rows, exactly like the plain left join") {
+    // fact keys: a whale (1), a tail, a key absent from dim (99), and
+    // null keys — the left contract must hold for all four
+    val fact = (((1 to 600).map(i => (Some(1), i.toLong)) ++
+      (1 to 80).map(i => (Some(i % 5 + 2), 1000L + i)) ++
+      (1 to 40).map(i => (Some(99), 2000L + i)) ++
+      (1 to 20).map(i => (Option.empty[Int], 3000L + i))))
+      .toDF("key", "row_id")
+    val dim = Seq((1, "hot", 600L), (2, "a", 16L), (3, "b", 16L),
+      (4, "c", 16L), (5, "d", 16L), (6, "e", 16L))
+      .toDF("key", "label", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "row_id", "label").collect()
+        .map(r => (Option(r.get(0)), r.getLong(1),
+          Option(r.get(2)))).toSet
+    val plain = canon(fact.join(dim, Seq("key"), "left"))
+    val salted = canon(SkewOps.hotSaltedJoin(fact, dim, "key", "row_id",
+      8, "w", joinType = "left"))
+    assert(plain == salted)
+    assert(plain.count(_._3.isEmpty) == 60) // 40 absent-key + 20 null-key
+  }
+
   test("hotSaltedJoin: the dim aggregate's shuffle is reused, not " +
     "recomputed, across the gate's reads") {
     // the gate references the dim subtree three times (total, hot set,

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Compare two Bench per-query JSON outputs and flag drifts.
+
+Usage: bench_diff.py <old.json-or-raw> <new.json-or-raw> [threshold]
+
+Accepts either the driver's BENCH_r{N}.json wrapper (reads the
+`tail` field for the JSON lines) or a raw file containing the two
+`{"metric": ...}` lines Bench prints.  Prints per-query old/new/ratio
+for every query whose ratio exceeds the threshold (default 1.25) in
+either direction, plus totals.
+"""
+import json
+import re
+import sys
+
+
+def per_query(path: str) -> dict:
+    text = open(path).read()
+    try:
+        wrapper = json.loads(text)
+        if isinstance(wrapper, dict) and "tail" in wrapper:
+            text = wrapper["tail"]
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if '"metric":"per_query"' in line.replace(" ", ""):
+            m = re.search(r"\{.*\}", line)
+            return json.loads(m.group(0))["queries"]
+    raise SystemExit(f"no per_query line found in {path}")
+
+
+def main() -> None:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
+    old, new = per_query(old_path), per_query(new_path)
+    common = sorted(set(old) & set(new))
+    drifted = []
+    for q in common:
+        a, b = old[q], new[q]
+        if a <= 0 or b <= 0:
+            continue
+        ratio = b / a
+        if ratio > thr or ratio < 1 / thr:
+            drifted.append((q, a, b, ratio))
+    drifted.sort(key=lambda x: -x[3])
+    for q, a, b, r in drifted:
+        print(f"{'SLOWER' if r > 1 else 'faster':6s} {q:28s} "
+              f"{a:7.3f}s -> {b:7.3f}s  ({r:.2f}x)")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"new queries: {', '.join(only_new)}")
+    print(f"== {len(common)} common, {len(drifted)} drifted past "
+          f"{thr}x; totals {sum(old[q] for q in common):.1f}s -> "
+          f"{sum(new[q] for q in common):.1f}s ==")
+
+
+if __name__ == "__main__":
+    main()
