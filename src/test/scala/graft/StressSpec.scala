@@ -570,6 +570,68 @@ class StressSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("stress: footer-index skipping on a 120-file flat archive " +
+    "touches 1 file for a 1-day window") {
+    // the 100 TB shape TsStatsFileIndex exists for: a flat dir of
+    // day-rolled unadjusted-µs files, where Spark's own parquet layer
+    // prunes NOTHING (EncodingMatrixSpec). 120 day files ≈ 4 months;
+    // a one-day window must touch 1 of them — the claim is I/O
+    // PROPORTIONALITY (files touched ∝ window, not archive size); at
+    // this fixture size wall-clock is planning-dominated either way,
+    // so timings are recorded as info, not asserted. Also measures the
+    // driver-side footer index build — the O(#files) metadata cost
+    // paid once per adapter.
+    import org.apache.spark.sql.functions._
+    val nFiles = 120
+    val perFile = 2000
+    val base = 1704412800000000L
+    val dayUs = 86400000000L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stress-skip").toString
+    timed("footer-skip: write 120 day files") {
+      spark.range(nFiles.toLong * perFile)
+        .select(col("id").as("event_id"),
+          timestamp_micros(lit(base) + (col("id") / perFile).cast("long")
+            * dayUs + (col("id") % perFile) * 1000000L)
+            .cast("timestamp_ntz").as("ts"),
+          (col("id") % 50).as("user_id"),
+          lit("click").as("event_type"),
+          col("id").cast("double").as("value"),
+          col("id").cast("string").as("props"))
+        .repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val adapter = timed("footer-skip: index build (120 footers)") {
+      val a = new graft.sources.EventsArchiveAdapter(spark, dir)
+      a.raw.rdd.getNumPartitions // force the lazy index + listing
+      a
+    }
+    val d = 60
+    val window = graft.sources.EventsArchiveAdapter.tsRangeUs(
+      base + d * dayUs, base + (d + 1) * dayUs - 1)
+    val pruned = timed("footer-skip: 1-day window, indexed") {
+      adapter.pointsAll.where(window).agg(count(lit(1))).head().getLong(0)
+    }
+    val q = adapter.pointsAll.where(window)
+    q.collect()
+    val files = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+    val full = timed("footer-skip: same window, stock reader") {
+      spark.read.parquet(s"$dir/events.parquet")
+        .where(col("ts").between(
+          timestamp_micros(lit(base + d * dayUs)).cast("timestamp_ntz"),
+          timestamp_micros(lit(base + (d + 1) * dayUs - 1))
+            .cast("timestamp_ntz")))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    assert(pruned == full && pruned == perFile)
+    // repartitionByRange may split a day boundary across two files;
+    // the point is 1-2 of 120, not 120 of 120
+    assert(files <= 2, s"expected ≤2 of $nFiles files, scanned $files")
+  }
+
   test("stress timings summary") {
     // recorded for STATUS.md; scalatest orders tests in declaration
     // order within a suite, so everything above has run
