@@ -834,6 +834,48 @@ object EventQueries {
       root
     })
 
+  // ------------------------------------------- flat multi-file archive scan
+  /** q35 — a time window over a FLAT day-rolled multi-file archive,
+    * read through [[graft.sources.TsStatsFileIndex]] (the adapter's
+    * multi-file path): the layout where Spark's own parquet layer
+    * prunes nothing on the driver's unadjusted-µs encoding and the
+    * footer-stats index supplies the skipping. Until now the index was
+    * scalatest-only; this pins its results against the events oracle —
+    * pruning must be invisible in the answer.
+    *
+    * Fixture: the events table re-rolled into ~15 ts-ranged files
+    * (unadjusted `timestamp[us]`, the driver encoding), built once per
+    * session×dir. The canonical NTZ `ts` is rebuilt from the derived
+    * µs `t`, so the fixture is identical under every source
+    * encoding. */
+  private val flatRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def flatArchive(s: SparkSession, dir: String): String =
+    flatRoots.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-flat").toString
+      pts(s, dir).select(
+          col("point_id").as("event_id"),
+          timestamp_micros(col("t")).cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"),
+          col("value_r").as("value"), col("error_desc").as("props"))
+        .repartitionByRange(15, col("ts"))
+        .write.mode("overwrite").parquet(s"$root/events.parquet")
+      root
+    })
+
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    new EventsArchiveAdapter(s, flatArchive(s, dir)).pointsAll
+      .where(EventsArchiveAdapter.tsRangeUs(Jan10, Jan10 + 2 * 86400000000L))
+      .select(col("att_name"), col("point_id"), col("t"), col("value_r"))
+      .orderBy(col("point_id"))
+
+  private val q35Sql =
+    s"""${PtsSql}SELECT att_name, point_id, t, value_r FROM pts
+       |WHERE t BETWEEN $Jan10 AND ${Jan10 + 2 * 86400000000L}
+       |ORDER BY point_id""".stripMargin
+
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val src = new ParquetArchiveSource(s, multiTypeArchive(s, dir))
     // u1/u2/u3 × {click → double table, view → float table}
@@ -1052,6 +1094,7 @@ object EventQueries {
     "q33_stream_sessionize" -> (q33 _),
     "q32_stream_resample" -> (q32 _),
     "q31_points_resolved" -> (q31 _),
+    "q35_flat_archive_window" -> (q35 _),
     "q27_naive_time_range" -> (q27 _),
     "q28_raster_line_aa" -> (q28 _),
     "q29_raster_line_aa_log" -> (q29 _),
@@ -1088,6 +1131,7 @@ object EventQueries {
     "q33_stream_sessionize" -> q33Sql,
     "q32_stream_resample" -> q32Sql,
     "q31_points_resolved" -> q31Sql,
+    "q35_flat_archive_window" -> q35Sql,
     "q27_naive_time_range" -> q27Sql,
     "q28_raster_line_aa" -> q28Sql,
     "q29_raster_line_aa_log" -> q29Sql,

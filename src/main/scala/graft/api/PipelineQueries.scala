@@ -2049,6 +2049,80 @@ object PipelineQueries {
       |SELECT query_id, rank, doc_id, score FROM rk
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------- hard-negative mining
+  /** Hard negatives for retrieval training
+    * ([[Retrieval.mineHardNegatives]]): top-8 lexical candidates per
+    * query, minus token-set-Jaccard-≥0.7 positives, best 5 kept. The
+    * corpus carries a planted shifted near-copy of EVERY query doc
+    * (every=100 ⊂ the %100 query set), so each query's rank-1 lexical
+    * hit is a true positive the gate must remove — the oracle pins
+    * the verify step, not just the retrieval. The 0.7 threshold fits
+    * the templated synthetic corpus: template-mates overlap ~0.5 and
+    * must survive as negatives, the planted copy (~0.95) must not. */
+  private def p67(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val corpus = TextOps.withPlantedNearDups(base, every = 100, dropWords = 2)
+    val queries = base.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    Retrieval.mineHardNegatives(corpus, queries, k = 8, nNeg = 5,
+        tauNum = 7L, tauDen = 10L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val p67Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+      |  FROM documents WHERE doc_id % 100 = 0),
+      |ct AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM corpus),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id % 100 = 0),
+      |rel AS (
+      |  SELECT ct.doc_id, ct.w FROM ct
+      |  WHERE ct.w IN (SELECT DISTINCT w FROM qt)),
+      |wt AS (
+      |  SELECT w, 1000000 // count(*) AS wt FROM rel GROUP BY w),
+      |sc AS (
+      |  SELECT q.query_id, r.doc_id,
+      |    CAST(sum(wt.wt) AS BIGINT) AS score
+      |  FROM qt q JOIN rel r ON r.w = q.w JOIN wt ON wt.w = q.w
+      |  WHERE r.doc_id <> q.query_id
+      |  GROUP BY q.query_id, r.doc_id),
+      |rk AS (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc),
+      |cand AS (SELECT query_id, doc_id, score FROM rk WHERE rank <= 8),
+      |qsz AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY query_id),
+      |dsz AS (SELECT doc_id, count(*) AS nc FROM ct GROUP BY doc_id),
+      |ni AS (
+      |  SELECT c.query_id, c.doc_id, count(*) AS ni
+      |  FROM cand c
+      |  JOIN qt q ON q.query_id = c.query_id
+      |  JOIN ct d ON d.doc_id = c.doc_id AND d.w = q.w
+      |  GROUP BY c.query_id, c.doc_id),
+      |neg AS (
+      |  SELECT c.query_id, c.doc_id, c.score
+      |  FROM cand c
+      |  JOIN qsz USING (query_id) JOIN dsz USING (doc_id)
+      |  LEFT JOIN ni ON ni.query_id = c.query_id AND ni.doc_id = c.doc_id
+      |  WHERE 10 * coalesce(ni.ni, 0)
+      |    < 7 * (nq + nc - coalesce(ni.ni, 0))),
+      |rk2 AS (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM neg)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- bigram surprise
   /** Bigram-LM surprise scoring ([[TextStats.bigramSurprise]]): the
     * corpus-trained conditional model scores every doc's transitions;
@@ -2827,7 +2901,8 @@ object PipelineQueries {
     "p63_embed_decontam" -> (p63 _),
     "p64_domain_caps" -> (p64 _),
     "p65_best_quality_keep" -> (p65 _),
-    "p66_ngram_scrub" -> (p66 _))
+    "p66_ngram_scrub" -> (p66 _),
+    "p67_hard_negatives" -> (p67 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2897,5 +2972,6 @@ object PipelineQueries {
     "p63_embed_decontam" -> p63Sql,
     "p64_domain_caps" -> p64Sql,
     "p65_best_quality_keep" -> p65Sql,
-    "p66_ngram_scrub" -> p66Sql)
+    "p66_ngram_scrub" -> p66Sql,
+    "p67_hard_negatives" -> p67Sql)
 }

@@ -86,4 +86,59 @@ object Retrieval {
     CacheLifecycle.unpersistAfterFirstUse(result, rel)
     result
   }
+
+  /** Hard-negative mining for retrieval/embedding training (the
+    * DPR/contrastive-learning recipe): per query, retrieve the top-`k`
+    * lexical candidates, DROP the ones that are actually positives —
+    * near-duplicates of the query itself, detected by token-set
+    * Jaccard ≥ `tauNum/tauDen` — and keep the best `nNeg` survivors as
+    * negatives. A top-ranked candidate that is a shifted copy of the
+    * query is precisely what must NOT become a negative (it would
+    * teach the model to push a true match away); lexical rank alone
+    * cannot see the difference, which is why the verify step exists.
+    * Tune the threshold to the corpus: on a heavily templated corpus
+    * 0.5 treats every template-mate as a positive and mines nothing.
+    *
+    * The Jaccard gate is integer-exact (`tauDen·|∩| <
+    * tauNum·(|q|+|d|−|∩|)` ⟺ jaccard < tauNum/tauDen), so the oracle
+    * replays it without float drift.
+    *
+    * Scale shape: [[lexicalTopK]] does the heavy lifting (its one real
+    * exchange on (query_id, doc_id)); everything added here is
+    * broadcast-sized — the candidate list is Q×k rows by construction,
+    * so the candidate token sets (semi-joined out of the corpus), the
+    * query token sets, and both gate joins ride broadcasts, and the
+    * re-rank reuses the bounded [[TopK]] aggregate. The corpus is
+    * touched once more only to fetch the ≤ Q×k candidate texts. */
+  def mineHardNegatives(corpus: DataFrame, queries: DataFrame,
+      k: Int = 8, nNeg: Int = 5, scale: Long = 1000000L,
+      tauNum: Long = 1L, tauDen: Long = 2L): DataFrame = {
+    require(nNeg > 0 && k >= nNeg,
+      s"need k >= nNeg > 0, got k=$k nNeg=$nNeg")
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"positive threshold must be in (0, 1], got $tauNum/$tauDen")
+    // Q×k rows, referenced three times below (candidate rows, the
+    // semi-join key set, the gate) — persist so retrieval runs once
+    val cand = lexicalTopK(corpus, queries, k, scale).persist()
+    val qset = queries.select(col("query_id"),
+      array_distinct(split(col("text"), " ")).as("qs"))
+    val dset = corpus
+      .join(broadcast(cand.select(col("doc_id")).distinct()), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ds"))
+    val negatives = cand
+      .join(broadcast(qset), Seq("query_id"))
+      .join(broadcast(dset), Seq("doc_id"))
+      .withColumn("ni", size(array_intersect(col("qs"), col("ds"))).cast("long"))
+      .where(lit(tauDen) * col("ni") < lit(tauNum) *
+        (size(col("qs")).cast("long") + size(col("ds")) - col("ni")))
+    val result = negatives
+      .groupBy(col("query_id"))
+      .agg(TopK.smallestK(nNeg, -col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), (-col("col._1")).as("score"))
+    CacheLifecycle.unpersistAfterFirstUse(result, cand)
+    result
+  }
 }

@@ -250,6 +250,35 @@ class CurationSpec extends AnyFunSuite {
     assert(r.orderBy("rank").collect().map(_.getLong(2)).toSeq == Seq(2L, 1L))
   }
 
+  test("mineHardNegatives drops near-duplicate positives, keeps and " +
+    "re-ranks the true negatives, and releases both caches") {
+    // doc 10 is the query; doc 11 is a shifted near-copy (token-set
+    // Jaccard 5/6 ≥ 0.5 → POSITIVE, must not appear even though it
+    // out-scores everything); docs 20/21 share one rare-ish token
+    // each; doc 30 shares nothing
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "beta gamma delta epsilon zeta"),
+      (20L, "alpha unrelated words here"),
+      (21L, "beta other stuff entirely"),
+      (30L, "nothing shared at all"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("query_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Retrieval.mineHardNegatives(corpus, queries, k = 4, nNeg = 2)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    // candidates by score: 11 (5 shared tokens) >> 20 (alpha, df 2 →
+    // wt 500000) > 21 (beta, df 3 → wt 333333); 11 is gated out as a
+    // positive → negatives re-rank from 1 as 20, 21
+    assert(r.toSeq == Seq((1L, 20L), (2L, 21L)))
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"cache still pinned: $leaked")
+  }
+
   test("lexicalTopK broadcasts queries and weights — corpus side never rebuilds") {
     val corpus = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val queries = Seq((9L, "b")).toDF("query_id", "text")
