@@ -2123,6 +2123,119 @@ object PipelineQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
       |FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- ANN recall
+  /** Index-quality audit ([[Similarity.annRecall]]): recall@10 of the
+    * nprobe=2 IVF index vs the exact brute-force neighbours, per
+    * query — the number that decides a probe budget before anyone
+    * trusts the approximate path at corpus scale. */
+  private def p68(s: SparkSession, dir: String): DataFrame =
+    Similarity.annRecall(emb(s, dir), col("vec_id") < 10, k = 10,
+      nprobe = 2).orderBy(col("qid"))
+
+  /** p09's exact chain and p41's IVF chain (k=10 here), intersected. */
+  private val p68Sql =
+    """WITH el AS (
+      |  SELECT vec_id, label,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+      |      AS qv,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |exact AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT ql.vec_id AS qid, el.vec_id AS nid,
+      |      row_number() OVER (PARTITION BY ql.vec_id
+      |        ORDER BY sum(ql.qv * el.qv) DESC, el.vec_id) AS rn
+      |    FROM el ql JOIN el ON ql.i = el.i AND el.vec_id <> ql.vec_id
+      |    WHERE ql.vec_id < 10
+      |    GROUP BY ql.vec_id, el.vec_id) WHERE rn <= 10),
+      |cent AS (
+      |  SELECT label AS clab, i, CAST(sum(qv) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM el GROUP BY label, i),
+      |centq AS (
+      |  SELECT clab, i, (s - (((s % n) + n) % n)) / n AS c FROM cent),
+      |dots AS (
+      |  SELECT el.vec_id, centq.clab,
+      |    CAST(sum(el.qv * centq.c) AS BIGINT) AS d
+      |  FROM el JOIN centq ON el.i = centq.i
+      |  GROUP BY el.vec_id, centq.clab),
+      |assigned AS (
+      |  SELECT vec_id, clab FROM (
+      |    SELECT vec_id, clab,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY d DESC, clab) AS rn
+      |    FROM dots) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, clab FROM (
+      |    SELECT vec_id, clab, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d DESC, clab) AS prn
+      |    FROM dots) WHERE vec_id < 10 AND prn <= 2),
+      |approx AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT p.qid, ml.vec_id AS nid,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY sum(ql.qv * ml.qv) DESC, ml.vec_id) AS rn
+      |    FROM probes p
+      |    JOIN el ql ON ql.vec_id = p.qid
+      |    JOIN assigned a ON a.clab = p.clab
+      |    JOIN el ml ON ml.vec_id = a.vec_id AND ml.i = ql.i
+      |      AND ml.vec_id <> p.qid
+      |    GROUP BY p.qid, ml.vec_id) WHERE rn <= 10),
+      |hits AS (
+      |  SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS n_hits
+      |  FROM exact e LEFT JOIN approx a
+      |    ON a.qid = e.qid AND a.nid = e.nid
+      |  GROUP BY e.qid)
+      |SELECT qid, n_hits, (n_hits * 10000) // 10 AS recall_e4
+      |FROM hits ORDER BY qid""".stripMargin
+
+  // ---------------------------------------------------------------- minhash estimate
+  /** Estimator-calibration audit ([[Dedup.minhashEstimate]]): for
+    * every LSH candidate pair, signature-agreement Jaccard estimate
+    * vs exact shingle Jaccard, with e4 fixed-point error. */
+  private def p69(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimate(
+      TextOps.withPlantedNearDups(docsSpread(s, dir), every = 25,
+        dropWords = 3),
+      s, shingleK = 3, numPerms = 16, rowsPerBand = 4)
+      .orderBy(col("d1"), col("d2"))
+
+  private val p69Sql =
+    s"""$NearDupCtes,
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |agree AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM cand c JOIN sig x ON x.doc_id = c.d1
+       |    JOIN sig y ON y.doc_id = c.d2 AND y.i = x.i
+       |  GROUP BY c.d1, c.d2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, CAST(count(y.tid) AS BIGINT) AS n_inter
+       |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+       |    LEFT JOIN dt y ON y.doc_id = c.d2 AND y.tid = x.tid
+       |  GROUP BY c.d1, c.d2)
+       |SELECT a.d1, a.d2, a.n_agree, (a.n_agree * 10000) // 16 AS est_e4,
+       |  i.n_inter, s1.n + s2.n - i.n_inter AS n_union,
+       |  (i.n_inter * 10000) // (s1.n + s2.n - i.n_inter) AS jac_e4,
+       |  abs((a.n_agree * 10000) // 16
+       |    - (i.n_inter * 10000) // (s1.n + s2.n - i.n_inter)) AS err_e4
+       |FROM agree a JOIN inter i ON i.d1 = a.d1 AND i.d2 = a.d2
+       |  JOIN sz s1 ON s1.doc_id = a.d1 JOIN sz s2 ON s2.doc_id = a.d2
+       |ORDER BY a.d1, a.d2""".stripMargin
+
   // ---------------------------------------------------------------- bigram surprise
   /** Bigram-LM surprise scoring ([[TextStats.bigramSurprise]]): the
     * corpus-trained conditional model scores every doc's transitions;
@@ -2902,7 +3015,9 @@ object PipelineQueries {
     "p64_domain_caps" -> (p64 _),
     "p65_best_quality_keep" -> (p65 _),
     "p66_ngram_scrub" -> (p66 _),
-    "p67_hard_negatives" -> (p67 _))
+    "p67_hard_negatives" -> (p67 _),
+    "p68_ann_recall" -> (p68 _),
+    "p69_minhash_estimate" -> (p69 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -2973,5 +3088,7 @@ object PipelineQueries {
     "p64_domain_caps" -> p64Sql,
     "p65_best_quality_keep" -> p65Sql,
     "p66_ngram_scrub" -> p66Sql,
-    "p67_hard_negatives" -> p67Sql)
+    "p67_hard_negatives" -> p67Sql,
+    "p68_ann_recall" -> p68Sql,
+    "p69_minhash_estimate" -> p69Sql)
 }

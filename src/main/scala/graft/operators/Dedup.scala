@@ -241,6 +241,53 @@ object Dedup {
     }
   }
 
+  /** MinHash ESTIMATOR audit over the LSH candidate pairs: for each
+    * candidate, the signature-agreement Jaccard estimate (the number
+    * every sketch-only dedup acts on) side by side with the exact
+    * shingle-set Jaccard, plus their absolute error — the calibration
+    * check that tells an operator whether `numPerms` is adequate
+    * before trusting estimate-thresholded dedup at full scale.
+    *
+    * Same pipeline shape as the poly branch of [[minhashNearDups]]
+    * (sets and signatures stay in-row; the only shuffles are the band
+    * groupBy and the pair distinct); the audit adds one in-row
+    * `zip_with` agreement count per candidate pair — candidates are
+    * few by construction, so the audit is free at any corpus size.
+    *
+    * All derived columns are integer-exact e4 fixed-point
+    * (`est_e4 = n_agree·10⁴ div numPerms`,
+    * `jac_e4 = n_inter·10⁴ div n_union`), so the frame hash-compares
+    * across engines. Returns
+    * (d1, d2, n_agree, est_e4, n_inter, n_union, jac_e4, err_e4). */
+  def minhashEstimate(corpus: DataFrame, spark: SparkSession,
+      shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    graft.functions.PolyHash31.register(spark)
+    val ds = TextOps.shingleIdSets(corpus, shingleK)
+      .select(col("doc_id"), col("tids"),
+        expr(s"minhash_sigs(tids, $numPerms)").as("sig")).persist()
+    val bands = ds.select(col("doc_id"),
+      posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
+        .as(Seq("band", "bkey")))
+    lshCandidates(bands, maxBucket)
+      .join(ds.select(col("doc_id").as("d1"), col("tids").as("t1"),
+        col("sig").as("s1")), Seq("d1"))
+      .join(ds.select(col("doc_id").as("d2"), col("tids").as("t2"),
+        col("sig").as("s2")), Seq("d2"))
+      .withColumn("n_agree",
+        expr("size(filter(zip_with(s1, s2, (x, y) -> x = y), b -> b))")
+          .cast("long"))
+      .withColumn("est_e4", expr(s"(n_agree * 10000) div $numPerms"))
+      .withColumn("n_inter",
+        size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("n_union",
+        size(col("t1")).cast("long") + size(col("t2")) - col("n_inter"))
+      .withColumn("jac_e4", expr("(n_inter * 10000) div n_union"))
+      .withColumn("err_e4", abs(col("est_e4") - col("jac_e4")))
+      .select(col("d1"), col("d2"), col("n_agree"), col("est_e4"),
+        col("n_inter"), col("n_union"), col("jac_e4"), col("err_e4"))
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (`d1`, `d2` columns): the grouping step that turns pairwise
     * "A≈B" verdicts into dedup CLUSTERS — every doc gets the minimum

@@ -172,6 +172,42 @@ object Similarity {
         col("dot_e8"))
   }
 
+  /** ANN index-quality audit: recall@k of [[ivfTopK]] against the
+    * exact [[knnBrute]] neighbours, per query — the evaluation loop
+    * every approximate index needs before its probe budget is trusted
+    * (the standard metric of the FAISS/IVF literature: |approx top-k ∩
+    * exact top-k| / k).
+    *
+    * Both legs are the already-scale-shaped pipelines (query side
+    * broadcast, corpus never reshuffled); the audit itself joins two
+    * O(|Q|·k) frames — negligible at any corpus size, so measuring
+    * recall costs one extra brute-force pass over the corpus for the
+    * sampled query set, which is exactly how production recall checks
+    * are run (sample queries, not the full corpus).
+    *
+    * Returns (qid, n_hits, recall_e4) with recall in e4 fixed-point
+    * (`n_hits·10⁴ div k` — integer-exact, hash-stable); queries whose
+    * approximate list misses every exact neighbour still appear with
+    * n_hits = 0. */
+  def annRecall(emb: DataFrame, queryFilter: Column, k: Int,
+      dims: Int = 64, nprobe: Int = 1): DataFrame = {
+    val exact = knnBrute(emb,
+      emb.where(queryFilter)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")), k)
+    val approx = ivfTopK(emb, queryFilter, k, dims, nprobe)
+    // both audit frames are O(|Q|·k) rows but stats-free (window-
+    // derived), so hint the joins broadcast — a sort-merge here would
+    // be wasted exchanges on kilobyte inputs
+    val hits = exact.select(col("qid"), col("nid"))
+      .join(broadcast(approx.select(col("qid"), col("nid"))),
+        Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    exact.select(col("qid")).distinct()
+      .join(broadcast(hits), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_e4", expr(s"(n_hits * 10000) div $k"))
+  }
+
   /** Distributed SPHERICAL K-MEANS (Lloyd) over the quantized integer
     * embedding space — the centroid TRAINING an IVF index needs
     * ([[ivfTopK]] hard-codes exactly one of these iterations; clustering

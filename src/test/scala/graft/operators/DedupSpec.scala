@@ -33,6 +33,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
   }
 
+  test("minhashEstimate: exact dups estimate 1.0 with zero error; every " +
+    "row is internally consistent and covers exactly the candidate set") {
+    val corpus = docs.union(Seq(
+      (10L, "quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text"))
+    val rows = Dedup.minhashEstimate(corpus, spark).collect()
+    val dup = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    // identical docs: all 16 components agree, jaccard exactly 1
+    assert(dup.getLong(2) == 16L && dup.getLong(3) == 10000L)
+    assert(dup.getLong(4) == dup.getLong(5) && dup.getLong(6) == 10000L)
+    assert(dup.getLong(7) == 0L)
+    rows.foreach { r =>
+      val (agree, est, inter, union, jac, err) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(est == agree * 10000L / 16L)
+      assert(jac == inter * 10000L / union)
+      assert(err == math.abs(est - jac))
+      assert(agree >= 4L, "candidates share a band: ≥ rowsPerBand agree")
+    }
+    // audited pairs = the LSH candidate set = minhashNearDups at
+    // threshold 0, and the exact counts agree between the two paths
+    val nd = Dedup.minhashNearDups(corpus, spark, threshold = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+      r.getLong(5))).toSet == nd)
+  }
+
   test("all three shingle-id strategies find the same verified pairs") {
     val corpus = docs.union(Seq(
       (10L, "quick brown fox jumps over the lazy dog again and again"))

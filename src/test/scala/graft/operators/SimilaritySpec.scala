@@ -82,6 +82,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQ(0L) == Set(1L, 2L) && byQ(3L) == Set(4L, 5L))
   }
 
+  test("annRecall: full probe budget recovers every exact neighbour; " +
+    "starved probes report the independent intersection count") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 120L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 4).toInt + 1)
+    }.toDF("vec_id", "embedding", "label")
+    // nprobe ≥ L ⇒ the IVF candidate set is the whole corpus ⇒ recall 1
+    val full = Similarity.annRecall(emb, col("vec_id") < 5, k = 4,
+      dims = 8, nprobe = 99).collect()
+    assert(full.length == 5 && full.forall(_.getLong(2) == 10000L))
+    // nprobe=1: hits must equal the intersection of the two legs,
+    // recomputed here independently
+    val r1 = Similarity.annRecall(emb, col("vec_id") < 5, k = 4,
+      dims = 8, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.knnBrute(emb,
+      emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")), 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = Similarity.ivfTopK(emb, col("vec_id") < 5, k = 4,
+      dims = 8, nprobe = 1)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(3)).toSet).toMap
+    assert(r1.keySet == (0L until 5L).toSet)
+    (0L until 5L).foreach { q =>
+      assert(r1(q) ==
+        exact(q).intersect(approx.getOrElse(q, Set.empty)).size.toLong)
+    }
+  }
+
+  test("annRecall: a query probing the wrong cell still appears, at 0") {
+    // centroids land at c1=(9000,3000), c2=(3000,9000); the query
+    // (8000,6000) probes cell 1 (dot 90e6 > 78e6) but its true top-1
+    // (6000,8000, dot 96e6) argmax-ASSIGNS to cell 2 (90e6 > 78e6) —
+    // the straddled decision boundary nprobe=1 cannot cross. Zero
+    // hits, and the query row must still appear.
+    val emb = Seq(
+      (0L, Array(0.8f, 0.6f), 1), // query
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f), 2),
+      (3L, Array(0.6f, 0.8f), 2)).toDF("vec_id", "embedding", "label")
+    val z = Similarity.annRecall(emb, col("vec_id") === 0, k = 1,
+      dims = 2, nprobe = 1).collect()
+    assert(z.length == 1 && z(0).getLong(1) == 0L && z(0).getLong(2) == 0L)
+  }
+
   test("kmeansAssign: misplaced vectors migrate, assignment is join-free " +
     "and converges") {
     // two tight direction clusters, but three vectors START in the
