@@ -2236,6 +2236,104 @@ object PipelineQueries {
        |  JOIN sz s1 ON s1.doc_id = a.d1 JOIN sz s2 ON s2.doc_id = a.d2
        |ORDER BY a.d1, a.d2""".stripMargin
 
+  // ---------------------------------------------------------------- BPE tokenize
+  /** Full BPE train+apply ([[TextStats.bpeTokenize]]): 4 merges
+    * learned over the word-frequency vocab, then every document
+    * re-tokenized; `seg_head` pins the exact segmentation (and so
+    * every merge and its order) in the hash compare. */
+  private def p70(s: SparkSession, dir: String): DataFrame =
+    TextStats.bpeTokenize(
+      docsSpread(s, dir).select(col("doc_id"), col("text")),
+      numMerges = 4)
+      .orderBy(col("doc_id"))
+
+  /** Oracle replays the full iterated trainer: per merge step, an
+    * argmax-pair CTE (count desc, pair lexicographic) and a
+    * re-segmentation CTE running the SAME left-to-right carry fold
+    * via `list_reduce` (see [[graft.operators.TextStats]]'s
+    * bpeMergePass scaladoc for why a padded-string replace would
+    * NOT be equivalent). */
+  private val p70Sql: String = {
+    val merges = 4
+    val head =
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok0 GROUP BY w),
+        |seg0 AS (SELECT w, f, string_split(w, '') AS sym FROM wf)"""
+        .stripMargin
+    val steps = (1 to merges).map { k =>
+      val prev = s"seg${k - 1}"
+      s"""p$k AS (
+         |  SELECT x, y FROM (
+         |    SELECT list_extract(sym, CAST(i AS INTEGER)) AS x,
+         |           list_extract(sym, CAST(i AS INTEGER) + 1) AS y, f
+         |    FROM $prev, unnest(generate_series(1, len(sym) - 1)) t(i)
+         |    WHERE len(sym) >= 2)
+         |  GROUP BY x, y
+         |  ORDER BY CAST(sum(f) AS BIGINT) DESC, x, y LIMIT 1),
+         |seg$k AS (
+         |  SELECT w, f, CASE WHEN len(sym) < 2 THEN sym ELSE
+         |    string_split(list_reduce(sym, (acc, e) -> CASE
+         |      WHEN regexp_extract(acc, '[^|]*$$') = p$k.x AND e = p$k.y
+         |      THEN regexp_replace(acc, '[^|]*$$', p$k.x || p$k.y)
+         |      ELSE acc || '|' || e END), '|') END AS sym
+         |  FROM $prev, p$k)""".stripMargin
+    }
+    val tail =
+      s"""SELECT t.doc_id,
+         |  CAST(sum(length(t.w)) AS BIGINT) AS n_sym0,
+         |  CAST(sum(len(s.sym)) AS BIGINT) AS n_bpe,
+         |  string_agg(CASE WHEN t.pos <= 3
+         |    THEN array_to_string(s.sym, ' ') END, '|' ORDER BY t.pos)
+         |    AS seg_head
+         |FROM tok0 t JOIN seg$merges s ON s.w = t.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  // ---------------------------------------------------------------- hist quantiles
+  /** Bounded-state quantile sketch ([[TextStats.histQuantileSketch]])
+    * per language — p23's exact histogram with the shuffle keyed by
+    * ≤ 64·8 log-bins instead of every distinct value. */
+  private def p71(s: SparkSession, dir: String): DataFrame =
+    TextStats.histQuantileSketch(docsSpread(s, dir), Seq("lang"),
+      binsPerOctave = 8)
+      .orderBy(col("lang"))
+
+  private val p71Sql =
+    """WITH t AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |b AS (
+      |  SELECT lang, (length(bin(v)) - 1) * 8
+      |    + ((v - (1::BIGINT << (length(bin(v)) - 1))) * 8)
+      |      // (1::BIGINT << (length(bin(v)) - 1)) AS bin
+      |  FROM t),
+      |hist AS (
+      |  SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM b GROUP BY lang, bin),
+      |cum AS (
+      |  SELECT lang, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    (1::BIGINT << CAST(bin // 8 AS INTEGER))
+      |      + ((bin % 8) * (1::BIGINT << CAST(bin // 8 AS INTEGER))) // 8
+      |      AS lb
+      |  FROM hist),
+      |n AS (
+      |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS n_bins
+      |  FROM hist GROUP BY lang)
+      |SELECT c.lang, n.n, n.n_bins,
+      |  min(CASE WHEN c.cum >= (n.n - 1) // 2 + 1 THEN c.lb END)
+      |    AS median_est,
+      |  min(CASE WHEN c.cum >= ((n.n - 1) * 9) // 10 + 1 THEN c.lb END)
+      |    AS p90_est
+      |FROM cum c JOIN n USING (lang)
+      |GROUP BY c.lang, n.n, n.n_bins ORDER BY c.lang""".stripMargin
+
   // ---------------------------------------------------------------- bigram surprise
   /** Bigram-LM surprise scoring ([[TextStats.bigramSurprise]]): the
     * corpus-trained conditional model scores every doc's transitions;
@@ -3017,7 +3115,9 @@ object PipelineQueries {
     "p66_ngram_scrub" -> (p66 _),
     "p67_hard_negatives" -> (p67 _),
     "p68_ann_recall" -> (p68 _),
-    "p69_minhash_estimate" -> (p69 _))
+    "p69_minhash_estimate" -> (p69 _),
+    "p70_bpe_tokenize" -> (p70 _),
+    "p71_hist_quantiles" -> (p71 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -3090,5 +3190,7 @@ object PipelineQueries {
     "p66_ngram_scrub" -> p66Sql,
     "p67_hard_negatives" -> p67Sql,
     "p68_ann_recall" -> p68Sql,
-    "p69_minhash_estimate" -> p69Sql)
+    "p69_minhash_estimate" -> p69Sql,
+    "p70_bpe_tokenize" -> p70Sql,
+    "p71_hist_quantiles" -> p71Sql)
 }

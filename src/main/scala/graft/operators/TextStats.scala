@@ -102,6 +102,107 @@ object TextStats {
       .limit(k)
   }
 
+  /** One left-to-right BPE merge pass of `(x, y) → xy` over the
+    * string-array column `sym` — a carry fold: walk the symbols,
+    * and whenever the last accumulated symbol is `x` and the next is
+    * `y`, rewrite the last to `xy` (the merged symbol can never
+    * immediately re-merge, since `xy ≠ x`). This is the exact pass a
+    * reference BPE tokenizer performs per merge, and its DuckDB
+    * mirror is the same fold via `list_reduce` — NOT a padded-string
+    * `replace`, which diverges on odd runs of a self-pair (`aaa`
+    * under `(a,a)` merges positions (1,2) by fold but (1,2)+(4,5) by
+    * non-overlapping string search).
+    *
+    * Symbols are corpus-alphabet substrings (no quotes/backslashes);
+    * [[bpeTokenize]] guards the literals it splices. */
+  private def bpeMergePass(x: String, y: String): Column = expr(
+    s"""CASE WHEN size(sym) < 2 THEN sym ELSE
+       |aggregate(slice(sym, 2, size(sym) - 1),
+       |  array(element_at(sym, 1)),
+       |  (acc, e) -> CASE
+       |    WHEN element_at(acc, -1) = '$x' AND e = '$y'
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array('${x + y}'))
+       |    ELSE concat(acc, array(e)) END) END""".stripMargin)
+
+  /** Adjacent-pair frequency over a segmented vocab (`f`, `sym`),
+    * weighted by word frequency — the argmax row is the next merge. */
+  private def bpeTopPair(seg: DataFrame): Array[org.apache.spark.sql.Row] =
+    seg.where(size(col("sym")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, size(sym) - 1), i -> " +
+          "struct(element_at(sym, int(i)) AS x, " +
+          "element_at(sym, int(i) + 1) AS y))")).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+      .limit(1).collect()
+
+  /** Full BPE tokenizer, TRAIN + APPLY (Sennrich et al. 2016) — the
+    * iterated closure of [[bpePairStats]] (which is exactly merge 0's
+    * statistics): learn `numMerges` merges over the corpus, then
+    * re-tokenize every document with them.
+    *
+    * Training scale shape (the standard trainer trick): the corpus
+    * collapses to its word-frequency table ONCE (one hash aggregate,
+    * vocabulary-sized, persisted), and each merge iteration touches
+    * only that vocab — pair counts are one aggregate + a driver
+    * collect of a single argmax row (ties: count desc, then pair
+    * lexicographic, matching the oracle), so `numMerges` iterations
+    * never rescan the corpus.
+    *
+    * Application is per-ROW compute, not a vocab join: each token
+    * re-derives its segmentation through the merge chain (a projection
+    * pipeline of `numMerges` carry folds). That trades per-occurrence
+    * CPU for the alternative's corpus×vocab join — which is exactly
+    * the hot-token skew join this engine gates elsewhere; here the
+    * only shuffle is the final doc_id regroup of integer sizes.
+    *
+    * Returns per doc: `n_sym0` (pre-merge symbol count = chars),
+    * `n_bpe` (post-merge token count), and `seg_head` — the full
+    * segmentation of the first three words (`sym sym|sym …`), which
+    * pins every learned merge and its application order in the hash
+    * compare. */
+  def bpeTokenize(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1)
+    val wf = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("sym", split(col("w"), ""))
+      .persist()
+    val merges = scala.collection.mutable.Buffer.empty[(String, String)]
+    var seg = wf
+    var exhausted = false
+    (1 to numMerges).foreach { _ =>
+      if (!exhausted) {
+        val top = bpeTopPair(seg)
+        if (top.isEmpty) exhausted = true
+        else {
+          val (x, y) = (top(0).getString(0), top(0).getString(1))
+          require((x + y).matches("[A-Za-z0-9]+"),
+            s"bpeTokenize merge symbols must stay alphanumeric, got " +
+              s"('$x','$y') — splicing other alphabets into the fold " +
+              "literal needs escaping first")
+          merges += ((x, y))
+          seg = seg.withColumn("sym", bpeMergePass(x, y))
+        }
+      }
+    }
+    val out = merges.foldLeft(
+      docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("sym", split(col("w"), ""))) {
+      case (df, (x, y)) => df.withColumn("sym", bpeMergePass(x, y))
+    }
+      .groupBy(col("doc_id")).agg(
+        sum(length(col("w"))).as("n_sym0"),
+        sum(size(col("sym"))).as("n_bpe"),
+        concat_ws("|", (0 until 3).map(k =>
+          max(when(col("pos") === k, array_join(col("sym"), " ")))): _*)
+          .as("seg_head"))
+    wf.unpersist()
+    out
+  }
+
   /** Stopword set used by the quality score and its oracle. */
   val Stopwords: Seq[String] = Seq("the", "a")
 
@@ -387,6 +488,82 @@ object TextStats {
           .as("median_tokens"),
         min(when(col("cum") >= expr("((n - 1) * 9) div 10 + 1"), col("v")))
           .as("p90_tokens"))
+  }
+
+  /** Log-binned histogram QUANTILE SKETCH per stratum — the
+    * bounded-state sibling of [[tokenQuantiles]], completing the
+    * sketch family (KMV distinct, HLL, Count-Min frequency — this is
+    * quantiles): [[tokenQuantiles]]'s histogram keys the shuffle by
+    * every DISTINCT value (unbounded for byte lengths or score
+    * columns at corpus scale), while this bins values into
+    * `binsPerOctave` sub-bins per power of two — ≤ 64·B bins total
+    * for any long column, state mergeable by ADDITION across
+    * partitions/days/corpora, guaranteed relative error ≤ 1/B + ulp
+    * (the bin containing the true rank-quantile is reported by its
+    * lower bound).
+    *
+    * Everything is integer-exact and oracle-reproducible: the octave
+    * is `length(bin(v)) - 1` — the binary-string length, avoiding
+    * float `log2` whose cross-engine rounding at exact powers of two
+    * is not guaranteed — and bin bounds use only shifts and floor
+    * division. Same rank rule as [[tokenQuantiles]]
+    * (`cum ≥ (n−1) div 2 + 1`), so the two operators answer the same
+    * question at their two state budgets.
+    *
+    * Returns per stratum: n, n_bins (sketch state actually used),
+    * median_est, p90_est. */
+  def histQuantileSketch(docs: DataFrame, strataCols: Seq[String],
+      binsPerOctave: Int = 8): DataFrame =
+    histQuantiles(histBins(docs, strataCols, binsPerOctave), strataCols,
+      binsPerOctave)
+
+  /** The sketch STATE of [[histQuantileSketch]]: per-stratum log-bin
+    * counts — one hash aggregate whose per-group state is ≤ 64·B
+    * counters, mergeable by addition. Runs under Structured Streaming
+    * as-is (see [[graft.streaming.StreamOps.streamingHistBins]]);
+    * [[histQuantiles]] is the batch finisher either way. */
+  def histBins(docs: DataFrame, strataCols: Seq[String],
+      binsPerOctave: Int): DataFrame = {
+    require(binsPerOctave >= 1)
+    val b = binsPerOctave
+    docs.select(strataCols.map(col) :+
+      size(split(col("text"), " ")).cast("long").as("v"): _*)
+      .where(col("v") >= 1)
+      .withColumn("o", expr("length(bin(v)) - 1").cast("long"))
+      .withColumn("bin", col("o") * b + expr(
+        s"((v - shiftleft(1L, int(o))) * $b) div shiftleft(1L, int(o))"))
+      .groupBy(strataCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile extraction over a [[histBins]] frame (batch side — a
+    * per-stratum cumulative sum over ≤ 64·B bins). Totals come from a
+    * full-partition window over the SAME frame, not a self-join: one
+    * pass, and the finisher works over any source including a
+    * streaming memory sink (a self-join on a MemoryPlan view trips
+    * Spark's attribute dedup). */
+  def histQuantiles(hist: DataFrame, strataCols: Seq[String],
+      binsPerOctave: Int): DataFrame = {
+    val b = binsPerOctave
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      // lower bound of the bin: 2^o + (r·2^o) div B
+      .withColumn("lb", expr(
+        s"shiftleft(1L, int(bin div $b)) + " +
+          s"((bin % $b) * shiftleft(1L, int(bin div $b))) div $b"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("n_bins", count(lit(1)).over(wAll))
+      .groupBy(strataCols.map(col) :+ col("n") :+ col("n_bins"): _*)
+      .agg(
+        min(when(col("cum") >= expr("(n - 1) div 2 + 1"), col("lb")))
+          .as("median_est"),
+        min(when(col("cum") >= expr("((n - 1) * 9) div 10 + 1"), col("lb")))
+          .as("p90_est"))
   }
 
   /** Bigram novelty per doc: of a doc's distinct bigrams, how many

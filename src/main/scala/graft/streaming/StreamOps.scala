@@ -174,6 +174,23 @@ object StreamOps {
     graft.operators.TextStats.hllDistinctTokens(docs, groupCols,
       logM = logM, salt = salt)
 
+  /** Continuous log-binned quantile histogram — the quantile member
+    * of the streaming sketch family ([[streamingKmvDistinct]],
+    * [[streamingHllDistinct]]): per-stratum bin counts
+    * ([[graft.operators.TextStats.histBins]]) maintained as
+    * state-store state, merged per micro-batch by addition exactly as
+    * the batch aggregate merges per partition — stream-over-prefix ≡
+    * batch-over-prefix at every micro-batch boundary (pinned in
+    * StreamOpsSpec). State is ≤ 64·B counters per cell, stream-length
+    * independent. Quantile EXTRACTION (the cumulative-sum finisher,
+    * [[graft.operators.TextStats.histQuantiles]]) is a chained
+    * aggregate + window — not streamable — so it runs batch-side over
+    * the emitted state, the same split every serving layer makes.
+    * Emit with `complete`/`update` mode, no watermark. */
+  def streamingHistBins(docs: DataFrame, groupCols: Seq[String],
+      binsPerOctave: Int = 8): DataFrame =
+    graft.operators.TextStats.histBins(docs, groupCols, binsPerOctave)
+
   /** Streaming MinHash-LSH NEAR-dup detection with watermark-bounded
     * state — the streaming form of
     * [[graft.operators.Dedup.minhashNearDups]]'s array-native

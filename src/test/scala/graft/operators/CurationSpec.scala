@@ -433,6 +433,58 @@ class CurationSpec extends AnyFunSuite {
     assert(r == Seq(("xy", 2L), ("xz", 2L))) // yy(1) cut; tie by pair
   }
 
+  test("bpeTokenize: iterated merges learn (count desc, pair asc), the " +
+    "carry fold merges odd self-runs leftmost-first, seg_head pins all") {
+    // vocab: aaa×2, ab×2, aab×1
+    // merge 1 pairs: (a,a) 2·2+1 = 5, (a,b) 2+1 = 3 → (a,a)→aa
+    //   aaa→[aa,a] (leftmost-first: NOT [a,aa]), ab→[a,b], aab→[aa,b]
+    // merge 2 pairs: (aa,a) 2, (a,b) 2, (aa,b) 1 → tie 2-2, 'a'<'aa'
+    //   → (a,b)→ab: ab→[ab]; aab keeps [aa,b]
+    val d = Seq((0L, "aaa ab aaa"), (1L, "ab aab")).toDF("doc_id", "text")
+    val r = TextStats.bpeTokenize(d, numMerges = 2).orderBy("doc_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (0L, 8L, 5L, "aa a|ab|aa a"),
+      (1L, 5L, 3L, "ab|aa b")))
+  }
+
+  test("histQuantileSketch: estimates lower-bound the exact quantiles " +
+    "within one bin width, and the sketch is partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 400L).map { i =>
+      val n = 1 + rnd.nextInt(500)
+      (i, if (i % 2 == 0) "a" else "b", Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val est = TextStats.histQuantileSketch(docs, Seq("lang"), 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exact = TextStats.tokenQuantiles(docs, Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    est.foreach { case (lang, (n, nBins, med, p90)) =>
+      assert(n == 200L && nBins <= 9 * 8, "state bounded by octaves × B")
+      val (exMed, exP90) = exact(lang)
+      Seq((med, exMed), (p90, exP90)).foreach { case (lb, ex) =>
+        assert(lb <= ex, s"$lang: bin lower bound $lb must not exceed $ex")
+        val width = (1L << (63 - java.lang.Long.numberOfLeadingZeros(lb))) / 8
+        assert(ex - lb <= width + 1, s"$lang: $ex - $lb exceeds bin width")
+      }
+    }
+    def run(p: Int) = TextStats.histQuantileSketch(docs.repartition(p),
+      Seq("lang"), 8).orderBy("lang").collect().toSeq
+    assert(run(1) == run(8))
+    // hand-checked binning: v=1 → bin 0 lb 1; v=15 → bin 31 lb 15;
+    // v=16 → bin 32 lb 16 (octave boundary)
+    val tiny = Seq((0L, "x", "w"),
+      (1L, "y", Seq.fill(15)("w").mkString(" ")),
+      (2L, "z", Seq.fill(16)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val m = TextStats.histQuantileSketch(tiny, Seq("lang"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m == Map("x" -> 1L, "y" -> 15L, "z" -> 16L))
+  }
+
   // ---------------------------------------------------------------- countMinFreq
 
   private def cmsBucket(j: Int, w: String, width: Int): Long =

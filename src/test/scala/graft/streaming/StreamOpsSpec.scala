@@ -362,6 +362,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingHistBins: binned state + batch finisher equal the " +
+    "batch quantile sketch over the stream prefix at every micro-batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    def mkRows(r: Range) = r.map(i => (i.toLong, s"l${i % 2}",
+      Seq.fill(1 + rnd.nextInt(200))("w").mkString(" ")))
+    val b1 = mkRows(0 until 40)
+    val b2 = mkRows(40 until 80)
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "lang", "text")
+    val agg = StreamOps.streamingHistBins(docs, Seq("lang"), 8)
+    val q = agg.writeStream.format("memory").queryName("histbins")
+      .outputMode("complete").start()
+    def batchOver(rows: Seq[(Long, String, String)]) =
+      graft.operators.TextStats.histQuantileSketch(
+          rows.toDF("doc_id", "lang", "text"), Seq("lang"), 8)
+        .orderBy("lang").collect().map(_.toSeq).toSeq
+    def streamed() = graft.operators.TextStats.histQuantiles(
+        spark.table("histbins"), Seq("lang"), 8)
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOver(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchOver(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("streamingHllDistinct: register state equals the batch sketch " +
     "over the stream prefix at every micro-batch") {
     import spark.implicits._
