@@ -2257,9 +2257,11 @@ object PipelineQueries {
     val merges = 4
     val head =
       """WITH tok0 AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |         generate_subscripts(string_split(text, ' '), 1) AS pos
-        |  FROM documents),
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents)
+        |  WHERE length(w) >= 1),
         |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok0 GROUP BY w),
         |seg0 AS (SELECT w, f, string_split(w, '') AS sym FROM wf)"""
         .stripMargin

@@ -191,6 +191,8 @@ object Similarity {
     * n_hits = 0. */
   def annRecall(emb: DataFrame, queryFilter: Column, k: Int,
       dims: Int = 64, nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && nprobe >= 1,
+      s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
     val exact = knnBrute(emb,
       emb.where(queryFilter)
         .select(col("vec_id").as("qid"), col("embedding").as("qe")), k)

@@ -150,22 +150,33 @@ object TextStats {
     * lexicographic, matching the oracle), so `numMerges` iterations
     * never rescan the corpus.
     *
-    * Application is per-ROW compute, not a vocab join: each token
-    * re-derives its segmentation through the merge chain (a projection
-    * pipeline of `numMerges` carry folds). That trades per-occurrence
-    * CPU for the alternative's corpus×vocab join — which is exactly
-    * the hot-token skew join this engine gates elsewhere; here the
-    * only shuffle is the final doc_id regroup of integer sizes.
+    * Application reuses the segmentation the trainer already computed
+    * for every vocab word: tokens BROADCAST-join the segmented vocab
+    * (a broadcast probe has no shuffle, so hot tokens cannot skew it —
+    * a skew hazard exists only for a SHUFFLE vocab join, which this
+    * never plans), leaving the doc_id regroup of integer sizes as the
+    * only shuffle. Past `broadcastVocabMax` distinct words the apply
+    * falls back to per-ROW re-derivation through the merge chain
+    * (`numMerges` carry folds — no join at all, constant memory,
+    * ~10× more CPU per token: measured in StressSpec, which also pins
+    * the two paths' bit-equality). The trainer's vocab cache is
+    * released after the result's first materialization
+    * ([[CacheLifecycle]]) on the join path, eagerly on the fold path.
     *
     * Returns per doc: `n_sym0` (pre-merge symbol count = chars),
     * `n_bpe` (post-merge token count), and `seg_head` — the full
     * segmentation of the first three words (`sym sym|sym …`), which
     * pins every learned merge and its application order in the hash
     * compare. */
-  def bpeTokenize(docs: DataFrame, numMerges: Int): DataFrame = {
+  def bpeTokenize(docs: DataFrame, numMerges: Int,
+      broadcastVocabMax: Long = 1000000L): DataFrame = {
     require(numMerges >= 1)
+    // empty tokens (doubled separators) are dropped, not segmented:
+    // Spark's split('', '') yields [''] while DuckDB's yields [] — the
+    // one token shape whose symbol count the two engines disagree on
     val wf = docs
       .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .withColumn("sym", split(col("w"), ""))
       .persist()
@@ -187,19 +198,25 @@ object TextStats {
         }
       }
     }
-    val out = merges.foldLeft(
-      docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("sym", split(col("w"), ""))) {
-      case (df, (x, y)) => df.withColumn("sym", bpeMergePass(x, y))
-    }
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) >= 1)
+    val useBroadcast = wf.count() <= broadcastVocabMax
+    val applied =
+      if (useBroadcast)
+        tok.join(broadcast(seg.select(col("w"), col("sym"))), Seq("w"))
+      else merges.foldLeft(tok.withColumn("sym", split(col("w"), ""))) {
+        case (df, (x, y)) => df.withColumn("sym", bpeMergePass(x, y))
+      }
+    val out = applied
       .groupBy(col("doc_id")).agg(
         sum(length(col("w"))).as("n_sym0"),
         sum(size(col("sym"))).as("n_bpe"),
         concat_ws("|", (0 until 3).map(k =>
           max(when(col("pos") === k, array_join(col("sym"), " ")))): _*)
           .as("seg_head"))
-    wf.unpersist()
+    if (useBroadcast) CacheLifecycle.unpersistAfterFirstUse(out, wf)
+    else wf.unpersist()
     out
   }
 

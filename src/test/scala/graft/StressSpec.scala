@@ -426,6 +426,49 @@ class StressSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------ diameter-20 chain
+  test("stress: bpeTokenize on a 4M-token maximal-hot-vocab corpus — " +
+    "learning scales with the vocab, apply has no join to skew") {
+    // every token drawn from an 8-word vocab: the worst case for the
+    // vocab-JOIN apply formulation (every token is a hot key — the
+    // exact pathology the salted freq join pays for elsewhere). The
+    // in-row carry-fold apply has NO join: its only shuffle is the
+    // doc_id regroup of integer sizes, asserted balanced; learning's
+    // per-merge aggregate runs over an 8-row word-frequency table no
+    // matter the corpus size
+    val vocabLits = Seq("alpha", "beta", "gamma", "delta", "epsi",
+      "zeta", "eta", "theta").map(w => s"'$w'").mkString(", ")
+    def mkDocs(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      expr(s"array_join(transform(sequence(0, 19), i -> " +
+        s"element_at(array($vocabLits), " +
+        s"int(pmod(id * 7 + i, 8)) + 1)), ' ')").as("text"))
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val (row, reads) = withTaskReads {
+        timed("bpeTokenize 200k docs × 20 hot tokens (broadcast apply)")(
+          TextStats.bpeTokenize(mkDocs(200000), numMerges = 4)
+            .agg(count(lit(1)), sum(col("n_sym0")), sum(col("n_bpe")))
+            .head())
+      }
+      assert(row.getLong(0) == 200000L)
+      // 4M tokens × (4|5)-char words; merges strictly shrink
+      assert(row.getLong(1) > 4000000L * 4 - 1)
+      assert(row.getLong(2) < row.getLong(1))
+      assertBalanced(reads, "bpeTokenize apply regroup")
+      // past-broadcast fallback: the per-row fold path must produce
+      // the bit-identical frame (smaller corpus — the fold pays ~10×
+      // CPU per token, which is the measured price of not joining)
+      val small = mkDocs(10000)
+      val bc = timed("bpe apply 10k docs, broadcast path")(
+        TextStats.bpeTokenize(small, 4).orderBy("doc_id").collect())
+      val fold = timed("bpe apply 10k docs, fold path")(
+        TextStats.bpeTokenize(small, 4, broadcastVocabMax = 0)
+          .orderBy("doc_id").collect())
+      assert(bc.toSeq == fold.toSeq)
+    } finally spark.conf.set(coalesceKey, saved)
+  }
+
   test("stress: connectedComponents closes a diameter-20 dup chain") {
     // a 21-doc path graph (diameter 20) among 500 two-doc islands:
     // min-label propagation moves ONE hop per round, so the chain
