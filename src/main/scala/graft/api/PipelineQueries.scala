@@ -2049,6 +2049,60 @@ object PipelineQueries {
       |SELECT query_id, rank, doc_id, score FROM rk
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- BM25
+  /** BM25 top-5 per query ([[Retrieval.bm25TopK]]): p44's retrieval
+    * with the canonical tf-saturation + length-normalization scoring,
+    * in the multiplied-through integer surrogate. Same query set as
+    * p44 so the two rankings are directly comparable. */
+  private def p72(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsSpread(s, dir)
+    val queries = corpus.where(col("doc_id") % 125 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    Retrieval.bm25TopK(corpus, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val p72Sql =
+    """WITH tokall AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE length(w) >= 1),
+      |tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tokall GROUP BY doc_id, w),
+      |dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |  FROM tokall GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, w FROM tokall
+      |  WHERE doc_id % 125 = 0),
+      |rel AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf FROM tf
+      |  WHERE tf.w IN (SELECT DISTINCT w FROM qt)),
+      |wt AS (
+      |  SELECT w, 1000000 // count(*) AS wt FROM rel GROUP BY w),
+      |sc AS (
+      |  SELECT q.query_id, r.doc_id,
+      |    CAST(sum((wt.wt * r.tf * 2200) //
+      |      (1000 * r.tf + 300
+      |        + (9 * ((1000 * d.dl * s.n) // s.sumdl)) // 10))
+      |      AS BIGINT) AS score
+      |  FROM qt q JOIN rel r ON r.w = q.w JOIN wt ON wt.w = q.w
+      |    JOIN dl d ON d.doc_id = r.doc_id, stats s
+      |  WHERE r.doc_id <> q.query_id
+      |  GROUP BY q.query_id, r.doc_id),
+      |rk AS (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, doc_id, score FROM rk
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------- hard-negative mining
   /** Hard negatives for retrieval training
     * ([[Retrieval.mineHardNegatives]]): top-8 lexical candidates per
@@ -3119,7 +3173,8 @@ object PipelineQueries {
     "p68_ann_recall" -> (p68 _),
     "p69_minhash_estimate" -> (p69 _),
     "p70_bpe_tokenize" -> (p70 _),
-    "p71_hist_quantiles" -> (p71 _))
+    "p71_hist_quantiles" -> (p71 _),
+    "p72_bm25_topk" -> (p72 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -3194,5 +3249,6 @@ object PipelineQueries {
     "p68_ann_recall" -> p68Sql,
     "p69_minhash_estimate" -> p69Sql,
     "p70_bpe_tokenize" -> p70Sql,
-    "p71_hist_quantiles" -> p71Sql)
+    "p71_hist_quantiles" -> p71Sql,
+    "p72_bm25_topk" -> p72Sql)
 }

@@ -87,6 +87,74 @@ object Retrieval {
     result
   }
 
+  /** BM25 top-`k` retrieval (Robertson et al.) — the canonical lexical
+    * ranking [[lexicalTopK]]'s flat rarity weighting approximates:
+    * per shared term, `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with k1 = 1.2, b = 0.75 — term-frequency SATURATION (a term
+    * repeated 50× scores ~like 5×, so keyword-stuffed docs stop
+    * winning) and document-LENGTH normalization (long docs don't win
+    * by surface area), the two signals the flat sum lacks.
+    *
+    * Integer-exact surrogate, multiplied through the rational
+    * constants so both engines compute identical longs:
+    *  - idf → `scale div df` (lexicalTopK's rarity surrogate — the
+    *    floor division preserves the rarity ORDERING, which is what
+    *    ranking consumes; a float log idf could never hash-compare);
+    *  - relative length `dlr_e3 = (1000·dl·N) div Σdl` (milli-units);
+    *  - contribution = `(wt·tf·2200) div (1000·tf + 300 +
+    *    (9·dlr_e3) div 10)` — numerator ≤ scale·tf·2200 (no overflow
+    *    for any realistic tf), denominator the BM25 denominator ×1000.
+    *
+    * Scale shape follows [[lexicalTopK]] (query vocab broadcast →
+    * pruned postings persisted once → df one aggregate → partial
+    * scores combine map-side into the (query_id, doc_id) exchange →
+    * bounded [[TopK]]), with two BM25-specific additions that add no
+    * shuffle: `dl` rides the postings from the pre-explode projection
+    * (so no corpus-keyed length join), and the corpus constants
+    * (N, Σdl) come from one column-pruned pass broadcast as a 1-row
+    * frame — never a driver collect. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, scale: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val dlExpr = expr("size(filter(split(text, ' '), x -> length(x) >= 1))")
+      .cast("long")
+    val ct = corpus.select(col("doc_id"), dlExpr.as("dl"),
+      explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+    val tf = ct.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val stats = corpus.select(dlExpr.as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val qt = queries
+      .select(col("query_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .distinct()
+    val rel = tf.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
+      .persist()
+    val wt = rel.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("w"), expr(s"${scale}L div df").as("wt"))
+    val scored = rel
+      .join(broadcast(wt), Seq("w"))
+      .join(broadcast(qt), Seq("w"))
+      .where(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("dlr_e3", expr("(1000 * dl * n) div sumdl"))
+      .withColumn("contrib", expr(
+        "(wt * tf * 2200) div (1000 * tf + 300 + (9 * dlr_e3) div 10)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    val result = scored
+      .groupBy(col("query_id"))
+      .agg(TopK.smallestK(k, -col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), (-col("col._1")).as("score"))
+    CacheLifecycle.unpersistAfterFirstUse(result, rel)
+    result
+  }
+
   /** Hard-negative mining for retrieval/embedding training (the
     * DPR/contrastive-learning recipe): per query, retrieve the top-`k`
     * lexical candidates, DROP the ones that are actually positives —

@@ -218,6 +218,31 @@ class CurationSpec extends AnyFunSuite {
       Seq((9L, 1L, 2L, 50L), (9L, 2L, 3L, 50L)))
   }
 
+  test("bm25TopK: term-frequency saturation and length normalization, " +
+    "integer-exact") {
+    // saturation — equal lengths (dl = avgdl = 4 → dlr_e3 = 1000,
+    // denominator 1000·tf + 1200), df(q) = 2 → wt 500000:
+    //   doc 1 tf=4: (500000·4·2200) div 5200 = 846153
+    //   doc 2 tf=1: (500000·1·2200) div 2200 = 500000
+    // 4× the tf buys only 1.69× the score — the saturation BM25 adds
+    // over lexicalTopK's flat distinct-token sum
+    val c1 = Seq((1L, "q q q q"), (2L, "q x y z"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val q9 = Seq((9L, "q")).toDF("query_id", "text")
+    val r1 = Retrieval.bm25TopK(c1, q9, k = 5)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r1.toSeq == Seq((1L, 1L, 846153L), (2L, 2L, 500000L)))
+    // length normalization — equal tf, dl 2 vs 6 (avgdl 4):
+    //   dlr_e3 500 → denom 1750 → 628571; dlr_e3 1500 → denom 2650
+    //   → 415094: the shorter doc outranks at identical tf
+    val c2 = Seq((1L, "q a"), (2L, "q a b c d e")).toDF("doc_id", "text")
+    val r2 = Retrieval.bm25TopK(c2, q9, k = 5)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r2.toSeq == Seq((1L, 1L, 628571L), (2L, 2L, 415094L)))
+  }
+
   test("lexicalTopK sums weights over DISTINCT shared tokens only") {
     val corpus = Seq(
       (1L, "w w w z"), // token multiplicity must not inflate the score
