@@ -2103,6 +2103,65 @@ object PipelineQueries {
       |SELECT query_id, rank, doc_id, score FROM rk
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------- cluster-safe splits
+  /** Leakage-safe splitting ([[Sampling.clusterSafeSplits]]): p55's
+    * audit finds pairs straddling splits; this is the REMEDIATION —
+    * splits keyed on the near-dup cluster's canonical id, so the
+    * straddle set is empty by construction (asserted in SamplingSpec;
+    * the oracle pins the full per-doc assignment). */
+  private def p73(s: SparkSession, dir: String): DataFrame = {
+    val corpus = TextOps.withPlantedNearDups(docsSpread(s, dir),
+      every = 25, dropWords = 3)
+    val pairs = Dedup.minhashNearDups(corpus, s, shingleK = 3,
+      numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+    Sampling.clusterSafeSplits(corpus, pairs).orderBy(col("doc_id"))
+  }
+
+  private val p73Sql =
+    s"""${NearDupCtes.replace("WITH corpus", "WITH RECURSIVE corpus")},
+       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_inter
+       |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+       |    JOIN dt y ON y.doc_id = c.d2 AND y.tid = x.tid
+       |  GROUP BY c.d1, c.d2),
+       |vp AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
+       |    JOIN sz s2 ON s2.doc_id = i.d2
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
+       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |reach(a, b) AS (
+       |  SELECT d1 AS a, d2 AS b FROM bi
+       |  UNION
+       |  SELECT r.a, e.d2 AS b FROM reach r JOIN bi e ON e.d1 = r.b),
+       |cluster AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a)
+       |SELECT c.doc_id,
+       |  coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
+       |  CASE WHEN ${polyHashSql(
+      "'split:' || CAST(coalesce(cl.cluster_id, c.doc_id) AS VARCHAR)")}
+       |      % 100 < 80 THEN 'train'
+       |    WHEN ${polyHashSql(
+      "'split:' || CAST(coalesce(cl.cluster_id, c.doc_id) AS VARCHAR)")}
+       |      % 100 < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM corpus c LEFT JOIN cluster cl ON cl.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ------------------------------------------------- hard-negative mining
   /** Hard negatives for retrieval training
     * ([[Retrieval.mineHardNegatives]]): top-8 lexical candidates per
@@ -3174,7 +3233,8 @@ object PipelineQueries {
     "p69_minhash_estimate" -> (p69 _),
     "p70_bpe_tokenize" -> (p70 _),
     "p71_hist_quantiles" -> (p71 _),
-    "p72_bm25_topk" -> (p72 _))
+    "p72_bm25_topk" -> (p72 _),
+    "p73_cluster_splits" -> (p73 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -3250,5 +3310,6 @@ object PipelineQueries {
     "p69_minhash_estimate" -> p69Sql,
     "p70_bpe_tokenize" -> p70Sql,
     "p71_hist_quantiles" -> p71Sql,
-    "p72_bm25_topk" -> p72Sql)
+    "p72_bm25_topk" -> p72Sql,
+    "p73_cluster_splits" -> p73Sql)
 }

@@ -199,6 +199,39 @@ object Sampling {
       .where(col("split1") =!= col("split2"))
   }
 
+  /** Leakage-SAFE split assignment — the remediation for what
+    * [[splitLeakage]] audits: near-dup CLUSTERS go to splits
+    * atomically (the split hash keys on the cluster's canonical
+    * min-id from [[Dedup.connectedComponents]], not the doc's own id),
+    * so a verified near-dup pair can never straddle a train/test
+    * boundary — the split-by-cluster practice eval-integrity papers
+    * prescribe. Docs outside the pair graph hash on their own id,
+    * which IS their singleton cluster's canonical id: wherever dedup
+    * found nothing, the assignment equals [[assignSplits]] exactly
+    * (pinned in SamplingSpec), so adopting this is a no-op for the
+    * clean part of a corpus.
+    *
+    * Scale shape: the cluster map is pair-graph-sized (O(LSH
+    * collisions) ≪ corpus) and rides a broadcast left join; everything
+    * else stays the per-row projection [[assignSplits]] is. Returns
+    * (doc_id, cluster_id, split). */
+  def clusterSafeSplits(docs: DataFrame, pairs: DataFrame,
+      salt: String = "split", trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    graft.functions.PolyHash31.register(docs.sparkSession)
+    val cc = Dedup.connectedComponents(pairs.select(col("d1"), col("d2")))
+      .select(col("doc_id"), col("cluster_id"))
+    val b = splitHash(salt, col("cluster_id")) % 100
+    docs.select(col("doc_id"))
+      .join(broadcast(cc), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Mixture rebalancing plan: per stratum cell (e.g. lang × source),
     * the deterministic downsampling rate that moves the corpus toward
     * a UNIFORM token budget per cell — `target = total_tokens div

@@ -34,6 +34,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("clusterSafeSplits: no pair straddles a split; singleton docs " +
+    "equal assignSplits; clusters ride the canonical min id") {
+    // pair graph: {10,11,12} chained, {20,21} — plus loners 30, 31
+    val corpus = Seq(10L, 11L, 12L, 20L, 21L, 30L, 31L)
+      .map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val r = Sampling.clusterSafeSplits(corpus, pairs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r.keySet == Set(10L, 11L, 12L, 20L, 21L, 30L, 31L))
+    // clusters collapse to the min id and share ONE split
+    assert(Seq(10L, 11L, 12L).map(r(_)._1).distinct == Seq(10L))
+    assert(Seq(10L, 11L, 12L).map(r(_)._2).distinct.length == 1)
+    assert(Seq(20L, 21L).map(r(_)._1).distinct == Seq(20L))
+    assert(r(20L)._2 == r(21L)._2)
+    // the straddle set over the assignment is empty — no pair sees
+    // two different splits
+    val assigned = Sampling.clusterSafeSplits(corpus, pairs)
+    val straddling = pairs
+      .join(assigned.select(col("doc_id").as("d1"),
+        col("split").as("s1")), Seq("d1"))
+      .join(assigned.select(col("doc_id").as("d2"),
+        col("split").as("s2")), Seq("d2"))
+      .where(col("s1") =!= col("s2"))
+    assert(straddling.count() == 0L)
+    // loners: identical to the plain per-doc assignment
+    val plain = Sampling.assignSplits(corpus)
+      .select(col("doc_id"), col("split")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    Seq(30L, 31L).foreach { d =>
+      assert(r(d)._1 == d && r(d)._2 == plain(d))
+    }
+  }
+
   test("quotaSample: k smallest hashes per stratum, rank order, no window") {
     val r = Sampling.quotaSample(docs, Seq("lang"), k = 2)
     val rows = r.orderBy("lang", "rn").collect()
