@@ -253,6 +253,8 @@ object Dedup {
     * groupBy and the pair distinct); the audit adds one in-row
     * `zip_with` agreement count per candidate pair — candidates are
     * few by construction, so the audit is free at any corpus size.
+    * The shingle-set cache is released after the result's first
+    * materialization ([[CacheLifecycle]]).
     *
     * All derived columns are integer-exact e4 fixed-point
     * (`est_e4 = n_agree·10⁴ div numPerms`,
@@ -269,7 +271,7 @@ object Dedup {
     val bands = ds.select(col("doc_id"),
       posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
         .as(Seq("band", "bkey")))
-    lshCandidates(bands, maxBucket)
+    val result = lshCandidates(bands, maxBucket)
       .join(ds.select(col("doc_id").as("d1"), col("tids").as("t1"),
         col("sig").as("s1")), Seq("d1"))
       .join(ds.select(col("doc_id").as("d2"), col("tids").as("t2"),
@@ -286,6 +288,8 @@ object Dedup {
       .withColumn("err_e4", abs(col("est_e4") - col("jac_e4")))
       .select(col("d1"), col("d2"), col("n_agree"), col("est_e4"),
         col("n_inter"), col("n_union"), col("jac_e4"), col("err_e4"))
+    CacheLifecycle.unpersistAfterFirstUse(result, ds)
+    result
   }
 
   /** Connected components over an undirected near-dup pair graph

@@ -62,6 +62,20 @@ class DedupSpec extends AnyFunSuite {
       r.getLong(5))).toSet == nd)
   }
 
+  test("minhashEstimate releases its shingle-set cache after first use") {
+    val corpus = docs.union(Seq(
+      (10L, "quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Dedup.minhashEstimate(corpus, spark)
+    assert(r.count() > 0)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"shingle-set cache still pinned after materialization: $leaked")
+  }
+
   test("all three shingle-id strategies find the same verified pairs") {
     val corpus = docs.union(Seq(
       (10L, "quick brown fox jumps over the lazy dog again and again"))
