@@ -68,6 +68,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(hintedJoins("p32_mixture_apply").exists(j =>
       j.condition.exists(_.references.exists(_.name == "lang"))),
       "p32: broadcast-hinted strata join missing")
+    // p72: BM25's postings-side joins (query vocab, weights, query
+    // tokens) all ride broadcasts on `w` — a sort-merge there would
+    // re-shuffle the pruned postings three times
+    assert(hintedJoins("p72_bm25_topk").count(j =>
+      j.condition.exists(_.references.exists(_.name == "w"))) >= 2,
+      "p72: broadcast-hinted postings joins missing")
+    // p73: the corpus→cluster-map join must stay broadcast — the map
+    // is pair-graph-sized, the probe side is the whole corpus
+    assert(hintedJoins("p73_cluster_splits").exists(
+      _.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter),
+      "p73: broadcast-hinted cluster-map left join missing")
   }
 
   test("no query plans an unpartitioned Window or a CartesianProduct") {
