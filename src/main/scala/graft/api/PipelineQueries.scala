@@ -2025,11 +2025,13 @@ object PipelineQueries {
 
   private val p44Sql =
     """WITH ct AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-      |  FROM documents),
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) WHERE length(w) >= 1),
       |qt AS (
-      |  SELECT DISTINCT doc_id AS query_id, unnest(string_split(text, ' ')) AS w
-      |  FROM documents WHERE doc_id % 125 = 0),
+      |  SELECT DISTINCT doc_id AS query_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE doc_id % 125 = 0) WHERE length(w) >= 1),
       |rel AS (
       |  SELECT ct.doc_id, ct.w FROM ct
       |  WHERE ct.w IN (SELECT DISTINCT w FROM qt)),
@@ -2089,7 +2091,7 @@ object PipelineQueries {
       |  SELECT q.query_id, r.doc_id,
       |    CAST(sum((wt.wt * r.tf * 2200) //
       |      (1000 * r.tf + 300
-      |        + (9 * ((1000 * d.dl * s.n) // s.sumdl)) // 10))
+      |        + (9 * ((1000 * d.dl) // (s.sumdl // s.n))) // 10))
       |      AS BIGINT) AS score
       |  FROM qt q JOIN rel r ON r.w = q.w JOIN wt ON wt.w = q.w
       |    JOIN dl d ON d.doc_id = r.doc_id, stats s
@@ -2365,7 +2367,11 @@ object PipelineQueries {
     * re-segmentation CTE running the SAME left-to-right carry fold
     * via `list_reduce` (see [[graft.operators.TextStats]]'s
     * bpeMergePass scaladoc for why a padded-string replace would
-    * NOT be equivalent). */
+    * NOT be equivalent). The pair CTE joins in via LEFT JOIN ON TRUE:
+    * when merges exhaust early (no pairs left) the step's pair frame
+    * is EMPTY, and a cross join would annihilate the segmentation —
+    * the null pair instead makes the fold a no-op, mirroring the
+    * Scala side's `exhausted` early-stop. */
   private val p70Sql: String = {
     val merges = 4
     val head =
@@ -2394,7 +2400,7 @@ object PipelineQueries {
          |      WHEN regexp_extract(acc, '[^|]*$$') = p$k.x AND e = p$k.y
          |      THEN regexp_replace(acc, '[^|]*$$', p$k.x || p$k.y)
          |      ELSE acc || '|' || e END), '|') END AS sym
-         |  FROM $prev, p$k)""".stripMargin
+         |  FROM $prev LEFT JOIN p$k ON TRUE)""".stripMargin
     }
     val tail =
       s"""SELECT t.doc_id,

@@ -187,6 +187,28 @@ object Dedup {
     * Spark's LRU block manager — callers running many corpora through
     * one session may clear via `cacheManager.clearCache()` or rely on
     * LRU eviction (never OOM, worst case recompute). */
+  /** Shared poly-branch candidate pipeline: per-doc shingle-id SETS
+    * with their MinHash signature (in-row end to end; the only
+    * shuffles are the band-bucket groupBy and the pair distinct),
+    * plus the LSH candidate pairs over them. The returned `ds` frame
+    * is PERSISTED — the caller owns its release. One implementation
+    * feeds both [[minhashNearDups]]' dedup and [[minhashEstimate]]'s
+    * calibration audit, so the audited candidate set can never
+    * desynchronize from the dedup it calibrates (DedupSpec pins the
+    * equality as well). `shingleIdSets` drops short docs, like the
+    * exploded form's absent rows, so no set here is ever empty. */
+  private def polyCandidates(corpus: DataFrame, shingleK: Int,
+      numPerms: Int, rowsPerBand: Int,
+      maxBucket: Int): (DataFrame, DataFrame) = {
+    val ds = TextOps.shingleIdSets(corpus, shingleK)
+      .select(col("doc_id"), col("tids"),
+        expr(s"minhash_sigs(tids, $numPerms)").as("sig")).persist()
+    val bands = ds.select(col("doc_id"),
+      posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
+        .as(Seq("band", "bkey")))
+    (ds, lshCandidates(bands, maxBucket))
+  }
+
   def minhashNearDups(corpus: DataFrame, spark: SparkSession,
       shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, ids: String = "poly",
@@ -194,17 +216,9 @@ object Dedup {
     graft.functions.PolyHash31.register(spark)
     ids match {
       case "poly" =>
-        // array-native pipeline: per-doc id SETS stay in-row end to end.
-        // Shuffles: band-bucket groupBy + pair distinct — nothing else.
-        // (shingleIdSets drops short docs, like the exploded form's
-        // absent rows, so no set here is ever empty.)
-        val ds = TextOps.shingleIdSets(corpus, shingleK).persist()
-        val sigs = ds.select(col("doc_id"),
-          expr(s"minhash_sigs(tids, $numPerms)").as("sig"))
-        val bands = sigs.select(col("doc_id"),
-          posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
-            .as(Seq("band", "bkey")))
-        val cands = lshCandidates(bands, maxBucket).persist()
+        val (ds, cands0) = polyCandidates(corpus, shingleK, numPerms,
+          rowsPerBand, maxBucket)
+        val cands = cands0.persist()
         // verify in-row: candidate pairs are FEW (LSH collisions), so a
         // per-pair array_intersect of two ~doc-length sets beats any
         // postings shuffle. (blockedJaccard documents the opposite
@@ -265,13 +279,9 @@ object Dedup {
       shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     graft.functions.PolyHash31.register(spark)
-    val ds = TextOps.shingleIdSets(corpus, shingleK)
-      .select(col("doc_id"), col("tids"),
-        expr(s"minhash_sigs(tids, $numPerms)").as("sig")).persist()
-    val bands = ds.select(col("doc_id"),
-      posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
-        .as(Seq("band", "bkey")))
-    val result = lshCandidates(bands, maxBucket)
+    val (ds, cands) = polyCandidates(corpus, shingleK, numPerms,
+      rowsPerBand, maxBucket)
+    val result = cands
       .join(ds.select(col("doc_id").as("d1"), col("tids").as("t1"),
         col("sig").as("s1")), Seq("d1"))
       .join(ds.select(col("doc_id").as("d2"), col("tids").as("t2"),

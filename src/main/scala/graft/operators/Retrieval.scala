@@ -22,6 +22,36 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Distinct (query_id, w) query tokens; empty tokens from doubled
+    * separators are dropped (both retrieval operators and their
+    * oracles agree on this). */
+  private def queryTokens(queries: DataFrame): DataFrame = queries
+    .select(col("query_id"), explode(split(col("text"), " ")).as("w"))
+    .where(length(col("w")) >= 1)
+    .distinct()
+
+  /** Rarity weights over a query-vocab-pruned postings frame whose
+    * rows are distinct per (doc_id, w): `scale div df` — the integer
+    * IDF surrogate both scorers share (floor division preserves the
+    * rarity ORDERING, which is what ranking consumes; a float log idf
+    * could never hash-compare). */
+  private def rarityWeights(rel: DataFrame, scale: Long): DataFrame = rel
+    .groupBy(col("w"))
+    .agg(count(lit(1)).as("df"))
+    .select(col("w"), expr(s"${scale}L div df").as("wt"))
+
+  /** Per-query top-`k` of a (query_id, doc_id, score) frame on the
+    * bounded [[TopK]] aggregate — O(k) state per query merged
+    * map-side, never a row_number window that would sort every
+    * candidate of a query inside one task. Ties break by ascending
+    * doc_id. */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame = scored
+    .groupBy(col("query_id"))
+    .agg(TopK.smallestK(k, -col("score"), col("doc_id")).as("top"))
+    .select(col("query_id"), posexplode(col("top")))
+    .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+      col("col._2").as("doc_id"), (-col("col._1")).as("score"))
+
   /** Top-`k` corpus docs per query by summed rarity weight of shared
     * DISTINCT tokens. `queries` needs (query_id, text); a query doc
     * drawn from the corpus never retrieves itself (query_id is
@@ -50,11 +80,10 @@ object Retrieval {
       k: Int = 5, scale: Long = 1000000L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(scale > 0, s"scale must be positive, got $scale")
-    val qt = queries
-      .select(col("query_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+    val qt = queryTokens(queries)
     val ct = corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
       .distinct()
     // postings restricted to the query vocabulary; df over THIS set
     // equals df over the corpus for every token that can ever score.
@@ -68,21 +97,14 @@ object Retrieval {
       .persist()
     // rel rows are distinct (doc_id, w), so count(*) IS the document
     // frequency — no second distinct aggregate
-    val wt = rel.groupBy(col("w"))
-      .agg(count(lit(1)).as("df"))
-      .select(col("w"), expr(s"${scale}L div df").as("wt"))
+    val wt = rarityWeights(rel, scale)
     val scored = rel
       .join(broadcast(wt), Seq("w"))
       .join(broadcast(qt), Seq("w"))
       .where(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("wt")).as("score"))
-    val result = scored
-      .groupBy(col("query_id"))
-      .agg(TopK.smallestK(k, -col("score"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col._2").as("doc_id"), (-col("col._1")).as("score"))
+    val result = topKByScore(scored, k)
     CacheLifecycle.unpersistAfterFirstUse(result, rel)
     result
   }
@@ -100,7 +122,14 @@ object Retrieval {
     *  - idf → `scale div df` (lexicalTopK's rarity surrogate — the
     *    floor division preserves the rarity ORDERING, which is what
     *    ranking consumes; a float log idf could never hash-compare);
-    *  - relative length `dlr_e3 = (1000·dl·N) div Σdl` (milli-units);
+    *  - relative length `dlr_e3 = (1000·dl) div avgdl` (milli-units),
+    *    with `avgdl = Σdl div N` over TOKENIZED docs only (empty docs
+    *    are outside the postings and must not dilute the average —
+    *    and they guarantee avgdl ≥ 1). Dividing by the floored avgdl
+    *    rather than computing `(1000·dl·N) div Σdl` keeps every
+    *    intermediate ≤ 1000·dl — overflow-free at ANY corpus count,
+    *    where the dl·N product would wrap past ~2·10¹⁰ docs — at the
+    *    cost of ≤ 1/avgdl relative error in the length term;
     *  - contribution = `(wt·tf·2200) div (1000·tf + 300 +
     *    (9·dlr_e3) div 10)` — numerator ≤ scale·tf·2200 (no overflow
     *    for any realistic tf), denominator the BM25 denominator ×1000.
@@ -124,33 +153,27 @@ object Retrieval {
       .where(length(col("w")) >= 1)
     val tf = ct.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    // tokenized docs only: an all-separator doc has no postings and
+    // must not dilute avgdl (the DuckDB oracle's per-doc length CTE
+    // drops it the same way)
     val stats = corpus.select(dlExpr.as("dl"))
+      .where(col("dl") >= 1)
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val qt = queries
-      .select(col("query_id"), explode(split(col("text"), " ")).as("w"))
-      .where(length(col("w")) >= 1)
-      .distinct()
+    val qt = queryTokens(queries)
     val rel = tf.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
       .persist()
-    val wt = rel.groupBy(col("w"))
-      .agg(count(lit(1)).as("df"))
-      .select(col("w"), expr(s"${scale}L div df").as("wt"))
+    val wt = rarityWeights(rel, scale)
     val scored = rel
       .join(broadcast(wt), Seq("w"))
       .join(broadcast(qt), Seq("w"))
       .where(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("dlr_e3", expr("(1000 * dl * n) div sumdl"))
+      .withColumn("dlr_e3", expr("(1000 * dl) div (sumdl div n)"))
       .withColumn("contrib", expr(
         "(wt * tf * 2200) div (1000 * tf + 300 + (9 * dlr_e3) div 10)"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
-    val result = scored
-      .groupBy(col("query_id"))
-      .agg(TopK.smallestK(k, -col("score"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col._2").as("doc_id"), (-col("col._1")).as("score"))
+    val result = topKByScore(scored, k)
     CacheLifecycle.unpersistAfterFirstUse(result, rel)
     result
   }

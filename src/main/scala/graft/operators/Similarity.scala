@@ -204,7 +204,11 @@ object Similarity {
       .join(broadcast(approx.select(col("qid"), col("nid"))),
         Seq("qid", "nid"))
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))
-    exact.select(col("qid")).distinct()
+    // qid base straight from the query filter — NOT from `exact`: a
+    // second reference to the knnBrute subtree would run the
+    // brute-force corpus pass twice per materialization (Spark does
+    // not dedupe common unpersisted subtrees)
+    emb.where(queryFilter).select(col("vec_id").as("qid"))
       .join(broadcast(hits), Seq("qid"), "left")
       .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"))
       .withColumn("recall_e4", expr(s"(n_hits * 10000) div $k"))

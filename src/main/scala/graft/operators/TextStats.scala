@@ -113,16 +113,20 @@ object TextStats {
     * under `(a,a)` merges positions (1,2) by fold but (1,2)+(4,5) by
     * non-overlapping string search).
     *
-    * Symbols are corpus-alphabet substrings (no quotes/backslashes);
-    * [[bpeTokenize]] guards the literals it splices. */
-  private def bpeMergePass(x: String, y: String): Column = expr(
-    s"""CASE WHEN size(sym) < 2 THEN sym ELSE
-       |aggregate(slice(sym, 2, size(sym) - 1),
-       |  array(element_at(sym, 1)),
-       |  (acc, e) -> CASE
-       |    WHEN element_at(acc, -1) = '$x' AND e = '$y'
-       |    THEN concat(slice(acc, 1, size(acc) - 1), array('${x + y}'))
-       |    ELSE concat(acc, array(e)) END) END""".stripMargin)
+    * The merge pair enters as `lit` columns, never spliced into a SQL
+    * string — any alphabet (apostrophes, hyphens, non-ASCII) is safe
+    * with no escaping layer. */
+  private def bpeMergePass(x: String, y: String): Column = {
+    val sym = col("sym")
+    when(size(sym) < 2, sym).otherwise(
+      aggregate(
+        slice(sym, lit(2), size(sym) - 1),
+        array(element_at(sym, 1)),
+        (acc, e) =>
+          when(element_at(acc, -1) === lit(x) && e === lit(y),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+            .otherwise(concat(acc, array(e)))))
+  }
 
   /** Adjacent-pair frequency over a segmented vocab (`f`, `sym`),
     * weighted by word frequency — the argmax row is the next merge. */
@@ -189,10 +193,6 @@ object TextStats {
         if (top.isEmpty) exhausted = true
         else {
           val (x, y) = (top(0).getString(0), top(0).getString(1))
-          require((x + y).matches("[A-Za-z0-9]+"),
-            s"bpeTokenize merge symbols must stay alphanumeric, got " +
-              s"('$x','$y') — splicing other alphabets into the fold " +
-              "literal needs escaping first")
           merges += ((x, y))
           seg = seg.withColumn("sym", bpeMergePass(x, y))
         }

@@ -68,9 +68,11 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(hintedJoins("p32_mixture_apply").exists(j =>
       j.condition.exists(_.references.exists(_.name == "lang"))),
       "p32: broadcast-hinted strata join missing")
-    // p72: BM25's postings-side joins (query vocab, weights, query
-    // tokens) all ride broadcasts on `w` — a sort-merge there would
-    // re-shuffle the pruned postings three times
+    // p72: the scoring joins (weights, query tokens) ride broadcasts
+    // on `w` — a sort-merge there would re-shuffle the pruned
+    // postings. (The vocab-prune join is hinted too but invisible
+    // here: `rel` is persisted, so the cache manager substitutes an
+    // InMemoryRelation for its subtree at analysis time.)
     assert(hintedJoins("p72_bm25_topk").count(j =>
       j.condition.exists(_.references.exists(_.name == "w"))) >= 2,
       "p72: broadcast-hinted postings joins missing")

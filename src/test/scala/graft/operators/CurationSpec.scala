@@ -472,6 +472,12 @@ class CurationSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(
       (0L, 8L, 5L, "aa a|ab|aa a"),
       (1L, 5L, 3L, "ab|aa b")))
+    // non-alphanumeric symbols flow through as lit columns, no SQL
+    // splicing: merges ("'", "x") then ("d", "'x") collapse each word
+    val punct = Seq((0L, "d'x d'x d'x")).toDF("doc_id", "text")
+    val rp = TextStats.bpeTokenize(punct, numMerges = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(rp.toSeq == Seq((0L, 9L, 3L, "d'x|d'x|d'x")))
   }
 
   test("histQuantileSketch: estimates lower-bound the exact quantiles " +
