@@ -153,6 +153,15 @@ object PipelineQueries {
       docsSpread(s, dir).select(col("doc_id"), col("text")), s)
       .orderBy(col("d1"), col("d2"))
 
+  /** Oracle mirrors the BANDED join including the `maxBucket = 1000`
+    * anchor-star cap (block widths [8,8] for bits=16, maxDist=1 — the
+    * operator defaults): below the cap the per-bucket all-pairs +
+    * hamming filter is provably exhaustive (pigeonhole), so the
+    * oracle stays the independent check there; past it, only the
+    * deterministic anchor pairs (the bucket's min doc_id) survive,
+    * matching the operator's documented load-shedding — first
+    * exercised for real at sf0.1, where an earlier all-pairs oracle
+    * over-counted by the capped buckets' missing pairs. */
   private val p51Sql =
     s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -168,11 +177,26 @@ object PipelineQueries {
       |  SELECT doc_id,
       |    CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
       |      AS simhash
-      |  FROM sj GROUP BY doc_id)
-      |SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+      |  FROM sj GROUP BY doc_id),
+      |blocks AS (
+      |  SELECT doc_id, simhash, blk,
+      |    CASE blk WHEN 0 THEN simhash & 255
+      |             ELSE (simhash >> 8) & 255 END AS bval
+      |  FROM fp, (VALUES (0), (1)) b(blk)),
+      |bs AS (
+      |  SELECT blk, bval, count(*) AS n, min(doc_id) AS anchor
+      |  FROM blocks GROUP BY blk, bval),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM blocks a JOIN blocks b
+      |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+      |  JOIN bs ON bs.blk = a.blk AND bs.bval = a.bval
+      |  WHERE bs.n <= 1000 OR a.doc_id = bs.anchor)
+      |SELECT c.d1, c.d2,
+      |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+      |FROM cand c JOIN fp fa ON fa.doc_id = c.d1
+      |  JOIN fp fb ON fb.doc_id = c.d2
+      |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 1
       |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------- blocked Jaccard
