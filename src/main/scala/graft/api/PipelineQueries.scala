@@ -85,6 +85,35 @@ object PipelineQueries {
       |  FROM sh)
       |""".stripMargin
 
+  /** Shared oracle chain: MinHash signatures (16 perms) → 4-row band
+    * keys → LSH candidate pairs, INCLUDING the `maxBucket = 1000`
+    * anchor-star cap [[graft.operators.Dedup.lshCandidates]] applies
+    * to oversize buckets (anchor = the bucket's min doc_id; below the
+    * cap the all-pairs form is untouched, so the oracle stays the
+    * independent exhaustive check wherever load-shedding is off — the
+    * p51 sf0.1 audit is what showed caps must be modeled, not
+    * ignored). Consumes a `dt` CTE of distinct (doc_id, tid); every
+    * minhash-based oracle splices this one chain, so their candidate
+    * semantics cannot drift apart. */
+  private val MinhashCandCtes =
+    """perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
+      |sig AS (
+      |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
+      |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |bsz AS (
+      |  SELECT band, bkey, count(*) AS nb, min(doc_id) AS anchor
+      |  FROM bands GROUP BY band, bkey),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  JOIN bsz ON bsz.band = a.band AND bsz.bkey = a.bkey
+      |  WHERE bsz.nb <= 1000 OR a.doc_id = bsz.anchor)""".stripMargin
+
   private def p02(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(
       TextOps.withPlantedNearDups(docsSpread(s, dir), every = 25,
@@ -94,18 +123,7 @@ object PipelineQueries {
 
   private val p02Sql =
     s"""$NearDupCtes,
-       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
-       |sig AS (
-       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
-       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$MinhashCandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS n_inter
@@ -1042,18 +1060,7 @@ object PipelineQueries {
 
   private val p16Sql =
     s"""${NearDupCtes.replace("WITH corpus", "WITH RECURSIVE corpus")},
-       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
-       |sig AS (
-       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
-       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$MinhashCandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS n_inter
@@ -1212,18 +1219,7 @@ object PipelineQueries {
        |dt AS (
        |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid
        |  FROM sh),
-       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
-       |sig AS (
-       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
-       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$MinhashCandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS n_inter
@@ -2145,18 +2141,7 @@ object PipelineQueries {
 
   private val p73Sql =
     s"""${NearDupCtes.replace("WITH corpus", "WITH RECURSIVE corpus")},
-       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
-       |sig AS (
-       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
-       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$MinhashCandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS n_inter
@@ -2341,18 +2326,7 @@ object PipelineQueries {
 
   private val p69Sql =
     s"""$NearDupCtes,
-       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
-       |sig AS (
-       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
-       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$MinhashCandCtes,
        |agree AS (
        |  SELECT c.d1, c.d2,
        |    CAST(sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT)
@@ -2587,18 +2561,7 @@ object PipelineQueries {
        |dt AS (
        |  SELECT DISTINCT doc_id, ${polyHashSql("shingle")} AS tid
        |  FROM sh),
-       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
-       |sig AS (
-       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
-       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$MinhashCandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS n_inter
@@ -2909,18 +2872,7 @@ object PipelineQueries {
 
   private val p55Sql =
     s"""$NearDupCtes,
-       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
-       |sig AS (
-       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
-       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$MinhashCandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS n_inter
@@ -3131,18 +3083,7 @@ object PipelineQueries {
 
   private val p65Sql =
     s"""${NearDupCtes.replace("WITH corpus", "WITH RECURSIVE corpus")},
-       |perms AS (SELECT i, 1 + 2*i AS a, 7 + 3*i AS b FROM range(0, 16) t(i)),
-       |sig AS (
-       |  SELECT doc_id, i, min((a * tid + b) % 2147483647) AS sig
-       |  FROM dt CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(sig::VARCHAR, ',' ORDER BY i) AS bkey
-       |  FROM sig GROUP BY doc_id, i // 4),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$MinhashCandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS n_inter
