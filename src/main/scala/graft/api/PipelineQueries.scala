@@ -2173,6 +2173,100 @@ object PipelineQueries {
        |FROM corpus c LEFT JOIN cluster cl ON cl.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ------------------------------------------------- BM25 hard negatives
+  /** p67's mining with the BM25 retriever — the DPR-standard combo
+    * (BM25 candidates → positive gate → negatives). Same planted
+    * corpus and gate as p67, so the two scorers' negative sets are
+    * directly comparable. */
+  private def p74(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val corpus = TextOps.withPlantedNearDups(base, every = 100, dropWords = 2)
+    val queries = base.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    Retrieval.mineHardNegatives(corpus, queries, k = 8, nNeg = 5,
+        tauNum = 7L, tauDen = 10L, scorer = "bm25")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** p72's BM25 chain over the planted corpus, then p67's gate. The
+    * gate sets are UNfiltered raw splits (`array_distinct(split)`)
+    * while the scoring postings drop empty tokens — mirroring the
+    * Scala sides exactly. */
+  private val p74Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+      |  FROM documents WHERE doc_id % 100 = 0),
+      |tokall AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+      |  WHERE length(w) >= 1),
+      |tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tokall GROUP BY doc_id, w),
+      |dl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |  FROM tokall GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE doc_id % 100 = 0) WHERE length(w) >= 1),
+      |rel AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf FROM tf
+      |  WHERE tf.w IN (SELECT DISTINCT w FROM qt)),
+      |wt AS (
+      |  SELECT w, 1000000 // count(*) AS wt FROM rel GROUP BY w),
+      |sc AS (
+      |  SELECT q.query_id, r.doc_id,
+      |    CAST(sum((wt.wt * r.tf * 2200) //
+      |      (1000 * r.tf + 300
+      |        + (9 * ((1000 * d.dl) // (s.sumdl // s.n))) // 10))
+      |      AS BIGINT) AS score
+      |  FROM qt q JOIN rel r ON r.w = q.w JOIN wt ON wt.w = q.w
+      |    JOIN dl d ON d.doc_id = r.doc_id, stats s
+      |  WHERE r.doc_id <> q.query_id
+      |  GROUP BY q.query_id, r.doc_id),
+      |cand AS (
+      |  SELECT query_id, doc_id, score FROM (
+      |    SELECT query_id, doc_id, score,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id) AS rank
+      |    FROM sc) WHERE rank <= 8),
+      |ctg AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM corpus),
+      |qtg AS (
+      |  SELECT DISTINCT doc_id AS query_id,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id % 100 = 0),
+      |qsz AS (SELECT query_id, count(*) AS nq FROM qtg GROUP BY query_id),
+      |dsz AS (SELECT doc_id, count(*) AS nc FROM ctg GROUP BY doc_id),
+      |ni AS (
+      |  SELECT c.query_id, c.doc_id, count(*) AS ni
+      |  FROM cand c
+      |  JOIN qtg q ON q.query_id = c.query_id
+      |  JOIN ctg d ON d.doc_id = c.doc_id AND d.w = q.w
+      |  GROUP BY c.query_id, c.doc_id),
+      |neg AS (
+      |  SELECT c.query_id, c.doc_id, c.score
+      |  FROM cand c
+      |  JOIN qsz USING (query_id) JOIN dsz USING (doc_id)
+      |  LEFT JOIN ni ON ni.query_id = c.query_id AND ni.doc_id = c.doc_id
+      |  WHERE 10 * coalesce(ni.ni, 0)
+      |    < 7 * (nq + nc - coalesce(ni.ni, 0))),
+      |rk2 AS (
+      |  SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM neg)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+      |FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------- hard-negative mining
   /** Hard negatives for retrieval training
     * ([[Retrieval.mineHardNegatives]]): top-8 lexical candidates per
@@ -3205,7 +3299,8 @@ object PipelineQueries {
     "p70_bpe_tokenize" -> (p70 _),
     "p71_hist_quantiles" -> (p71 _),
     "p72_bm25_topk" -> (p72 _),
-    "p73_cluster_splits" -> (p73 _))
+    "p73_cluster_splits" -> (p73 _),
+    "p74_bm25_negatives" -> (p74 _))
 
   val oracleSql: Map[String, String] = Map(
     "p12_multimodal" -> p12Sql,
@@ -3282,5 +3377,6 @@ object PipelineQueries {
     "p70_bpe_tokenize" -> p70Sql,
     "p71_hist_quantiles" -> p71Sql,
     "p72_bm25_topk" -> p72Sql,
-    "p73_cluster_splits" -> p73Sql)
+    "p73_cluster_splits" -> p73Sql,
+    "p74_bm25_negatives" -> p74Sql)
 }

@@ -203,14 +203,23 @@ object Retrieval {
     * touched once more only to fetch the ≤ Q×k candidate texts. */
   def mineHardNegatives(corpus: DataFrame, queries: DataFrame,
       k: Int = 8, nNeg: Int = 5, scale: Long = 1000000L,
-      tauNum: Long = 1L, tauDen: Long = 2L): DataFrame = {
+      tauNum: Long = 1L, tauDen: Long = 2L,
+      scorer: String = "lexical"): DataFrame = {
     require(nNeg > 0 && k >= nNeg,
       s"need k >= nNeg > 0, got k=$k nNeg=$nNeg")
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"positive threshold must be in (0, 1], got $tauNum/$tauDen")
     // Q×k rows, referenced three times below (candidate rows, the
-    // semi-join key set, the gate) — persist so retrieval runs once
-    val cand = lexicalTopK(corpus, queries, k, scale).persist()
+    // semi-join key set, the gate) — persist so retrieval runs once.
+    // `scorer` picks the retrieval stage: "lexical" (flat rarity sum)
+    // or "bm25" — the DPR-standard combo is BM25 candidates + a
+    // positive gate; everything downstream is scorer-agnostic.
+    val cand = (scorer match {
+      case "lexical" => lexicalTopK(corpus, queries, k, scale)
+      case "bm25" => bm25TopK(corpus, queries, k, scale)
+      case other => throw new IllegalArgumentException(
+        s"scorer must be lexical|bm25, got '$other'")
+    }).persist()
     val qset = queries.select(col("query_id"),
       array_distinct(split(col("text"), " ")).as("qs"))
     val dset = corpus

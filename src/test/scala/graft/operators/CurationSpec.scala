@@ -304,6 +304,33 @@ class CurationSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"cache still pinned: $leaked")
   }
 
+  test("mineHardNegatives with the bm25 scorer: candidates come from " +
+    "bm25TopK, the positive gate is scorer-agnostic") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "beta gamma delta epsilon zeta"),
+      (20L, "alpha unrelated words here"),
+      (21L, "beta other stuff entirely"),
+      (30L, "nothing shared at all"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("query_id", "text")
+    val r = Retrieval.mineHardNegatives(corpus, queries, k = 4, nNeg = 2,
+        scorer = "bm25")
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    // the near-copy 11 is still gated out; the surviving negatives
+    // carry EXACTLY the scores bm25TopK assigns them
+    val bm25 = Retrieval.bm25TopK(corpus, queries, k = 4)
+      .collect().map(x => x.getLong(2) -> x.getLong(3)).toMap
+    assert(r.map(_._2).toSeq == Seq(20L, 21L).sortBy(d => (-bm25(d), d)))
+    r.foreach { case (_, d, s) => assert(s == bm25(d)) }
+    assert(!r.exists(_._2 == 11L))
+    intercept[IllegalArgumentException] {
+      Retrieval.mineHardNegatives(corpus, queries, scorer = "tfidf")
+    }
+  }
+
   test("lexicalTopK broadcasts queries and weights — corpus side never rebuilds") {
     val corpus = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val queries = Seq((9L, "b")).toDF("query_id", "text")
