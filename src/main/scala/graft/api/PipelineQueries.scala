@@ -2463,7 +2463,14 @@ object PipelineQueries {
     * when merges exhaust early (no pairs left) the step's pair frame
     * is EMPTY, and a cross join would annihilate the segmentation —
     * the null pair instead makes the fold a no-op, mirroring the
-    * Scala side's `exhausted` early-stop. */
+    * Scala side's `exhausted` early-stop. The fold's internal segment
+    * separator is chr(31) (the US control char), and the last-segment
+    * check/rewrite is plain `ends_with` + append — no regex, so a
+    * merged pair containing regex metacharacters (or '|', the old
+    * separator) can never corrupt the fold; the only alphabet
+    * restriction left is chr(31) itself inside a word (caveat class
+    * of MinhashCandCtes). `seg_head` joins positions with '|' on BOTH
+    * engines identically, so it carries no such restriction. */
   private val p70Sql: String = {
     val merges = 4
     val head =
@@ -2489,18 +2496,19 @@ object PipelineQueries {
          |seg$k AS (
          |  SELECT w, f, CASE WHEN len(sym) < 2 THEN sym ELSE
          |    string_split(list_reduce(sym, (acc, e) -> CASE
-         |      WHEN regexp_extract(acc, '[^|]*$$') = p$k.x AND e = p$k.y
-         |      THEN regexp_replace(acc, '[^|]*$$', p$k.x || p$k.y)
-         |      ELSE acc || '|' || e END), '|') END AS sym
+         |      WHEN (acc = p$k.x OR ends_with(acc, chr(31) || p$k.x))
+         |        AND e = p$k.y
+         |      THEN acc || p$k.y
+         |      ELSE acc || chr(31) || e END), chr(31)) END AS sym
          |  FROM $prev LEFT JOIN p$k ON TRUE)""".stripMargin
     }
     val tail =
       s"""SELECT t.doc_id,
          |  CAST(sum(length(t.w)) AS BIGINT) AS n_sym0,
          |  CAST(sum(len(s.sym)) AS BIGINT) AS n_bpe,
-         |  string_agg(CASE WHEN t.pos <= 3
-         |    THEN array_to_string(s.sym, ' ') END, '|' ORDER BY t.pos)
-         |    AS seg_head
+         |  coalesce(string_agg(CASE WHEN t.pos <= 3
+         |    THEN array_to_string(s.sym, ' ') END, '|' ORDER BY t.pos),
+         |    '') AS seg_head
          |FROM tok0 t JOIN seg$merges s ON s.w = t.w
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
     (head +: steps).mkString(",\n") + "\n" + tail

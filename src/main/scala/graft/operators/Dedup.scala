@@ -188,10 +188,10 @@ object Dedup {
     * one session may clear via `cacheManager.clearCache()` or rely on
     * LRU eviction (never OOM, worst case recompute). */
   /** Shared poly-branch candidate pipeline: per-doc shingle-id SETS
-    * with their MinHash signature (in-row end to end; the only
-    * shuffles are the band-bucket groupBy and the pair distinct),
-    * plus the LSH candidate pairs over them. The returned `ds` frame
-    * is PERSISTED — the caller owns its release. One implementation
+    * (persisted — the caller owns their release), the same sets with
+    * the MinHash signature derived in-row from the cached tids (NOT
+    * persisted), and the LSH candidate pairs (the only shuffles are
+    * the band-bucket groupBy and the pair distinct). One implementation
     * feeds both [[minhashNearDups]]' dedup and [[minhashEstimate]]'s
     * calibration audit, so the audited candidate set can never
     * desynchronize from the dedup it calibrates (DedupSpec pins the
@@ -199,14 +199,20 @@ object Dedup {
     * exploded form's absent rows, so no set here is ever empty. */
   private def polyCandidates(corpus: DataFrame, shingleK: Int,
       numPerms: Int, rowsPerBand: Int,
-      maxBucket: Int): (DataFrame, DataFrame) = {
-    val ds = TextOps.shingleIdSets(corpus, shingleK)
-      .select(col("doc_id"), col("tids"),
-        expr(s"minhash_sigs(tids, $numPerms)").as("sig")).persist()
-    val bands = ds.select(col("doc_id"),
+      maxBucket: Int): (DataFrame, DataFrame, DataFrame) = {
+    // persist the shingle SETS only — every consumer re-derives `sig`
+    // in-row from the cached tids (O(perms·|tids|) compute, zero extra
+    // cache bytes). The dedup path never reads sig after banding, so
+    // caching it would hold dead weight in the block store for the
+    // whole session; minhashEstimate derives it per join leg instead.
+    val sets = TextOps.shingleIdSets(corpus, shingleK)
+      .select(col("doc_id"), col("tids")).persist()
+    val withSig = sets.withColumn("sig",
+      expr(s"minhash_sigs(tids, $numPerms)"))
+    val bands = withSig.select(col("doc_id"),
       posexplode(array(sigBandKeys(numPerms, rowsPerBand): _*))
         .as(Seq("band", "bkey")))
-    (ds, lshCandidates(bands, maxBucket))
+    (sets, withSig, lshCandidates(bands, maxBucket))
   }
 
   def minhashNearDups(corpus: DataFrame, spark: SparkSession,
@@ -216,7 +222,7 @@ object Dedup {
     graft.functions.PolyHash31.register(spark)
     ids match {
       case "poly" =>
-        val (ds, cands0) = polyCandidates(corpus, shingleK, numPerms,
+        val (ds, _, cands0) = polyCandidates(corpus, shingleK, numPerms,
           rowsPerBand, maxBucket)
         val cands = cands0.persist()
         // verify in-row: candidate pairs are FEW (LSH collisions), so a
@@ -279,12 +285,12 @@ object Dedup {
       shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     graft.functions.PolyHash31.register(spark)
-    val (ds, cands) = polyCandidates(corpus, shingleK, numPerms,
+    val (ds, withSig, cands) = polyCandidates(corpus, shingleK, numPerms,
       rowsPerBand, maxBucket)
     val result = cands
-      .join(ds.select(col("doc_id").as("d1"), col("tids").as("t1"),
+      .join(withSig.select(col("doc_id").as("d1"), col("tids").as("t1"),
         col("sig").as("s1")), Seq("d1"))
-      .join(ds.select(col("doc_id").as("d2"), col("tids").as("t2"),
+      .join(withSig.select(col("doc_id").as("d2"), col("tids").as("t2"),
         col("sig").as("s2")), Seq("d2"))
       .withColumn("n_agree",
         expr("size(filter(zip_with(s1, s2, (x, y) -> x = y), b -> b))")

@@ -64,11 +64,15 @@ object SkewOps {
     *    1.25–2.65× PROPORTIONAL replication insurance of
     *    unconditional salting, which worsens with bucket count.
     *
-    * The gate itself costs one scalar aggregate + two broadcast-hash
-    * probes over `dim`'s key set — vocabulary-sized work, noise next
-    * to the postings; the `dim` subtree appears three times in the
-    * logical plan but its shuffle is reused (one exchange, two
-    * ReusedExchange reads — asserted in SkewOpsSpec). Salting stays
+    * The gate itself costs one scalar aggregate + the share filter
+    * over `dim`'s key set — vocabulary-sized work, noise next to the
+    * postings. It runs as its own small job at plan-construction time
+    * (the two dim reads inside it share one reused exchange —
+    * SkewOpsSpec), is memoized per (session, dim plan) in
+    * [[clearGateCache]]'s cache, and the MAIN query then reads the
+    * dim subtree exactly once (replication against the local hot
+    * list) — so repeat calls over one corpus pay the gate zero times,
+    * the round-8 critique's remaining latency constant. Salting stays
     * deterministic (hash of `saltFrom`, threshold from exact counts),
     * so retries repartition identically and results are bit-equal to
     * the plain join. */
@@ -95,13 +99,50 @@ object SkewOps {
     * preservation is identical to the plain `fact.join(dim, key,
     * "left")` — including null-key fact rows, which match nothing and
     * survive with null dim columns. */
+  /** Gate-decision cache: the hot-key list collected once per
+    * (session, dim plan, key, weight, buckets) and replayed as a local
+    * relation on repeat calls — the gate's serialized critical path
+    * (one scalar aggregate + the share filter over `dim`) is a
+    * LATENCY constant (~1.3–1.4× plain on a local run, StressSpec),
+    * paid per CALL before this cache and once per corpus after it,
+    * the same memoization shape as the adapter's `catalogCache`. The
+    * hot set is ≤ 2·buckets keys by construction, so an entry is tiny;
+    * the map is size-capped as a leak backstop. Caveat (shared with
+    * every plan-keyed cache): a dim whose UNDERLYING FILES change
+    * under an identical plan replays the stale gate decision — results
+    * stay correct (salting never changes join results, only
+    * distribution), at worst the skew protection lags one
+    * [[clearGateCache]]. */
+  private val gateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])]()
+  private[operators] val gateHits =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  def clearGateCache(): Unit = gateCache.clear()
+
+  private def cachedHotKeys(dim: DataFrame, key: String, weightCol: String,
+      buckets: Int): DataFrame = {
+    val sess = dim.sparkSession
+    val cacheKey = s"${sess.hashCode()}|" +
+      s"${dim.queryExecution.analyzed.semanticHash()}|$key|$weightCol|$buckets"
+    if (gateCache.containsKey(cacheKey)) gateHits.incrementAndGet()
+    val (schema, rows) = gateCache.computeIfAbsent(cacheKey, _ => {
+      if (gateCache.size > 256) gateCache.clear() // leak backstop
+      val df = hotKeys(dim, key, weightCol, buckets)
+      (df.schema, df.collect())
+    })
+    sess.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
   def hotSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFrom: String, buckets: Int, weightCol: String,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 1, "need at least 2 salt buckets")
     require(joinType == "inner" || joinType == "left" ||
       joinType == "left_outer", s"unsupported salted join type $joinType")
-    val hot = broadcast(hotKeys(dim, key, weightCol, buckets))
+    val hot = broadcast(cachedHotKeys(dim, key, weightCol, buckets))
     val salted = fact.join(hot, Seq(key), "left")
       .withColumn("_salt", when(col("_hot").isNotNull,
         pmod(xxhash64(col(saltFrom)), lit(buckets)).cast("int"))

@@ -212,6 +212,9 @@ object TextStats {
       .groupBy(col("doc_id")).agg(
         sum(length(col("w"))).as("n_sym0"),
         sum(size(col("sym"))).as("n_bpe"),
+        // degenerate case: a doc whose first three word slots are all
+        // absent yields '' here (concat_ws skips nulls); the oracle's
+        // string_agg is NULL there and coalesces to '' to agree
         concat_ws("|", (0 until 3).map(k =>
           max(when(col("pos") === k, array_join(col("sym"), " ")))): _*)
           .as("seg_head"))

@@ -179,28 +179,79 @@ object DataSkipping {
   * footer-derived per-file (min, max) index on `tsCol` — see
   * [[DataSkipping]]. Partition-less: `partitionSchema` is empty and
   * every surviving file lands in one [[PartitionDirectory]].
+  *
+  * [[refresh]] honors the FileIndex contract against R1's open-day
+  * semantics (today's file set can GROW within a session): it
+  * re-lists the directory and reads footers only for files that are
+  * new or rewritten (path+size+mtime key) — O(new files) metadata
+  * I/O, so a periodic refresh on a live archive costs what the new
+  * day-roll costs, never a full re-index. Without this the index was
+  * a build-time snapshot and a file appended after construction was
+  * not merely unpruned but UNLISTED (round-9 verdict).
   */
-final class TsStatsFileIndex(
+final class TsStatsFileIndex private (
     spark: SparkSession,
     root: Path,
     tsCol: String,
-    files: Seq[FileStatus],
-    stats: Map[String, DataSkipping.TsStats]) extends FileIndex {
+    seed: Option[(Seq[FileStatus], Map[String, DataSkipping.TsStats])])
+  extends FileIndex {
   import DataSkipping._
+
+  /** Live index over `root`: lists and reads footers immediately. */
+  def this(spark: SparkSession, root: Path, tsCol: String) =
+    this(spark, root, tsCol, None)
+
+  private val conf = spark.sessionState.newHadoopConf()
+
+  /** Per-file footer stats plus the (len, mtime) the stats were read
+    * at — a file rewritten in place re-reads its footer on refresh. */
+  private final case class Entry(len: Long, modTime: Long,
+      stats: Option[TsStats])
+
+  @volatile private var files: Seq[FileStatus] = Nil
+  @volatile private var entries: Map[String, Entry] = Map.empty
+  seed match {
+    case Some((fs, st)) => // test seam: fixed state, no filesystem
+      files = fs
+      entries = fs.map { f =>
+        val k = f.getPath.toString
+        k -> Entry(f.getLen, f.getModificationTime, st.get(k))
+      }.toMap
+    case None => refresh()
+  }
 
   override def rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = new StructType()
   override def inputFiles: Array[String] =
     files.map(_.getPath.toString).toArray
   override def sizeInBytes: Long = files.map(_.getLen).sum
-  override def refresh(): Unit = ()
+
+  override def refresh(): Unit = synchronized {
+    val listed = TsStatsFileIndex
+      .dataFiles(root.getFileSystem(conf).listStatus(root)).toSeq
+    val prev = entries
+    import scala.collection.parallel.CollectionConverters._
+    val next = listed.par.map { f =>
+      val key = f.getPath.toString
+      val entry = prev.get(key) match {
+        case Some(e) if e.len == f.getLen &&
+          e.modTime == f.getModificationTime => e
+        case _ => Entry(f.getLen, f.getModificationTime,
+          try DataSkipping.footerStats(f, tsCol, conf)
+          catch { case scala.util.control.NonFatal(_) => None })
+      }
+      key -> entry
+    }.seq.toMap
+    files = listed
+    entries = next
+  }
 
   /** Files kept for the given pushed bounds — exposed so tests and
     * `explain`-style diagnostics can interrogate the index directly. */
   def prunedFor(bounds: Bounds): Seq[FileStatus] =
     if (bounds.isUnbounded) files
-    else files.filter(f => stats.get(f.getPath.toString)
-      .forall(overlaps(_, bounds)))
+    else files.filter(f => entries.get(f.getPath.toString)
+      .flatMap(_.stats).forall(overlaps(_, bounds)))
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -212,6 +263,13 @@ final class TsStatsFileIndex(
 
 object TsStatsFileIndex {
 
+  /** Test seam: an index with FIXED files/stats, never touching the
+    * filesystem (refresh() against the seeded root would). */
+  private[sources] def seeded(spark: SparkSession, root: Path,
+      tsCol: String, files: Seq[FileStatus],
+      stats: Map[String, DataSkipping.TsStats]): TsStatsFileIndex =
+    new TsStatsFileIndex(spark, root, tsCol, Some((files, stats)))
+
   /** Is `path` a directory holding ≥2 parquet data files? The index
     * only pays off (and only changes the plan's Location node) on
     * multi-file archives; single-file reads stay on the stock path. */
@@ -221,7 +279,7 @@ object TsStatsFileIndex {
     fs.isDirectory(p) && dataFiles(fs.listStatus(p)).length >= 2
   }
 
-  private def dataFiles(listed: Array[FileStatus]): Array[FileStatus] =
+  private[sources] def dataFiles(listed: Array[FileStatus]): Array[FileStatus] =
     listed.filter(s => s.isFile && s.getLen > 0 && {
       val n = s.getPath.getName
       !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc")
@@ -229,22 +287,14 @@ object TsStatsFileIndex {
 
   /** Open `path` as a DataFrame whose scan skips files outside any
     * pushed `tsCol` range. Schema comes from the stock reader (so
-    * session options like `nanosAsLong` behave identically); footers
-    * are read once, in parallel, driver-side — O(#files) metadata I/O,
-    * the same cost profile as Spark's own initial file listing. */
+    * session options like `nanosAsLong` behave identically) and is
+    * FIXED at read time — a refresh picks up appended files, not
+    * schema evolution; footers are read once per file, in parallel,
+    * driver-side — O(#files) metadata I/O, the same cost profile as
+    * Spark's own initial file listing. */
   def read(spark: SparkSession, path: String, tsCol: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val files = dataFiles(root.getFileSystem(conf).listStatus(root)).toSeq
-    import scala.collection.parallel.CollectionConverters._
-    val stats = files.par
-      .flatMap { f =>
-        val s = try DataSkipping.footerStats(f, tsCol, conf)
-        catch { case scala.util.control.NonFatal(_) => None }
-        s.map(f.getPath.toString -> _)
-      }.seq.toMap
-    val index = new TsStatsFileIndex(spark, root, tsCol, files, stats)
+    val index = new TsStatsFileIndex(spark, new Path(path), tsCol)
     val relation = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)

@@ -23,6 +23,26 @@ import graft.functions.TimeFns
   */
 object StreamOps {
 
+  /** Start-and-drain a streaming query with the session's shuffle
+    * partitions — which FIX the query's state-partition count for the
+    * life of its checkpoint — set to `n`, restoring the prior value
+    * after `body`. State partitions are an operational sizing knob
+    * (state volume ÷ target per-partition state), NOT a parallelism
+    * knob: every stateful operator commits one state-store delta per
+    * partition per micro-batch, so an over-partitioned tiny-state
+    * stream pays pure fixed I/O — measured on the sf0.1 range join,
+    * 32 partitions × 4 join stores ran 7.3 s where 8 partitions run
+    * 2.6 s for identical output. A real deployment sizes `n` by the
+    * watermark-window's state volume and scales it with load; the
+    * probe-side shuffle uses the same count, so keep it ≥ the
+    * executor count once state is executor-memory-sized. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** The archive as a LIVE source: tail the
     * `(att_conf_id, period)`-partitioned parquet layout
     * [[graft.sources.ArchiveWriter]] writes — every new file an

@@ -106,18 +106,18 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(plain.count(_._3.isEmpty) == 60) // 40 absent-key + 20 null-key
   }
 
-  test("hotSaltedJoin: the dim aggregate's shuffle is reused, not " +
-    "recomputed, across the gate's reads") {
-    // the gate references the dim subtree three times (total, hot set,
-    // replication); if the exchange were NOT reused the gate would
-    // triple the vocabulary aggregate's cost at 100 TB. AQE reuses the
-    // stage at runtime (canonical-plan stage cache), so the assertion
-    // must read the FINAL adaptive plan after executing THIS query
-    // (head() would fork a limit plan and leave it unexecuted). The
-    // fixture plants a whale so the hot set is non-empty — with an
-    // empty hot set AQE's empty-relation propagation folds the gate
-    // branches away entirely and there is nothing left to reuse
-    // (which is the uniform-corpus ≈1× result StressSpec prices).
+  test("hotSaltedJoin: the gate's two dim reads share one exchange, " +
+    "the main plan reads dim once, repeat calls hit the gate cache") {
+    // the gate (total + hot-set filter) references the dim subtree
+    // twice within its own job; if the exchange were NOT reused it
+    // would double the vocabulary aggregate's cost at 100 TB. AQE
+    // reuses the stage at runtime (canonical-plan stage cache), so
+    // the assertion reads the FINAL adaptive plan after executing the
+    // gate query directly. The fixture plants a whale so the hot set
+    // is non-empty — with an empty hot set AQE's empty-relation
+    // propagation folds the filter side away and there is nothing
+    // left to reuse (the uniform-corpus ≈1× result StressSpec
+    // prices).
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val fact = s.range(2000).select(
@@ -128,13 +128,26 @@ class SkewOpsSpec extends AnyFunSuite {
       (col("id") + 10000L).as("row_id"))
     val all = fact.unionByName(whale) // key 1 holds 90% of rows
     val dim = all.groupBy("key").agg(count(lit(1)).as("w"))
+    val gate = SkewOps.hotKeys(dim, "key", "w", 8)
+    assert(gate.collect().map(_.getInt(0)).toSeq == Seq(1))
+    val gatePlan = gate.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(gatePlan.contains("ReusedExchange"),
+      s"dim aggregate recomputed (no exchange reuse) in:\n" +
+        gatePlan.take(3000))
+    // the memoized gate: second identical call replays the collected
+    // hot list (no second gate job), and the joined result is intact
+    SkewOps.clearGateCache()
+    val hits0 = SkewOps.gateHits.get()
     val q = SkewOps.hotSaltedJoin(all, dim, "key", "row_id", 8, "w")
       .agg(count(lit(1)))
     assert(q.collect()(0).getLong(0) == 20000L)
-    val plan = q.queryExecution.executedPlan.toString
-    val finalPlan = plan.split("== Initial Plan ==")(0)
-    assert(finalPlan.contains("ReusedExchange"),
-      s"dim aggregate recomputed (no exchange reuse) in:\n${finalPlan.take(3000)}")
+    assert(SkewOps.gateHits.get() == hits0, "first call must miss")
+    val q2 = SkewOps.hotSaltedJoin(all, dim, "key", "row_id", 8, "w")
+      .agg(count(lit(1)))
+    assert(q2.collect()(0).getLong(0) == 20000L)
+    assert(SkewOps.gateHits.get() == hits0 + 1,
+      "second identical call must hit the gate cache")
   }
 
   test("saltedAgg equals the direct aggregation") {

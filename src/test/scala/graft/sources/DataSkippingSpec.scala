@@ -146,12 +146,46 @@ class DataSkippingSpec extends AnyFunSuite {
       val s = new FileStatus(); s.setPath(new Path(s"/x/$name")); s
     }
     val known = fs("a"); val unknown = fs("b")
-    val idx = new TsStatsFileIndex(spark, new Path("/x"), "ts",
+    val idx = TsStatsFileIndex.seeded(spark, new Path("/x"), "ts",
       Seq(known, unknown),
       Map(known.getPath.toString -> TsStats(0L, 100L, UnitMicros)))
     val kept = idx.prunedFor(Bounds(Some(1000L), Some(2000L)))
     assert(kept == Seq(unknown)) // known file misses the range; b kept
     assert(idx.prunedFor(Unbounded) == Seq(known, unknown))
+  }
+
+  test("refresh() picks up files appended after index build (R1 " +
+    "open-day growth) and indexes only the new footers") {
+    import spark.implicits._
+    val dir = writeDaily("refresh")(
+      timestamp_micros(col("t_us")).cast("timestamp_ntz"))
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val idx = new TsStatsFileIndex(spark, root, "ts")
+    val before = idx.inputFiles.toSet
+    assert(before.size == Days)
+    // a window over the not-yet-written day 9 prunes to zero files
+    val day9 = Bounds(Some(Base + Days * DayUs),
+      Some(Base + (Days + 1) * DayUs - 1))
+    assert(idx.prunedFor(day9).isEmpty)
+    // day 9 arrives (the open day rolls a new file into the archive)
+    val rows = (0 until PerDay).map { i =>
+      val id = (Days * PerDay + i).toLong
+      (id, Base + Days * DayUs + i.toLong * 60000000L, 1L, "click",
+        1.0 + id, s"p$id")
+    }.toDF("event_id", "t_us", "user_id", "event_type", "value", "props")
+    rows.select(col("event_id"),
+        timestamp_micros(col("t_us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(root.toString)
+    idx.refresh()
+    val after = idx.inputFiles.toSet
+    assert(before.subsetOf(after) && after.size == Days + 1)
+    // the appended file is both LISTED and stats-indexed: the day-9
+    // window now keeps exactly it, and day-0 still keeps one old file
+    val kept9 = idx.prunedFor(day9).map(_.getPath.toString)
+    assert(kept9.toSet == after -- before, s"day-9 kept: $kept9")
+    assert(idx.prunedFor(Bounds(Some(Base), Some(Base + DayUs - 1)))
+      .map(_.getPath.toString).toSet.subsetOf(before))
   }
 
   test("millisecond-annotated stats convert to µs before overlap") {
