@@ -78,23 +78,55 @@ object Bench {
       name -> passes.map(_.getOrElse(name, Double.MaxValue)).min
     }
     // The harness keeps only the last ~2000 chars of output, so the
-    // metric must survive tail truncation: a short headline line first
-    // (always complete), then the per-query map on its own line with
-    // 3-decimal times so both lines fit the window together. Round 5's
-    // single combined line outgrew the tail at 62 queries and the
-    // driver recorded parsed:null.
+    // metric must survive tail truncation. Round 5's single combined
+    // line outgrew the tail at 62 queries (parsed:null); round 9's
+    // full-name per-query line outgrew it AGAIN at 109 queries, with
+    // the short headline scrolled out above it. Three-tier output,
+    // ordered so the LAST complete line is always parseable:
+    //  1. the full-detail lines (full query names) go to
+    //     BENCH_SELF.json in the CWD — the durable artifact;
+    //  2. the same full per-query line to stdout (for humans; may
+    //     truncate in the captured tail — that is fine, the file has
+    //     it);
+    //  3. the FINAL stdout line is one compact self-contained JSON —
+    //     total + per-query map keyed by the unique qNN/pNN prefix —
+    //     sized to fit the 2000-char tail even after sbt's trailing
+    //     "[success]" line (~13 bytes/query: 115 queries ≈ 1.7 kB).
     def d3(v: Double): String = f"$v%.3f"
-    val qs = results.collect { case (k, v) if !errors.contains(k) =>
-      Verify.q(k) + ":" + d3(v) }.mkString("{", ",", "}")
+    val okResults = results.filterNot { case (k, _) => errors.contains(k) }
+    val qs = okResults.map { case (k, v) => Verify.q(k) + ":" + d3(v) }
+      .mkString("{", ",", "}")
+    // short key = the "q01"/"p46" prefix before the first '_' — unique
+    // across the suite by naming convention; fall back to the full
+    // name if a collision ever appears rather than dropping a query
+    val shortNames = {
+      val pref = names.groupBy(n => n.takeWhile(_ != '_'))
+      names.map(n => n ->
+        (if (pref(n.takeWhile(_ != '_')).size == 1) n.takeWhile(_ != '_')
+         else n)).toMap
+    }
+    val qsShort = okResults
+      .map { case (k, v) => Verify.q(shortNames(k)) + ":" + d3(v) }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
       .mkString("{", ",", "}")
     // total covers successful queries only; failures are listed explicitly
-    val total = results.collect {
-      case (k, v) if !errors.contains(k) => v }.sum
+    val total = okResults.map(_._2).sum
+    val headline =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+      s""""n_queries":${names.size},"n_failed":${errors.size},""" +
+      s""""passes":3,"agg":"min","sf":${Verify.q(sfDir)}}"""
+    val perQueryFull =
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"sf":${Verify.q(sfDir)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"),
+      headline + "\n" + perQueryFull + "\n")
+    println(perQueryFull)
+    println(headline)
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""n_queries":${names.size},"n_failed":${errors.size},""" +
-      s""""passes":3,"agg":"min","sf":${Verify.q(sfDir)}}""")
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,""" +
+      s""""passes":3,"agg":"min","queries":$qsShort,""" +
       s""""errors":$errJson,"sf":${Verify.q(sfDir)}}""")
     spark.stop()
   }

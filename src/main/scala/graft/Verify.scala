@@ -37,7 +37,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     var ok = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated query names) — the
+    // driver never sets it, so driver runs always dump the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
+    selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -54,7 +60,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    println(s"[verify] $ok/${SparkEntry.queries.size} queries written, " +
+    println(s"[verify] $ok/${selected.size} queries written, " +
       s"${errors.size} FAILED" +
       (if (errors.nonEmpty) s": ${errors.keys.mkString(", ")}" else ""))
     // exit 0 even with failures: the driver records per-query results —

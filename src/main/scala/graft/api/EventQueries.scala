@@ -958,11 +958,14 @@ object EventQueries {
     val resampled =
       graft.streaming.StreamOps.streamingResample(stream, "5m", "1 minute")
     val name = s"q32_sink_${streamSinkSeq.incrementAndGet()}"
-    val q = resampled.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // 8 state partitions: tiny windowed state — see withStatePartitions
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+      val q = resampled.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = s.table(name)
       .select(col("att_name"), col("bucket_us"), col("n"))
       .orderBy(col("att_name"), col("bucket_us"))
@@ -1004,11 +1007,14 @@ object EventQueries {
     val sessions = graft.streaming.StreamOps.streamingSessions(
       stream, "user_id", "data_time", "30 minutes", "1 minute")
     val name = s"q33_sink_${streamSinkSeq.incrementAndGet()}"
-    val q = sessions.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // 8 state partitions: tiny session state — see withStatePartitions
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = s.table(name).orderBy(col("user_id"), col("t_start"))
     s.catalog.dropTempView(name) // see q32 — bounds sink accumulation
     out
@@ -1049,7 +1055,12 @@ object EventQueries {
     graft.functions.MicrosOf.register(s)
     val ad = new EventsArchiveAdapter(s, dir)
     val schema = ad.raw.schema // also sets nanosAsLong for legacy data
-    def src = s.readStream.schema(schema).parquet(stagedStreamDir(s, dir))
+    // ONE file-stream source split into both join legs via `where` (a
+    // streaming self-join): with `def src` each leg was its own source
+    // — two file-stream states, each listing and reading every file
+    // per batch. Same rows, same hash; roughly half the fixed source
+    // machinery cost (this was the suite's slowest query at r9).
+    val src = s.readStream.schema(schema).parquet(stagedStreamDir(s, dir))
     val purchases = src.where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("pid"),
         timestamp_micros(eventTimeUs(schema)).as("pt"),
@@ -1060,14 +1071,19 @@ object EventQueries {
     val joined = graft.streaming.StreamOps.streamingRangeJoin(
       purchases, errors, "user_id", "pt", "ot", "1 hour", "1 minute")
     val name = s"q34_sink_${streamSinkSeq.incrementAndGet()}"
-    val q = joined
-      .select(col("user_id"), col("err_id"), col("pid"),
-        unix_micros(col("pt")).as("t"), col("value_r"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // 8 state partitions: the join keeps 4 state stores per partition,
+    // so over-partitioning tiny state costs pure per-batch commit I/O
+    // (32 → 7.3 s, 8 → 2.6 s at sf0.1) — see withStatePartitions
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+      val q = joined
+        .select(col("user_id"), col("err_id"), col("pid"),
+          unix_micros(col("pt")).as("t"), col("value_r"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = s.table(name)
       .orderBy(col("user_id"), col("err_id"), col("pid"))
     s.catalog.dropTempView(name) // see q32 — bounds sink accumulation
@@ -1087,9 +1103,341 @@ object EventQueries {
        |  AND p.t >= e.lo AND p.t <= e.lo + 3600000000
        |ORDER BY p.user_id, e.err_id, p.pid""".stripMargin
 
+  // ---------------------------------------------------------------- q36 /image capstone
+  /** q36 — the `/image` endpoint's TWO-PHASE pipeline as ONE oracled
+    * query (reference `server.py:92-148` + `plot.py:74-220`): phase 1
+    * computes per-attribute extrema rolled into per-axis limits (A2 →
+    * A3, exactly q04/q06's shapes); the C7 padding
+    * ([[Extrema.padRange]], `plot.py:160-188`) turns each axis's
+    * limits into its y-range; phase 2 rasterizes each axis's points
+    * through the FUSED bin operator with the COMPUTED padded range as
+    * the pixel transform — the dependency the individual q04/q06/q07
+    * greens never exercised (their ranges were constants). Limits are
+    * O(#axes) driver state — the reference collects the same rows
+    * before building its datashader canvases, and at 100 TB the
+    * collect is 3 rows. Cross-engine float safety: the padded bounds
+    * and the pixel projection are single-IEEE-op chains over exact
+    * 2-decimal extrema (q07's argument), so the bin boundaries are
+    * bit-identical in both engines; `vmean` keeps q07's round(6). */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val vis = pts(s, dir)
+      .where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd))
+      .withColumn("y_axis", (col("user_id") % 3).cast("long"))
+    val limits = Extrema.axisLimits(
+      Extrema.perAttribute(vis, Seq("att_name", "y_axis")), "y_axis")
+      .select(col("y_axis"), col("axis_min"), col("axis_max"))
+      .collect()
+    val rasters = limits.toSeq
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // plot.py:156 continue
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val (lo, hi) =
+          Extrema.padRange(r.getDouble(1), r.getDouble(2), logScale = false)
+        graft.plans.RasterFusion.binPoints(
+          vis.where(col("y_axis") === r.getLong(0)), Seq("y_axis"),
+          Epoch2024, TEnd, lo, hi, W, H)
+      }
+    rasters.reduce(_ unionByName _)
+      .withColumn("vmean", round(col("vmean"), 6))
+      .orderBy(col("y_axis"), col("px"), col("py"))
+  }
+
+  private val q36Sql =
+    s"""${PtsSql}, vis AS (
+       |  SELECT user_id % 3 AS y_axis, t, value_r FROM pts
+       |  WHERE t BETWEEN $Epoch2024 AND $TEnd),
+       |lim AS (
+       |  SELECT y_axis,
+       |    min(CASE WHEN isnan(value_r) THEN NULL ELSE value_r END) AS amin,
+       |    max(CASE WHEN isnan(value_r) THEN NULL ELSE value_r END) AS amax
+       |  FROM vis GROUP BY y_axis),
+       |rng AS (
+       |  SELECT y_axis,
+       |    CASE WHEN amin = amax THEN
+       |           CASE WHEN amin > 0 THEN amin / 2.0
+       |                WHEN amin = 0 THEN -0.5
+       |                ELSE 1.5 * amin END
+       |         ELSE amin - 0.05 * (amax - amin) END AS lo,
+       |    CASE WHEN amin = amax THEN
+       |           CASE WHEN amin > 0 THEN 1.5 * amin
+       |                WHEN amin = 0 THEN 0.5
+       |                ELSE amin / 2.0 END
+       |         ELSE amax + 0.05 * (amax - amin) END AS hi
+       |  FROM lim WHERE amin IS NOT NULL AND amax IS NOT NULL),
+       |binned AS (
+       |  SELECT v.y_axis,
+       |    least(((v.t - $Epoch2024) * $W) // ${TEnd - Epoch2024}, ${W - 1})
+       |      AS px,
+       |    least(CAST(floor((v.value_r - r.lo) / (r.hi - r.lo) * $H)
+       |                 AS BIGINT), ${H - 1}) AS py,
+       |    v.value_r
+       |  FROM vis v JOIN rng r ON v.y_axis = r.y_axis
+       |  WHERE NOT isnan(v.value_r)
+       |    AND v.value_r BETWEEN r.lo AND r.hi)
+       |SELECT y_axis, px, py, count(*) AS cnt,
+       |  round(avg(value_r), 6) AS vmean,
+       |  min(value_r) AS vmin, max(value_r) AS vmax
+       |FROM binned GROUP BY y_axis, px, py
+       |ORDER BY y_axis, px, py""".stripMargin
+
+  // ---------------------------------------------------------------- q37 C3 naive-UTC parse
+  /** q37 — C3 under the oracle gate: [[TimeFns.parseNaiveUtcCol]]
+    * (reference `utils.py:14-19`) over a string column cycling the
+    * four request-time shapes — 'T'-separated ISO, space-separated,
+    * date-only, and explicit `+02:00` offset (formatted from the
+    * instant's +02:00 wall clock, so the parsed UTC instant must round
+    * back to the second-truncated `t`). The strings are formatted from
+    * the events themselves, so both engines parse IDENTICAL text and
+    * the hash pins parse → epoch-µs end-to-end. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val ts = timestamp_micros(col("t"))
+    val form = pmod(col("point_id"), lit(4))
+    val iso = when(form === 0, date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+      .when(form === 1, date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+      .when(form === 2, date_format(ts, "yyyy-MM-dd"))
+      .otherwise(concat(
+        date_format(timestamp_micros(col("t") + 7200000000L),
+          "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00")))
+    pts(s, dir).select(col("point_id"), iso.as("iso"))
+      .withColumn("t_parsed", TimeFns.parseNaiveUtcCol(col("iso")))
+      .orderBy(col("point_id"))
+  }
+
+  private val q37Sql =
+    s"""${PtsSql}, strs AS (
+       |  SELECT point_id,
+       |    CASE point_id % 4
+       |      WHEN 0 THEN strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
+       |      WHEN 1 THEN strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S')
+       |      WHEN 2 THEN strftime(make_timestamp(t), '%Y-%m-%d')
+       |      ELSE strftime(make_timestamp(t + 7200000000),
+       |             '%Y-%m-%dT%H:%M:%S') || '+02:00'
+       |    END AS iso
+       |  FROM pts)
+       |SELECT point_id, iso,
+       |  CASE
+       |    WHEN regexp_matches(iso, '[+-][0-9]{2}:[0-9]{2}$$') THEN
+       |      epoch_us(strptime(substr(iso, 1, 19), '%Y-%m-%dT%H:%M:%S'))
+       |        - (CASE WHEN substr(iso, 20, 1) = '+' THEN 1 ELSE -1 END)
+       |          * (CAST(substr(iso, 21, 2) AS BIGINT) * 3600
+       |             + CAST(substr(iso, 24, 2) AS BIGINT) * 60) * 1000000
+       |    WHEN length(iso) = 10 THEN epoch_us(strptime(iso, '%Y-%m-%d'))
+       |    ELSE epoch_us(strptime(replace(iso, ' ', 'T'),
+       |           '%Y-%m-%dT%H:%M:%S'))
+       |  END AS t_parsed
+       |FROM strs ORDER BY point_id""".stripMargin
+
+  // ---------------------------------------------------------------- q38 C4 period arithmetic
+  /** q38 — C4 under the oracle gate: the day-period enumeration the
+    * per-day fan-out scans are built from (reference `hdbpp.py:303-309`
+    * — inclusive date range → "YYYY-MM-DD" strings; our periods are
+    * UTC where the reference uses the server's local zone, the
+    * documented divergence at [[graft.sources.ArchiveWriter]]). Spark:
+    * `sequence(to_date(min), to_date(max), interval 1 day)` + explode —
+    * the generator stays distributed per group. */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .groupBy(col("event_type"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select(col("event_type"),
+        explode(sequence(
+          to_date(timestamp_micros(col("t0"))),
+          to_date(timestamp_micros(col("t1"))),
+          expr("interval 1 day"))).as("day"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("period"))
+      .orderBy(col("event_type"), col("period"))
+
+  private val q38Sql =
+    s"""${PtsSql}, b AS (
+       |  SELECT event_type,
+       |    CAST(make_timestamp(min(t)) AS DATE) AS d0,
+       |    CAST(make_timestamp(max(t)) AS DATE) AS d1
+       |  FROM pts GROUP BY event_type)
+       |SELECT event_type,
+       |  strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)),
+       |    '%Y-%m-%d') AS period
+       |FROM b ORDER BY event_type, period""".stripMargin
+
+  // ---------------------------------------------------------------- q39 C5 s+µs combine
+  /** q39 — C5 under the oracle gate: the reference's split-timestamp
+    * representation (second-precision `data_time` + µs remainder,
+    * `hdbpp.py:84-87`) synthesized FROM the events and recombined with
+    * [[TimeFns.epochUsSplit]]; `t_ms` replays the reference's exact
+    * float form (`d.timestamp()*1000 + us/1000.` — one multiply, one
+    * divide, one add, bit-identical IEEE in both engines). */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir)
+      .withColumn("data_time",
+        date_trunc("second", timestamp_micros(col("t"))))
+      .withColumn("data_time_us", pmod(col("t"), lit(1000000L)))
+      .select(col("point_id"),
+        expr("unix_micros(data_time) div 1000000").as("t_sec"),
+        col("data_time_us"),
+        TimeFns.epochUsSplit(col("data_time"), col("data_time_us"))
+          .as("t_us"),
+        (expr("unix_micros(data_time) div 1000000").cast("double")
+          * lit(1000.0)
+          + col("data_time_us").cast("double") / lit(1000.0)).as("t_ms"))
+      .orderBy(col("point_id"))
+
+  private val q39Sql =
+    s"""${PtsSql}SELECT point_id,
+       |  t // 1000000 AS t_sec,
+       |  t % 1000000 AS data_time_us,
+       |  epoch_us(date_trunc('second', make_timestamp(t)))
+       |    + (t % 1000000) AS t_us,
+       |  CAST(t // 1000000 AS DOUBLE) * 1000.0
+       |    + CAST(t % 1000000 AS DOUBLE) / 1000.0 AS t_ms
+       |FROM pts ORDER BY point_id""".stripMargin
+
+  // ---------------------------------------------------------------- q40 C7 axis padding
+  /** q40 — C7 under the oracle gate: [[Extrema.padLoCol]]/[[Extrema
+    * .padHiCol]] (reference `plot.py:160-188`) over per-(user, type,
+    * day) extrema of the q05-shifted values — groups fine enough that
+    * singleton groups exercise the CONSTANT-VALUE range invention
+    * (including negative constants via the −100 shift), while the
+    * normal branch pins the 5% padding. The log-branch columns are
+    * round(6)-guarded (`log10`/`pow` are libm-ulp-dependent) and
+    * null where the reference's control flow never reaches the log
+    * path (constant value, or non-positive min). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val clean = when(isnan(col("value_r")), lit(null))
+      .otherwise(col("value_r"))
+    pts(s, dir)
+      .withColumn("value_r", col("value_r") - 100)
+      .groupBy(col("user_id"), col("event_type"),
+        date_format(to_date(timestamp_micros(col("t"))), "yyyy-MM-dd")
+          .as("period"))
+      .agg(min(clean).as("vmin"), max(clean).as("vmax"))
+      .where(col("vmin").isNotNull) // plot.py:156 — no data, no range
+      .select(col("user_id"), col("event_type"), col("period"),
+        col("vmin"), col("vmax"),
+        Extrema.padLoCol(col("vmin"), col("vmax")).as("pad_lo"),
+        Extrema.padHiCol(col("vmin"), col("vmax")).as("pad_hi"),
+        when(col("vmin") > 0 && col("vmin") =!= col("vmax"),
+          round(Extrema.padLoLogCol(col("vmin"), col("vmax")), 6))
+          .as("log_lo"),
+        when(col("vmin") > 0 && col("vmin") =!= col("vmax"),
+          round(Extrema.padHiLogCol(col("vmin"), col("vmax")), 6))
+          .as("log_hi"))
+      .orderBy(col("user_id"), col("event_type"), col("period"))
+  }
+
+  private val q40Sql =
+    s"""${PtsSql}, ex AS (
+       |  SELECT user_id, event_type,
+       |    strftime(CAST(make_timestamp(t) AS DATE), '%Y-%m-%d') AS period,
+       |    min(CASE WHEN isnan(value_r - 100) THEN NULL
+       |             ELSE value_r - 100 END) AS vmin,
+       |    max(CASE WHEN isnan(value_r - 100) THEN NULL
+       |             ELSE value_r - 100 END) AS vmax
+       |  FROM pts GROUP BY user_id, event_type, period)
+       |SELECT user_id, event_type, period, vmin, vmax,
+       |  CASE WHEN vmin = vmax THEN
+       |         CASE WHEN vmin > 0 THEN vmin / 2.0
+       |              WHEN vmin = 0 THEN -0.5
+       |              ELSE 1.5 * vmin END
+       |       ELSE vmin - 0.05 * (vmax - vmin) END AS pad_lo,
+       |  CASE WHEN vmin = vmax THEN
+       |         CASE WHEN vmin > 0 THEN 1.5 * vmin
+       |              WHEN vmin = 0 THEN 0.5
+       |              ELSE vmin / 2.0 END
+       |       ELSE vmax + 0.05 * (vmax - vmin) END AS pad_hi,
+       |  CASE WHEN vmin > 0 AND vmin <> vmax THEN
+       |    round(pow(10.0, log10(vmin)
+       |      - 0.05 * (log10(vmax) - log10(vmin))), 6) END AS log_lo,
+       |  CASE WHEN vmin > 0 AND vmin <> vmax THEN
+       |    round(pow(10.0, log10(vmax)
+       |      + 0.05 * (log10(vmax) - log10(vmin))), 6) END AS log_hi
+       |FROM ex WHERE vmin IS NOT NULL
+       |ORDER BY user_id, event_type, period""".stripMargin
+
+  // ---------------------------------------------------------------- q41 F4/U3 cache cycle
+  /** q41 — the open-day truncate-then-append cycle under the oracle
+    * gate (reference `hdbpp.py:362-397`, the cache's subtlest trick):
+    * a stale "cached" frame (everything up to a mid-second cut) runs
+    * through [[graft.cache.ArchiveCache.refreshOpenDay]] — truncate
+    * the cache at the last FULL second before its max `t`, fetch only
+    * `t >= bound` fresh rows to the new horizon, union. The oracle is
+    * the single-scan equivalent: the cycle must be row-for-row
+    * indistinguishable from one direct scan (same contract as q15's
+    * union-of-partitions), which fails on any duplicated or dropped
+    * boundary row — the exact bug class the reference's
+    * second-truncation exists to prevent (sub-second µs parts arriving
+    * after the cached read). The cut sits mid-second so the truncation
+    * genuinely re-fetches a nonempty overlap. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val tCut = Jan10 + 12L * 3600000000L + 123456L
+    val (merged, _) = graft.cache.ArchiveCache.refreshOpenDay(
+      p.where(col("t") <= tCut),
+      since => p.where(col("t") >= since && col("t") <= T1))
+    merged.select(col("att_name"), col("point_id"), col("t"),
+        col("value_r"))
+      .orderBy(col("point_id"))
+  }
+
+  private val q41Sql =
+    s"""${PtsSql}SELECT att_name, point_id, t, value_r FROM pts
+       |WHERE t <= $T1 ORDER BY point_id""".stripMargin
+
+  // ---------------------------------------------------------------- q42 C1 path codec
+  /** q42 — C1 under the oracle gate: the 5-part attribute path codec
+    * (reference `hdbpp.py:90-92` `rsplit("/", 4)`, client regex
+    * `js/utils.js:40-44`) as a COLUMN split over synthesized full
+    * paths whose cs deliberately contains slashes
+    * (`tango://csN:10000`) — the form a first-'/' split mis-parses.
+    * Split and oracle share [[graft.model.AttributePath.Rsplit4Re]]
+    * (greedy head = rsplit); `refmt` pins the format round-trip
+    * (C1's other direction) in the same hash. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val re = graft.model.AttributePath.Rsplit4Re
+    val full = concat(lit("tango://cs"), pmod(col("user_id"), lit(4)),
+      lit(":10000/sys/u"), col("user_id"), lit("/"), col("event_type"),
+      lit("/value"))
+    pts(s, dir).select(full.as("path")).distinct()
+      .select(col("path"),
+        regexp_extract(col("path"), re, 1).as("cs_name"),
+        regexp_extract(col("path"), re, 2).as("domain"),
+        regexp_extract(col("path"), re, 3).as("family"),
+        regexp_extract(col("path"), re, 4).as("member"),
+        regexp_extract(col("path"), re, 5).as("name"))
+      .withColumn("refmt", concat_ws("/", col("cs_name"), col("domain"),
+        col("family"), col("member"), col("name")))
+      .orderBy(col("path"))
+  }
+
+  private val q42Sql = {
+    val re = graft.model.AttributePath.Rsplit4Re
+    s"""${PtsSql}, an AS (
+       |  SELECT DISTINCT 'tango://cs' || (user_id % 4) || ':10000/sys/u'
+       |    || user_id || '/' || event_type || '/value' AS path
+       |  FROM pts),
+       |parts AS (
+       |  SELECT path,
+       |    regexp_extract(path, '$re', 1) AS cs_name,
+       |    regexp_extract(path, '$re', 2) AS domain,
+       |    regexp_extract(path, '$re', 3) AS family,
+       |    regexp_extract(path, '$re', 4) AS member,
+       |    regexp_extract(path, '$re', 5) AS name
+       |  FROM an)
+       |SELECT path, cs_name, domain, family, member, name,
+       |  cs_name || '/' || domain || '/' || family || '/' || member
+       |    || '/' || name AS refmt
+       |FROM parts ORDER BY path""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_path_codec" -> (q42 _),
+    "q36_image_pipeline" -> (q36 _),
+    "q37_parse_naive_utc" -> (q37 _),
+    "q38_period_days" -> (q38 _),
+    "q39_split_us_combine" -> (q39 _),
+    "q40_axis_padding" -> (q40 _),
+    "q41_cache_refresh_cycle" -> (q41 _),
     "q34_stream_range_join" -> (q34 _),
     "q33_stream_sessionize" -> (q33 _),
     "q32_stream_resample" -> (q32 _),
@@ -1127,6 +1475,13 @@ object EventQueries {
     "q26_sessionize" -> (q26 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q42_path_codec" -> q42Sql,
+    "q36_image_pipeline" -> q36Sql,
+    "q37_parse_naive_utc" -> q37Sql,
+    "q38_period_days" -> q38Sql,
+    "q39_split_us_combine" -> q39Sql,
+    "q40_axis_padding" -> q40Sql,
+    "q41_cache_refresh_cycle" -> q41Sql,
     "q34_stream_range_join" -> q34Sql,
     "q33_stream_sessionize" -> q33Sql,
     "q32_stream_resample" -> q32Sql,

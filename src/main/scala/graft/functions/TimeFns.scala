@@ -102,6 +102,29 @@ object TimeFns {
     }
     utc.toInstant.getEpochSecond * 1000000L + utc.toInstant.getNano / 1000L
   }
+
+  /** C3 as a COLUMN — the distributed form of [[parseNaiveUtc]]
+    * (reference `utils.py:14-19`) over a string column mixing the
+    * forms the reference's `/query` endpoint receives: second-precision
+    * ISO timestamps with 'T' or ' ' separators (naive ⇒ UTC), date-only
+    * strings (⇒ midnight UTC), and explicit `±hh:mm` offsets
+    * (normalized to UTC). All built-in codegen'd functions plus the
+    * [[MicrosOf]] reinterpret, and — unlike `to_timestamp` on a naive
+    * string — independent of the session timezone: naive forms parse
+    * as TIMESTAMP_NTZ and are read as UTC by construction, offset
+    * forms parse to an instant whose epoch-µs needs no zone. */
+  def parseNaiveUtcCol(c: Column): Column = {
+    val s = translate(trim(c), " ", "T")
+    def utcMicros(ntz: Column): Column =
+      org.apache.spark.sql.GraftPlanBridge.column(
+        MicrosOf(org.apache.spark.sql.GraftPlanBridge.expression(ntz)))
+    when(s.rlike("[+-][0-9]{2}:[0-9]{2}$"),
+      unix_micros(to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssXXX")))
+      .when(length(s) === 10,
+        utcMicros(to_timestamp_ntz(s, lit("yyyy-MM-dd"))))
+      .otherwise(
+        utcMicros(to_timestamp_ntz(s, lit("yyyy-MM-dd'T'HH:mm:ss"))))
+  }
 }
 
 /** `micros_of(ts)` — the epoch-µs long of a timestamp column as a pure

@@ -47,13 +47,28 @@ final case class AttName(
 /** 5-part attribute path codec. Reference `hdbpp.py:90-92`,
   * client regex `js/utils.js:40-44`. */
 object AttributePath {
-  /** "cs/domain/family/member/name" → (cs, "domain/family/member/name").
-    * The cs part may contain host:port with dots; split on first '/'. */
+  /** "cs/domain/family/member/name" → (cs, "domain/family/member/name")
+    * with the reference's `rsplit("/", 4)` semantics (`hdbpp.py:90-92`):
+    * the LAST four '/'-separated parts are the attribute name, and
+    * everything before them — which may itself contain '/', e.g. a
+    * "tango://host:10000" cs — is the control system. A first-'/'
+    * split (the old behavior) mis-parses exactly those cs forms. */
   def splitCs(path: String): (String, String) = {
-    val i = path.indexOf('/')
-    require(i > 0, s"not a full attribute path: $path")
+    var i = path.length
+    var cuts = 0
+    while (cuts < 4 && i > 0) {
+      i = path.lastIndexOf('/', i - 1)
+      if (i < 0) i = 0 else cuts += 1
+    }
+    require(cuts == 4 && i > 0, s"not a full attribute path: $path")
     (path.substring(0, i), path.substring(i + 1))
   }
+
+  /** The same rsplit-4 as an anchored regex (greedy head group =
+    * everything up to the last four slashes) — shared by the column
+    * split (q42) and its DuckDB oracle; greedy `.*` behaves
+    * identically in Java regex and RE2. */
+  val Rsplit4Re: String = "^(.*)/([^/]*)/([^/]*)/([^/]*)/([^/]*)$"
 
   /** "domain/family/member/name" → 4 parts (reference hdbpp.py:90-92). */
   def splitName(attName: String): AttName = {

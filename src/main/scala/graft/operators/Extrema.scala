@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A2/A3/A7 — per-attribute extrema over the visible range, and
@@ -67,4 +67,35 @@ object Extrema {
       val pad = 0.05 * (vmax - vmin)
       (vmin - pad, vmax + pad)
     }
+
+  /** [[padRange]]'s linear/constant branches as COLUMNS (C7 under the
+    * oracle gate): the same op order as the scalar form — `0.05·(max −
+    * min)` then one subtract/add, `v/2` / `1.5·v` / `±0.5` for the
+    * constant-value invention — so every branch is single-IEEE-op
+    * deterministic and hash-exact against an oracle spelling the
+    * identical arithmetic. The LOG branch (`10^(log10 ± pad)`) is in
+    * [[padLoLogCol]]/[[padHiLogCol]]; callers must round those —
+    * `log10`/`pow` are libm-dependent at the ulp level. */
+  def padLoCol(vmin: Column, vmax: Column): Column =
+    when(vmin === vmax,
+      when(vmin > 0, vmin / lit(2.0))
+        .when(vmin === 0, lit(-0.5))
+        .otherwise(lit(1.5) * vmin))
+      .otherwise(vmin - lit(0.05) * (vmax - vmin))
+
+  def padHiCol(vmin: Column, vmax: Column): Column =
+    when(vmin === vmax,
+      when(vmin > 0, lit(1.5) * vmin)
+        .when(vmin === 0, lit(0.5))
+        .otherwise(vmin / lit(2.0)))
+      .otherwise(vmax + lit(0.05) * (vmax - vmin))
+
+  /** Log-scale padding columns — defined only for `0 < vmin < vmax`
+    * (the reference's constant branch runs BEFORE the scale split, so
+    * `vmin == vmax` never reaches here; callers null-guard). */
+  def padLoLogCol(vmin: Column, vmax: Column): Column =
+    pow(lit(10.0), log10(vmin) - lit(0.05) * (log10(vmax) - log10(vmin)))
+
+  def padHiLogCol(vmin: Column, vmax: Column): Column =
+    pow(lit(10.0), log10(vmax) + lit(0.05) * (log10(vmax) - log10(vmin)))
 }

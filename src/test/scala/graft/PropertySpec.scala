@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GlobFns, TimeFns}
+import graft.operators.{Extrema, Resample}
+
+/** SURVEY §5.3's property-based invariants (scalacheck), complementing
+  * the example-based specs and the DuckDB-oracle gate: each property
+  * states an algebraic law the operator must satisfy for ARBITRARY
+  * inputs, checked against an independent in-test model.
+  *
+  * Spark-evaluating properties batch all generated cases into one
+  * DataFrame per sample (or keep minSuccessful modest) so a property
+  * run costs a handful of local jobs, not hundreds. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ------------------------------------------------------------ A1 resample
+  private val genRows: Gen[List[(Long, Double)]] =
+    Gen.nonEmptyListOf(for {
+      t <- Gen.choose(0L, 86400000000L) // one day of µs
+      v <- Gen.choose(-1000000, 1000000).map(_ / 100.0) // 2-decimal
+    } yield (t, v))
+
+  test("property: resample partitions rows into round-to-nearest buckets " +
+    "with bucket means inside the bucket's extrema (A1)") {
+    check(Prop.forAll(genRows, Gen.oneOf("30s", "5m", "2h")) { (rows, freq) =>
+      val d = TimeFns.intervalUs(freq)
+      val df = rows.toDF("t", "value_r").withColumn("att_name", lit("a"))
+      val out = Resample.resampleExact(df, freq, Seq("att_name"), 0L)
+        .collect()
+      // independent model: nonneg t ⇒ ((t + Δ/2) / Δ) * Δ
+      val byBucket = rows.groupBy { case (t, _) => ((t + d / 2) / d) * d }
+      val nTotal = out.map(_.getLong(4)).sum == rows.size.toLong
+      val buckets = out.length == byBucket.size &&
+        out.forall(r => byBucket.contains(r.getLong(1)))
+      val meansBounded = out.forall { r =>
+        val grp = byBucket(r.getLong(1)).map(_._2)
+        val mean = r.getDouble(3)
+        mean >= grp.min - 1e-6 && mean <= grp.max + 1e-6
+      }
+      nTotal && buckets && meansBounded
+    }, n = 12)
+  }
+
+  // ------------------------------------------------------------ U1 union
+  test("property: union of arbitrary half-open time partitions ≡ one " +
+    "scan (U1, generalizing q15's fixed split)") {
+    check(Prop.forAll(genRows,
+      Gen.listOf(Gen.choose(0L, 86400000000L))) { (rows, cuts) =>
+      val df = rows.toDF("t", "value_r")
+      // arbitrary ascending split points → consecutive [lo, hi) slices
+      val bounds = (Long.MinValue +: cuts.sorted.distinct :+ Long.MaxValue)
+      val slices = bounds.sliding(2).map { case Seq(lo, hi) =>
+        df.where(col("t") >= lo && col("t") < hi)
+      }.toSeq
+      val unioned = slices.reduce(_ unionByName _)
+        .groupBy().agg(count(lit(1)), sum(col("t")),
+          sum(round(col("value_r") * 100).cast("long"))).collect().head
+      val direct = df
+        .groupBy().agg(count(lit(1)), sum(col("t")),
+          sum(round(col("value_r") * 100).cast("long"))).collect().head
+      unioned == direct
+    }, n = 12)
+  }
+
+  // ------------------------------------------------------------ C2 glob
+  /** Independent fnmatch-style matcher: same class-scan rules as
+    * `GlobFns.globToRegex` (leading `!`, literal `]` member, unclosed
+    * `[` is literal, `a-c` ranges) but evaluated by direct
+    * backtracking — no regex involved, so a translation bug cannot
+    * hide in both sides. */
+  private def fnmatchRef(p: String, s: String): Boolean = {
+    def inSet(set: String, c: Char): Boolean = {
+      var k = 0; var hit = false
+      while (k < set.length) {
+        if (k + 2 < set.length && set.charAt(k + 1) == '-') {
+          if (set.charAt(k) <= c && c <= set.charAt(k + 2)) hit = true
+          k += 3
+        } else {
+          if (set.charAt(k) == c) hit = true
+          k += 1
+        }
+      }
+      hit
+    }
+    def m(pi: Int, si: Int): Boolean = {
+      if (pi == p.length) si == s.length
+      else p.charAt(pi) match {
+        case '*' => (si to s.length).exists(k => m(pi + 1, k))
+        case '?' => si < s.length && m(pi + 1, si + 1)
+        case '[' =>
+          var j = pi + 1
+          if (j < p.length && p.charAt(j) == '!') j += 1
+          if (j < p.length && p.charAt(j) == ']') j += 1
+          val close = p.indexOf(']', j)
+          if (close < 0) // unclosed class: literal '['
+            si < s.length && s.charAt(si) == '[' && m(pi + 1, si + 1)
+          else {
+            val inner = p.substring(pi + 1, close)
+            val neg = inner.startsWith("!")
+            val set = if (neg) inner.substring(1) else inner
+            si < s.length && (inSet(set, s.charAt(si)) != neg) &&
+              m(close + 1, si + 1)
+          }
+        case c => si < s.length && s.charAt(si) == c && m(pi + 1, si + 1)
+      }
+    }
+    m(0, 0)
+  }
+
+  test("property: globToRegex agrees with an independent backtracking " +
+    "fnmatch on arbitrary patterns (C2/F5)") {
+    val patChar = Gen.frequency(
+      (5, Gen.oneOf('a', 'b', 'c', '0', '1')),
+      (3, Gen.oneOf('*', '?')),
+      (2, Gen.oneOf('[', ']', '!', '-')))
+    val genPat = Gen.resize(10, Gen.listOf(patChar)).map(_.mkString)
+    val strChar = Gen.oneOf('a', 'b', 'c', '0', '1', '-', '!', '[', ']')
+    val genStr = Gen.resize(10, Gen.listOf(strChar)).map(_.mkString)
+    check(Prop.forAll(genPat, Gen.listOfN(30, genStr)) { (pat, strs) =>
+      // a descending class range ([c-a]) is invalid regex — fnmatch
+      // raises there too; skip exactly that case
+      val re = try Some(java.util.regex.Pattern
+        .compile(GlobFns.globToRegex(pat)))
+      catch { case _: java.util.regex.PatternSyntaxException => None }
+      re.forall { r =>
+        (strs :+ pat).forall(s => r.matcher(s).matches() == fnmatchRef(pat, s))
+      }
+    }, n = 200)
+  }
+
+  // ------------------------------------------------------------ C7 padding
+  test("property: padLoCol/padHiCol ≡ padRange scalar on arbitrary " +
+    "ranges, constant-value branches included (C7)") {
+    val genV = Gen.frequency(
+      (5, Gen.choose(-1000000, 1000000).map(_ / 100.0)),
+      (1, Gen.oneOf(0.0, 4.0, -4.0)))
+    val genCase = for {
+      a <- genV; b <- genV
+      pair <- Gen.oneOf((math.min(a, b), math.max(a, b)), (a, a))
+    } yield pair
+    check(Prop.forAll(Gen.listOfN(40, genCase)) { cases0 =>
+      val cases = (0.0, 0.0) :: (1.0, 100.0) :: cases0 // pin v=0 + log case
+      val df = cases.zipWithIndex
+        .map { case ((lo, hi), i) => (i, lo, hi) }
+        .toDF("id", "vmin", "vmax")
+        .select(col("id"), col("vmin"), col("vmax"),
+          Extrema.padLoCol(col("vmin"), col("vmax")).as("lo"),
+          Extrema.padHiCol(col("vmin"), col("vmax")).as("hi"),
+          when(col("vmin") > 0 && col("vmin") =!= col("vmax"),
+            Extrema.padLoLogCol(col("vmin"), col("vmax"))).as("llo"),
+          when(col("vmin") > 0 && col("vmin") =!= col("vmax"),
+            Extrema.padHiLogCol(col("vmin"), col("vmax"))).as("lhi"))
+        .orderBy(col("id")).collect()
+      df.forall { r =>
+        val (vmin, vmax) = (r.getDouble(1), r.getDouble(2))
+        val (elo, ehi) = Extrema.padRange(vmin, vmax, logScale = false)
+        val linOk = r.getDouble(3) == elo && r.getDouble(4) == ehi
+        // log branch: codegen'd log10/pow (StrictMath) vs the scalar's
+        // java.lang.Math can differ in the final ulp — which is why
+        // q40 rounds the log columns to 6 digits before hashing; here
+        // a tight relative tolerance pins the parity
+        def close(a: Double, b: Double): Boolean =
+          math.abs(a - b) <= 1e-12 * math.max(math.abs(a), math.abs(b))
+        val logOk =
+          if (vmin > 0 && vmin != vmax) {
+            val (llo, lhi) = Extrema.padRange(vmin, vmax, logScale = true)
+            close(r.getDouble(5), llo) && close(r.getDouble(6), lhi)
+          } else r.isNullAt(5) && r.isNullAt(6)
+        linOk && logOk
+      }
+    }, n = 8)
+  }
+
+  // ------------------------------------------------------------ C3 parse
+  test("property: parseNaiveUtcCol ≡ parseNaiveUtc scalar ≡ java.time " +
+    "model on arbitrary instants × the four request forms (C3)") {
+    import java.time.{Instant, LocalDate, ZoneOffset}
+    import java.time.format.DateTimeFormatter
+    val genCase = for {
+      sec <- Gen.choose(0L, 4102444800L) // 1970..2100
+      form <- Gen.choose(0, 3)
+    } yield (sec, form)
+    check(Prop.forAll(Gen.listOfN(40, genCase)) { cases =>
+      val fmtT = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+        .withZone(ZoneOffset.UTC)
+      val fmtSp = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(ZoneOffset.UTC)
+      val fmtD = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+        .withZone(ZoneOffset.UTC)
+      val rows = cases.zipWithIndex.map { case ((sec, form), i) =>
+        val inst = Instant.ofEpochSecond(sec)
+        val (s, expected) = form match {
+          case 0 => (fmtT.format(inst), sec * 1000000L)
+          case 1 => (fmtSp.format(inst), sec * 1000000L)
+          case 2 =>
+            val d = LocalDate.ofInstant(inst, ZoneOffset.UTC)
+            (fmtD.format(inst),
+              d.atStartOfDay(ZoneOffset.UTC).toEpochSecond * 1000000L)
+          case _ =>
+            (fmtT.format(inst.plusSeconds(7200)) + "+02:00", sec * 1000000L)
+        }
+        (i, s, expected)
+      }
+      val scalarOk = rows.forall { case (_, s, expected) =>
+        TimeFns.parseNaiveUtc(s) == expected
+      }
+      val colOut = rows.toDF("id", "s", "expected")
+        .select(col("id"), col("expected"),
+          TimeFns.parseNaiveUtcCol(col("s")).as("parsed"))
+        .orderBy(col("id")).collect()
+      scalarOk && colOut.forall(r => r.getLong(2) == r.getLong(1))
+    }, n = 8)
+  }
+}

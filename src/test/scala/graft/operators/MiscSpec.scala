@@ -321,6 +321,14 @@ class MiscSpec extends AnyFunSuite {
       == ("r3", "mag", "dia-01", "current"))
     assert(AttributePath.format(cs, an.domain, an.family, an.member,
       an.name) == full)
+    // rsplit semantics (hdbpp.py:90-92): a cs containing slashes keeps
+    // everything up to the LAST four parts — first-'/' would mis-parse
+    val (cs2, rest2) = AttributePath.splitCs(
+      "tango://cs1:10000/r3/mag/dia-01/current")
+    assert(cs2 == "tango://cs1:10000" && rest2 == "r3/mag/dia-01/current")
+    intercept[IllegalArgumentException] {
+      AttributePath.splitCs("only/three/parts/here")
+    }
   }
 
   test("TangoTypes: 26 tables, type resolution") {
