@@ -208,8 +208,13 @@ object ArchiveApi {
     byAxis.foreach { case (axis, axisAttrs) =>
       val spec = axes.getOrElse(axis, AxisSpec())
       val names = axisAttrs.map(_.name)
+      // persisted: the axis window is scanned three times (extrema,
+      // line raster, hover) and every use is collected inside this
+      // block, so the release is synchronous — one scan per request
+      // instead of three
       val axisPoints = points.where(col("att_name").isin(names: _*)
-        && col("t").between(t0Us, t1Us))
+        && col("t").between(t0Us, t1Us)).persist()
+      try {
 
       // phase 1 — extrema (A2/A7 + manual override, plot.py:74-109)
       val ex = Extrema.perAttribute(axisPoints, Seq("att_name"), spec.isLog)
@@ -273,6 +278,7 @@ object ArchiveApi {
             cols.map(_.getLong(4)).toSeq) // col_count
         }
       }
+      } finally axisPoints.unpersist(blocking = false)
     }
     ImageResult(images.result(), descs.result())
   }

@@ -1119,30 +1119,53 @@ object EventQueries {
     * and the pixel projection are single-IEEE-op chains over exact
     * 2-decimal extrema (q07's argument), so the bin boundaries are
     * bit-identical in both engines; `vmean` keeps q07's round(6). */
-  private def q36(s: SparkSession, dir: String): DataFrame = {
+  /** Shared `/image` phase 1 (q36 raster / q43 hover): the PERSISTED
+    * visible window with its y_axis assignment — read 1 + #axes times
+    * (extrema, then one fused operator per axis), so the one scan is
+    * cached and released after the result's first consumption (the
+    * same window-caching the reference's period cache provides its
+    * /image handler) — plus the per-axis PADDED ranges: extrema →
+    * axis limits → [[Extrema.padRange]], O(#axes) driver rows like
+    * the reference's collected limits. */
+  private def imageWindow(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, Double, Double)]) = {
     val vis = pts(s, dir)
       .where(EventsArchiveAdapter.tsRangeUs(Epoch2024, TEnd))
       .withColumn("y_axis", (col("user_id") % 3).cast("long"))
+      .persist()
     val limits = Extrema.axisLimits(
       Extrema.perAttribute(vis, Seq("att_name", "y_axis")), "y_axis")
       .select(col("y_axis"), col("axis_min"), col("axis_max"))
       .collect()
-    val rasters = limits.toSeq
+    val ranges = limits.toSeq
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // plot.py:156 continue
       .sortBy(_.getLong(0))
       .map { r =>
         val (lo, hi) =
           Extrema.padRange(r.getDouble(1), r.getDouble(2), logScale = false)
-        graft.plans.RasterFusion.binPoints(
-          vis.where(col("y_axis") === r.getLong(0)), Seq("y_axis"),
-          Epoch2024, TEnd, lo, hi, W, H)
+        (r.getLong(0), lo, hi)
       }
-    rasters.reduce(_ unionByName _)
-      .withColumn("vmean", round(col("vmean"), 6))
-      .orderBy(col("y_axis"), col("px"), col("py"))
+    (vis, ranges)
   }
 
-  private val q36Sql =
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val (vis, ranges) = imageWindow(s, dir)
+    val rasters = ranges.map { case (axis, lo, hi) =>
+      graft.plans.RasterFusion.binPoints(
+        vis.where(col("y_axis") === axis), Seq("y_axis"),
+        Epoch2024, TEnd, lo, hi, W, H)
+    }
+    val out = rasters.reduce(_ unionByName _)
+      .withColumn("vmean", round(col("vmean"), 6))
+      .orderBy(col("y_axis"), col("px"), col("py"))
+    graft.operators.CacheLifecycle.unpersistAfterFirstUse(out, vis)
+    out
+  }
+
+  /** Shared q36/q43 oracle CTEs: window, NaN-cleaned axis limits, the
+    * padded/invented range (mirroring [[Extrema.padRange]] op for op),
+    * and the pixel binning parameterized BY the computed range. */
+  private val imageCtesSql =
     s"""${PtsSql}, vis AS (
        |  SELECT user_id % 3 AS y_axis, t, value_r FROM pts
        |  WHERE t BETWEEN $Epoch2024 AND $TEnd),
@@ -1173,12 +1196,45 @@ object EventQueries {
        |    v.value_r
        |  FROM vis v JOIN rng r ON v.y_axis = r.y_axis
        |  WHERE NOT isnan(v.value_r)
-       |    AND v.value_r BETWEEN r.lo AND r.hi)
+       |    AND v.value_r BETWEEN r.lo AND r.hi)""".stripMargin
+
+  private val q36Sql =
+    s"""$imageCtesSql
        |SELECT y_axis, px, py, count(*) AS cnt,
        |  round(avg(value_r), 6) AS vmean,
        |  min(value_r) AS vmin, max(value_r) AS vmax
        |FROM binned GROUP BY y_axis, px, py
        |ORDER BY y_axis, px, py""".stripMargin
+
+  /** q43 — the `/image` HOVER leg with COMPUTED ranges: phase 1's
+    * padded per-axis limits parameterize the fused hover reduction
+    * ([[graft.plans.RasterFusion.hoverColumns]]) the way
+    * [[graft.api.ArchiveApi.imageQuery]] wires them — q08/q30 pinned
+    * hover with CONSTANT ranges; this closes the same two-phase
+    * dependency q36 closed for the raster grid. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val (vis, ranges) = imageWindow(s, dir)
+    val hovers = ranges.map { case (axis, lo, hi) =>
+      graft.plans.RasterFusion.hoverColumns(
+        vis.where(col("y_axis") === axis), Seq("y_axis"),
+        Epoch2024, TEnd, lo, hi, W, H)
+    }
+    val out = hovers.reduce(_ unionByName _)
+      .orderBy(col("y_axis"), col("px"))
+    graft.operators.CacheLifecycle.unpersistAfterFirstUse(out, vis)
+    out
+  }
+
+  private val q43Sql =
+    s"""$imageCtesSql,
+       |grid AS (
+       |  SELECT y_axis, px, py, count(*) AS cnt, min(value_r) AS vmin,
+       |         max(value_r) AS vmax
+       |  FROM binned GROUP BY y_axis, px, py)
+       |SELECT y_axis, px, min(vmin) AS col_min, max(vmax) AS col_max,
+       |  CAST(sum(cnt) AS BIGINT) AS col_count
+       |FROM grid GROUP BY y_axis, px
+       |ORDER BY y_axis, px""".stripMargin
 
   // ---------------------------------------------------------------- q37 C3 naive-UTC parse
   /** q37 — C3 under the oracle gate: [[TimeFns.parseNaiveUtcCol]]
@@ -1432,6 +1488,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_path_codec" -> (q42 _),
+    "q43_image_hover" -> (q43 _),
     "q36_image_pipeline" -> (q36 _),
     "q37_parse_naive_utc" -> (q37 _),
     "q38_period_days" -> (q38 _),
@@ -1476,6 +1533,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q42_path_codec" -> q42Sql,
+    "q43_image_hover" -> q43Sql,
     "q36_image_pipeline" -> q36Sql,
     "q37_parse_naive_utc" -> q37Sql,
     "q38_period_days" -> q38Sql,
