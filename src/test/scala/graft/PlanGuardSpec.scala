@@ -42,6 +42,39 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("q41 cache cycle: BOTH union branches (truncated prefix and " +
+    "fresh suffix) push raw-ts bounds to their scans") {
+    // the refreshOpenDay merge is two scans — `t < bound` on the cached
+    // prefix and `t >= bound` on the fresh fetch; if either lost its
+    // derived raw bound, the open-day refresh would full-scan the
+    // archive once per poll at 100 TB
+    val df = SparkEntry.queries("q41_cache_refresh_cycle")(spark, dir)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(pushed.length >= 2, s"expected 2 scans, got $pushed")
+    assert(pushed.forall(s =>
+      (s.contains("GreaterThan") || s.contains("LessThan"))
+        && s.contains("ts")),
+      s"q41: a union branch lost its raw-ts bound (pushed=$pushed)")
+  }
+
+  test("q36/q43 image capstones plan one FUSED raster operator per " +
+    "axis over the persisted window") {
+    // the two-phase pipeline must keep phase 2 on the custom fused
+    // exec (filter+pixel-bin+partial-agg in one pass), one per y-axis
+    Seq("q36_image_pipeline", "q43_image_hover").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val fused = df.queryExecution.sparkPlan.collect {
+        case p: graft.plans.RasterBinPartialExec => p
+      }
+      assert(fused.length == 3,
+        s"$name: expected 3 fused raster partials, got ${fused.length}")
+      spark.sharedState.cacheManager.clearCache() // release imageWindow
+    }
+  }
+
   test("small-side broadcast hints survive into the optimized join") {
     // the dedup/sampling APPLY pipelines join the corpus against a
     // small derived side that is checkpoint- or agg-backed (no
