@@ -2610,6 +2610,10 @@ object PipelineQueries {
     * ONE doc_id-keyed join of the corpus against its surviving ids. */
   private def p46(s: SparkSession, dir: String): DataFrame = {
     val spread = docsSpread(s, dir)
+    // persisted: the planted corpus (three unions over the documents
+    // scan) is consumed TWICE — dedup's digest build and the
+    // classifier's survivors join — so cache the one materialization
+    // instead of re-reading documents six times across the stages
     val corpus = spread.select(col("doc_id"), col("text"), col("lang"))
       .unionByName(spread.where(col("doc_id") % 25 === 0).select(
         (col("doc_id") + 1000000L).as("doc_id"),
@@ -2620,6 +2624,7 @@ object PipelineQueries {
       .unionByName(spread.where(col("doc_id") % 50 === 0).select(
         (col("doc_id") + 2000000L).as("doc_id"), col("text"),
         col("lang")))
+      .persist()
     val survivors = Dedup.dedupedCorpus(
       corpus.select(col("doc_id"), col("text")), s)
     val good = TextStats.classifierScore(
@@ -2628,8 +2633,10 @@ object PipelineQueries {
       lenBonus = 10L, lenLo = 20L, lenHi = 200L, bias = 40L,
       carry = Seq("lang", "text"))
       .where(col("keep"))
-    Sampling.packTokenBudget(good, Seq("lang"), budget = 4096L)
+    val out = Sampling.packTokenBudget(good, Seq("lang"), budget = 4096L)
       .orderBy(col("lang"), col("bin"))
+    graft.operators.CacheLifecycle.unpersistAfterFirstUse(out, corpus)
+    out
   }
 
   /** p20's dedup chain verbatim (planted corpus now carries lang),
