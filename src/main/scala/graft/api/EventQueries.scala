@@ -1484,9 +1484,39 @@ object EventQueries {
        |FROM parts ORDER BY path""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q44 R2/S3 period cache
+  /** q44 — R2's closed-period cache under the oracle gate: a
+    * [[graft.cache.ArchiveCache.PeriodCache]] whose fetch is the
+    * per-day scan and whose "today" sits MID-RANGE (2024-01-15), so
+    * `range(Jan 5, Jan 20)` serves days 05–14 from persisted closed
+    * frames and 15–20 as fresh fetches — the reference's per-day
+    * fan-out ∪ through its cache split (`hdbpp.py:329-360`). The
+    * oracle is the single-scan equivalent: cache policy must be
+    * invisible in the answer (q15's contract, now THROUGH the cache
+    * object rather than a hand-built 2-way union). CacheSpec pins the
+    * persist/fetch-count policy itself; this pins the data. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    def dayUs(d: String): Long =
+      java.time.LocalDate.parse(d).toEpochDay * 86400000000L
+    val cache = new graft.cache.ArchiveCache.PeriodCache(
+      period => p.where(col("t") >= dayUs(period)
+        && col("t") < dayUs(period) + 86400000000L),
+      () => "2024-01-15")
+    cache.range("2024-01-05", "2024-01-20")
+      .select(col("att_name"), col("point_id"), col("t"), col("value_r"))
+      .orderBy(col("point_id"))
+  }
+
+  private val q44Sql =
+    s"""${PtsSql}SELECT att_name, point_id, t, value_r FROM pts
+       |WHERE t >= $T0 AND t < ${T1 + 86400000000L}
+       |ORDER BY point_id""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_period_cache_range" -> (q44 _),
     "q42_path_codec" -> (q42 _),
     "q43_image_hover" -> (q43 _),
     "q36_image_pipeline" -> (q36 _),
@@ -1532,6 +1562,7 @@ object EventQueries {
     "q26_sessionize" -> (q26 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q44_period_cache_range" -> q44Sql,
     "q42_path_codec" -> q42Sql,
     "q43_image_hover" -> q43Sql,
     "q36_image_pipeline" -> q36Sql,
