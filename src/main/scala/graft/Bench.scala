@@ -124,10 +124,11 @@ object Bench {
       headline + "\n" + perQueryFull + "\n")
     println(perQueryFull)
     println(headline)
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
-      s""""n_queries":${names.size},"n_failed":${errors.size},""" +
-      s""""passes":3,"agg":"min","queries":$qsShort,""" +
-      s""""errors":$errJson,"sf":${Verify.q(sfDir)}}""")
+    // the compact line IS the headline plus the short-key maps — one
+    // source of truth for the metric fields, not a third hand-synced
+    // spelling of them
+    println(headline.dropRight(1) +
+      s""","queries":$qsShort,"errors":$errJson}""")
     spark.stop()
   }
 }

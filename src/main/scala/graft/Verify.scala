@@ -38,11 +38,22 @@ object Verify {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     var ok = 0
     // dev-only subset filter (comma-separated query names) — the
-    // driver never sets it, so driver runs always dump the full suite
+    // driver never sets it, so driver runs always dump the full
+    // suite. Subset mode is LOUD (banner + unmatched-name report):
+    // a filter leaking into a driver environment must be obvious in
+    // the log, not a silently-shrunk denominator.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (k, _) => f(k) })
+    only.foreach { f =>
+      val unmatched = f -- SparkEntry.queries.keySet
+      println(s"[verify] SUBSET MODE: SPARK_GRAFT_ONLY selects " +
+        s"${selected.size}/${SparkEntry.queries.size} queries" +
+        (if (unmatched.nonEmpty)
+          s"; UNMATCHED names ignored: ${unmatched.mkString(", ")}"
+        else ""))
+    }
     selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1150,11 +1150,20 @@ object EventQueries {
 
   private def q36(s: SparkSession, dir: String): DataFrame = {
     val (vis, ranges) = imageWindow(s, dir)
-    val rasters = ranges.map { case (axis, lo, hi) =>
-      graft.plans.RasterFusion.binPoints(
-        vis.where(col("y_axis") === axis), Seq("y_axis"),
-        Epoch2024, TEnd, lo, hi, W, H)
-    }
+    // empty-window guard: with no non-null axis limits (no rows, or
+    // all-NaN) there is nothing to raster — mirror the oracle's
+    // graceful 0 rows via one always-false raster instead of
+    // crashing reduce on an empty Seq (and still release vis)
+    val rasters =
+      if (ranges.isEmpty)
+        Seq(graft.plans.RasterFusion.binPoints(
+          vis.where(lit(false)), Seq("y_axis"),
+          Epoch2024, TEnd, 0.0, 1.0, W, H))
+      else ranges.map { case (axis, lo, hi) =>
+        graft.plans.RasterFusion.binPoints(
+          vis.where(col("y_axis") === axis), Seq("y_axis"),
+          Epoch2024, TEnd, lo, hi, W, H)
+      }
     val out = rasters.reduce(_ unionByName _)
       .withColumn("vmean", round(col("vmean"), 6))
       .orderBy(col("y_axis"), col("px"), col("py"))
@@ -1214,11 +1223,16 @@ object EventQueries {
     * dependency q36 closed for the raster grid. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val (vis, ranges) = imageWindow(s, dir)
-    val hovers = ranges.map { case (axis, lo, hi) =>
-      graft.plans.RasterFusion.hoverColumns(
-        vis.where(col("y_axis") === axis), Seq("y_axis"),
-        Epoch2024, TEnd, lo, hi, W, H)
-    }
+    val hovers =
+      if (ranges.isEmpty) // empty-window guard — see q36
+        Seq(graft.plans.RasterFusion.hoverColumns(
+          vis.where(lit(false)), Seq("y_axis"),
+          Epoch2024, TEnd, 0.0, 1.0, W, H))
+      else ranges.map { case (axis, lo, hi) =>
+        graft.plans.RasterFusion.hoverColumns(
+          vis.where(col("y_axis") === axis), Seq("y_axis"),
+          Epoch2024, TEnd, lo, hi, W, H)
+      }
     val out = hovers.reduce(_ unionByName _)
       .orderBy(col("y_axis"), col("px"))
     graft.operators.CacheLifecycle.unpersistAfterFirstUse(out, vis)
@@ -1503,9 +1517,14 @@ object EventQueries {
       period => p.where(col("t") >= dayUs(period)
         && col("t") < dayUs(period) + 86400000000L),
       () => "2024-01-15")
-    cache.range("2024-01-05", "2024-01-20")
+    val out = cache.range("2024-01-05", "2024-01-20")
       .select(col("att_name"), col("point_id"), col("t"), col("value_r"))
       .orderBy(col("point_id"))
+    // the throwaway cache object pins one persisted frame per closed
+    // day — release them all once the merged result has been consumed
+    graft.operators.CacheLifecycle.releaseAfterFirstUse(out)(
+      () => cache.invalidate())
+    out
   }
 
   private val q44Sql =

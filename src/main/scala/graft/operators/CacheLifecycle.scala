@@ -24,14 +24,21 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * use", not "freed synchronously". */
 private[graft] object CacheLifecycle {
 
-  def unpersistAfterFirstUse(result: DataFrame, cached: Dataset[_]): Unit = {
+  def unpersistAfterFirstUse(result: DataFrame, cached: Dataset[_]): Unit =
+    releaseAfterFirstUse(result)(() => cached.unpersist(blocking = false))
+
+  /** The general form: run `release` once, after the first completed
+    * query containing `result`'s plan — for resources that are not a
+    * single Dataset's persist (e.g. a PeriodCache holding one
+    * persisted frame per closed day). */
+  def releaseAfterFirstUse(result: DataFrame)(release: () => Unit): Unit = {
     val spark = result.sparkSession
     val target = result.queryExecution.analyzed
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit =
         try {
           if (qe.analyzed.exists(_.sameResult(target))) {
-            cached.unpersist(blocking = false)
+            release()
             spark.listenerManager.unregister(this)
           }
         } catch { case scala.util.control.NonFatal(_) => }

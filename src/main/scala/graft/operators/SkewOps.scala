@@ -126,12 +126,21 @@ object SkewOps {
     val sess = dim.sparkSession
     val cacheKey = s"${sess.hashCode()}|" +
       s"${dim.queryExecution.analyzed.semanticHash()}|$key|$weightCol|$buckets"
-    if (gateCache.containsKey(cacheKey)) gateHits.incrementAndGet()
-    val (schema, rows) = gateCache.computeIfAbsent(cacheKey, _ => {
-      if (gateCache.size > 256) gateCache.clear() // leak backstop
+    // leak backstop OUTSIDE the mapping function: ConcurrentHashMap
+    // forbids mutating other mappings from inside computeIfAbsent
+    // (clear() there can deadlock on bin locks or drop the in-flight
+    // entry), and the gate's Spark job should not run under a bin
+    // lock either — so compute eagerly here and use putIfAbsent,
+    // accepting a rare duplicate gate job over a blocked thread
+    var cached = gateCache.get(cacheKey)
+    if (cached == null) {
+      if (gateCache.size > 256) gateCache.clear()
       val df = hotKeys(dim, key, weightCol, buckets)
-      (df.schema, df.collect())
-    })
+      val computed = (df.schema, df.collect())
+      val prev = gateCache.putIfAbsent(cacheKey, computed)
+      cached = if (prev == null) computed else prev
+    } else gateHits.incrementAndGet()
+    val (schema, rows) = cached
     sess.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
   }

@@ -231,16 +231,21 @@ final class TsStatsFileIndex private (
       .dataFiles(root.getFileSystem(conf).listStatus(root)).toSeq
     val prev = entries
     import scala.collection.parallel.CollectionConverters._
-    val next = listed.par.map { f =>
+    val next = listed.par.flatMap { f =>
       val key = f.getPath.toString
-      val entry = prev.get(key) match {
+      prev.get(key) match {
         case Some(e) if e.len == f.getLen &&
-          e.modTime == f.getModificationTime => e
-        case _ => Entry(f.getLen, f.getModificationTime,
-          try DataSkipping.footerStats(f, tsCol, conf)
-          catch { case scala.util.control.NonFatal(_) => None })
+          e.modTime == f.getModificationTime => Some(key -> e)
+        case _ =>
+          // a footer-read EXCEPTION is transient (fs hiccup): leave
+          // the file out of the entry map — prunedFor keeps unmapped
+          // files conservatively, and the next refresh retries the
+          // read. Only a SUCCESSFUL read (even one reporting "no
+          // usable stats" = None) is cached against (len, mtime).
+          try Some(key -> Entry(f.getLen, f.getModificationTime,
+            DataSkipping.footerStats(f, tsCol, conf)))
+          catch { case scala.util.control.NonFatal(_) => None }
       }
-      key -> entry
     }.seq.toMap
     files = listed
     entries = next

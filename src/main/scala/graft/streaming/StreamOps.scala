@@ -35,7 +35,15 @@ object StreamOps {
     * 2.6 s for identical output. A real deployment sizes `n` by the
     * watermark-window's state volume and scales it with load; the
     * probe-side shuffle uses the same count, so keep it ≥ the
-    * executor count once state is executor-memory-sized. */
+    * executor count once state is executor-memory-sized.
+    *
+    * CAVEAT — session-global mutation: `spark.sql.shuffle.partitions`
+    * is session state, so any OTHER query planned on this session
+    * while `body` runs picks up `n`, and two overlapping calls
+    * restore stale values last-writer-wins. Use from a single-driver
+    * control path (the graft query mains are sequential); a service
+    * wanting concurrent streams should start each on its own
+    * `spark.newSession()` clone instead. */
   def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
