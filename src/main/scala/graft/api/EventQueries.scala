@@ -1253,21 +1253,29 @@ object EventQueries {
   // ---------------------------------------------------------------- q37 C3 naive-UTC parse
   /** q37 — C3 under the oracle gate: [[TimeFns.parseNaiveUtcCol]]
     * (reference `utils.py:14-19`) over a string column cycling the
-    * four request-time shapes — 'T'-separated ISO, space-separated,
-    * date-only, and explicit `+02:00` offset (formatted from the
-    * instant's +02:00 wall clock, so the parsed UTC instant must round
-    * back to the second-truncated `t`). The strings are formatted from
-    * the events themselves, so both engines parse IDENTICAL text and
-    * the hash pins parse → epoch-µs end-to-end. */
+    * five request-time shapes — 'T'-separated ISO, space-separated,
+    * date-only, explicit `+02:00` offset (formatted from the
+    * instant's +02:00 wall clock, so the parsed UTC instant must
+    * round back to the second-truncated `t`), and a MILLISECOND
+    * fractional form whose 3-digit fraction exercises the
+    * pad-to-6-digits path in both engines. The strings are formatted
+    * from the events themselves, so both engines parse IDENTICAL
+    * text and the hash pins parse → epoch-µs end-to-end.
+    * (Offset+fraction combined is not a generated form; the column
+    * parser's offset branch is whole-second — the scalar
+    * [[TimeFns.parseNaiveUtc]] covers the full ISO space.) */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val ts = timestamp_micros(col("t"))
-    val form = pmod(col("point_id"), lit(4))
+    val form = pmod(col("point_id"), lit(5))
     val iso = when(form === 0, date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
       .when(form === 1, date_format(ts, "yyyy-MM-dd HH:mm:ss"))
       .when(form === 2, date_format(ts, "yyyy-MM-dd"))
-      .otherwise(concat(
+      .when(form === 3, concat(
         date_format(timestamp_micros(col("t") + 7200000000L),
           "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00")))
+      .otherwise(concat(
+        date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit("."),
+        lpad(expr("pmod(t, 1000000) div 1000").cast("string"), 3, "0")))
     pts(s, dir).select(col("point_id"), iso.as("iso"))
       .withColumn("t_parsed", TimeFns.parseNaiveUtcCol(col("iso")))
       .orderBy(col("point_id"))
@@ -1276,12 +1284,15 @@ object EventQueries {
   private val q37Sql =
     s"""${PtsSql}, strs AS (
        |  SELECT point_id,
-       |    CASE point_id % 4
+       |    CASE point_id % 5
        |      WHEN 0 THEN strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
        |      WHEN 1 THEN strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S')
        |      WHEN 2 THEN strftime(make_timestamp(t), '%Y-%m-%d')
-       |      ELSE strftime(make_timestamp(t + 7200000000),
+       |      WHEN 3 THEN strftime(make_timestamp(t + 7200000000),
        |             '%Y-%m-%dT%H:%M:%S') || '+02:00'
+       |      ELSE strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
+       |             || '.' || lpad(CAST((t % 1000000) // 1000 AS VARCHAR),
+       |                            3, '0')
        |    END AS iso
        |  FROM pts)
        |SELECT point_id, iso,
@@ -1292,6 +1303,12 @@ object EventQueries {
        |          * (CAST(substr(iso, 21, 2) AS BIGINT) * 3600
        |             + CAST(substr(iso, 24, 2) AS BIGINT) * 60) * 1000000
        |    WHEN length(iso) = 10 THEN epoch_us(strptime(iso, '%Y-%m-%d'))
+       |    WHEN iso LIKE '%.%' THEN
+       |      epoch_us(strptime(
+       |        regexp_replace(replace(iso, ' ', 'T'), '\\.[0-9]+$$', '')
+       |          || '.' || rpad(regexp_extract(iso, '\\.([0-9]+)', 1),
+       |                         6, '0'),
+       |        '%Y-%m-%dT%H:%M:%S.%f'))
        |    ELSE epoch_us(strptime(replace(iso, ' ', 'T'),
        |           '%Y-%m-%dT%H:%M:%S'))
        |  END AS t_parsed

@@ -118,10 +118,19 @@ object TimeFns {
     def utcMicros(ntz: Column): Column =
       org.apache.spark.sql.GraftPlanBridge.column(
         MicrosOf(org.apache.spark.sql.GraftPlanBridge.expression(ntz)))
+    // fractional seconds (the reference's dateutil parser accepts
+    // them): pad/truncate the fraction to exactly 6 digits so ONE
+    // µs pattern parses any precision 1–6
+    val frac = regexp_extract(s, "\\.([0-9]{1,6})", 1)
+    val sixFrac = concat(regexp_replace(s, "\\.[0-9]+", ""),
+      lit("."), rpad(frac, 6, "0"))
     when(s.rlike("[+-][0-9]{2}:[0-9]{2}$"),
       unix_micros(to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssXXX")))
       .when(length(s) === 10,
         utcMicros(to_timestamp_ntz(s, lit("yyyy-MM-dd"))))
+      .when(s.contains("."),
+        utcMicros(to_timestamp_ntz(sixFrac,
+          lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))))
       .otherwise(
         utcMicros(to_timestamp_ntz(s, lit("yyyy-MM-dd'T'HH:mm:ss"))))
   }

@@ -190,8 +190,9 @@ class PropertySpec extends AnyFunSuite {
     import java.time.format.DateTimeFormatter
     val genCase = for {
       sec <- Gen.choose(0L, 4102444800L) // 1970..2100
-      form <- Gen.choose(0, 3)
-    } yield (sec, form)
+      form <- Gen.choose(0, 4)
+      ms <- Gen.choose(0, 999)
+    } yield (sec, form, ms)
     check(Prop.forAll(Gen.listOfN(40, genCase)) { cases =>
       val fmtT = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
         .withZone(ZoneOffset.UTC)
@@ -199,7 +200,7 @@ class PropertySpec extends AnyFunSuite {
         .withZone(ZoneOffset.UTC)
       val fmtD = DateTimeFormatter.ofPattern("yyyy-MM-dd")
         .withZone(ZoneOffset.UTC)
-      val rows = cases.zipWithIndex.map { case ((sec, form), i) =>
+      val rows = cases.zipWithIndex.map { case ((sec, form, ms), i) =>
         val inst = Instant.ofEpochSecond(sec)
         val (s, expected) = form match {
           case 0 => (fmtT.format(inst), sec * 1000000L)
@@ -208,8 +209,10 @@ class PropertySpec extends AnyFunSuite {
             val d = LocalDate.ofInstant(inst, ZoneOffset.UTC)
             (fmtD.format(inst),
               d.atStartOfDay(ZoneOffset.UTC).toEpochSecond * 1000000L)
-          case _ =>
+          case 3 =>
             (fmtT.format(inst.plusSeconds(7200)) + "+02:00", sec * 1000000L)
+          case _ => // fractional millis — exercises the pad-to-µs path
+            (fmtT.format(inst) + f".$ms%03d", sec * 1000000L + ms * 1000L)
         }
         (i, s, expected)
       }
