@@ -33,12 +33,10 @@ object Bench {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    // dev-only subset filter (comma-separated query names); the driver
-    // never sets it, so driver runs always measure the full suite
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(f =>
-      SparkEntry.queries.filter { case (k, _) => f(k) })
+    // dev-only subset filter, shared with Verify — loud when active
+    // (a leaked filter in a driver bench would otherwise silently
+    // shrink the suite AND overwrite BENCH_SELF.json with partials)
+    val selected = Verify.subsetFilter("bench", SparkEntry.queries)
     selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -23,6 +23,31 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** Shared dev-only query subset filter (`SPARK_GRAFT_ONLY`,
+    * comma-separated names) for both mains. LOUD when active — banner
+    * + unmatched-name report — because a filter leaking into a driver
+    * environment must be obvious in the log, not a silently-shrunk
+    * denominator; the driver never sets it. */
+  def subsetFilter(tag: String,
+      all: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame])
+      : Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = {
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet) match {
+      case None => all
+      case Some(f) =>
+        val selected = all.filter { case (k, _) => f(k) }
+        val unmatched = f -- all.keySet
+        println(s"[$tag] SUBSET MODE: SPARK_GRAFT_ONLY selects " +
+          s"${selected.size}/${all.size} queries" +
+          (if (unmatched.nonEmpty)
+            s"; UNMATCHED names ignored: ${unmatched.mkString(", ")}"
+          else ""))
+        selected
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,23 +62,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     var ok = 0
-    // dev-only subset filter (comma-separated query names) — the
-    // driver never sets it, so driver runs always dump the full
-    // suite. Subset mode is LOUD (banner + unmatched-name report):
-    // a filter leaking into a driver environment must be obvious in
-    // the log, not a silently-shrunk denominator.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(f =>
-      SparkEntry.queries.filter { case (k, _) => f(k) })
-    only.foreach { f =>
-      val unmatched = f -- SparkEntry.queries.keySet
-      println(s"[verify] SUBSET MODE: SPARK_GRAFT_ONLY selects " +
-        s"${selected.size}/${SparkEntry.queries.size} queries" +
-        (if (unmatched.nonEmpty)
-          s"; UNMATCHED names ignored: ${unmatched.mkString(", ")}"
-        else ""))
-    }
+    val selected = subsetFilter("verify", SparkEntry.queries)
     selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

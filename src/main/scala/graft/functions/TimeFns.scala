@@ -119,17 +119,22 @@ object TimeFns {
       org.apache.spark.sql.GraftPlanBridge.column(
         MicrosOf(org.apache.spark.sql.GraftPlanBridge.expression(ntz)))
     // fractional seconds (the reference's dateutil parser accepts
-    // them): pad/truncate the fraction to exactly 6 digits so ONE
-    // µs pattern parses any precision 1–6
+    // them): pad the fraction to exactly 6 digits in place so ONE µs
+    // pattern parses any precision 1–6 — with or without a trailing
+    // offset (the fraction is the only '.' either way)
     val frac = regexp_extract(s, "\\.([0-9]{1,6})", 1)
-    val sixFrac = concat(regexp_replace(s, "\\.[0-9]+", ""),
-      lit("."), rpad(frac, 6, "0"))
-    when(s.rlike("[+-][0-9]{2}:[0-9]{2}$"),
-      unix_micros(to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssXXX")))
+    val norm = regexp_replace(s, lit("\\.[0-9]+"),
+      concat(lit("."), rpad(frac, 6, "0")))
+    val hasOffset = s.rlike("[+-][0-9]{2}:[0-9]{2}$")
+    val hasFrac = s.contains(".")
+    when(hasOffset && hasFrac,
+      unix_micros(to_timestamp(norm, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))
+      .when(hasOffset,
+        unix_micros(to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssXXX")))
       .when(length(s) === 10,
         utcMicros(to_timestamp_ntz(s, lit("yyyy-MM-dd"))))
-      .when(s.contains("."),
-        utcMicros(to_timestamp_ntz(sixFrac,
+      .when(hasFrac,
+        utcMicros(to_timestamp_ntz(norm,
           lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))))
       .otherwise(
         utcMicros(to_timestamp_ntz(s, lit("yyyy-MM-dd'T'HH:mm:ss"))))
