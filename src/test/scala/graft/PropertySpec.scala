@@ -140,6 +140,65 @@ class PropertySpec extends AnyFunSuite {
     }, n = 200)
   }
 
+  // ------------------------------------------------------------ as-of join
+  test("property: bucketed as-of join ≡ a naive last-right-at-or-before " +
+    "model for ANY bucket width (cross-bucket carry included)") {
+    val genLeft = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(0, 3); t <- Gen.choose(0L, 5000L)
+    } yield (u, t))
+    val genRight = Gen.listOf(for {
+      u <- Gen.choose(0, 3); ct <- Gen.choose(0L, 5000L)
+      rid <- Gen.choose(0L, 50L) // small range → tie cases occur
+    } yield (u, ct, rid))
+    val genBucket = Gen.oneOf(1L, 7L, 100L, 10000L)
+    check(Prop.forAll(genLeft, genRight, genBucket) { (ls, rs, bucket) =>
+      val lrows = ls.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      val left = lrows.toDF("user_id", "t", "lid")
+      val right = rs.toDF("user_id", "ct", "rid")
+      val out = graft.operators.TimeJoins.asofJoinBucketed(
+        left, right, Seq("user_id"), "t", "ct", Seq("rid"), "rid", bucket)
+        .select(col("lid"), col("rid")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val model = lrows.map { case (u, t, lid) =>
+        val cands = rs.filter(r => r._1 == u && r._2 <= t)
+        (lid, if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toSet
+      out == model
+    }, n = 10)
+  }
+
+  // ------------------------------------------------------------ range join
+  test("property: bucketed range join ≡ naive containment, with " +
+    "intervals spanning many buckets") {
+    val genPoints = Gen.listOf(for {
+      u <- Gen.choose(0, 2); t <- Gen.choose(0L, 3000L)
+    } yield (u, t))
+    val genIvals = Gen.listOf(for {
+      u <- Gen.choose(0, 2); a <- Gen.choose(0L, 3000L)
+      len <- Gen.choose(0L, 800L)
+    } yield (u, a, a + len))
+    val genBucket = Gen.oneOf(1L, 13L, 250L, 5000L)
+    check(Prop.forAll(genPoints, genIvals, genBucket) { (ps, is, bucket) =>
+      val prows = ps.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      val irows = is.zipWithIndex.map { case ((u, a, b), i) =>
+        (u, a, b, i.toLong) }
+      val points = prows.toDF("user_id", "t", "pid")
+      val ivals = irows.toDF("user_id", "lo", "hi", "iid")
+      val out = graft.operators.TimeJoins.rangeJoin(
+        points, ivals, Seq("user_id"), "t", "lo", "hi", bucket)
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val model = (for {
+        (pu, t, pid) <- prows
+        (iu, lo, hi, iid) <- irows
+        if pu == iu && t >= lo && t <= hi
+      } yield (pid, iid)).toSet
+      out == model
+    }, n = 10)
+  }
+
   // ------------------------------------------------------------ C7 padding
   test("property: padLoCol/padHiCol ≡ padRange scalar on arbitrary " +
     "ranges, constant-value branches included (C7)") {
