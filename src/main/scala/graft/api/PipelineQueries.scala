@@ -918,14 +918,17 @@ object PipelineQueries {
       })
     val stream = s.readStream.schema(docs(s, dir).schema).parquet(streamDir)
     val name = s"p60_sink_${p60Sink.incrementAndGet()}"
-    val q = graft.streaming.StreamOps
-      .streamingExactDedupAgainstCorpus(stream, stateRoot)
-      .select(col("doc_id"), col("fp"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // 8 state partitions: tiny digest state — see withStatePartitions
+    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+      val q = graft.streaming.StreamOps
+        .streamingExactDedupAgainstCorpus(stream, stateRoot)
+        .select(col("doc_id"), col("fp"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = s.table(name).orderBy(col("doc_id"))
     s.catalog.dropTempView(name) // bounds sink accumulation (q32 note)
     out
