@@ -108,6 +108,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }
       .mkString("{", ",", "}")
+    // compact-line errors: short keys + hard-truncated messages, so a
+    // many-failure run cannot push the final line past the ~2000-char
+    // tail the three-tier scheme exists for (full detail is in the
+    // perQueryFull line and BENCH_SELF.json)
+    val errJsonShort = errors
+      .map { case (k, v) => s"${Verify.q(shortNames.getOrElse(k, k))}: " +
+        Verify.q(v.take(40)) }
+      .mkString("{", ",", "}")
     // total covers successful queries only; failures are listed explicitly
     val total = okResults.map(_._2).sum
     val headline =
@@ -117,8 +125,12 @@ object Bench {
     val perQueryFull =
       s"""{"metric":"per_query","unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"sf":${Verify.q(sfDir)}}"""
+    // subset mode must not overwrite the durable full-suite artifact
+    // with partial results — partials go to a sibling file instead
+    val selfPath = if (sys.env.contains("SPARK_GRAFT_ONLY"))
+      "BENCH_SELF.partial.json" else "BENCH_SELF.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"),
+      java.nio.file.Paths.get(selfPath),
       headline + "\n" + perQueryFull + "\n")
     println(perQueryFull)
     println(headline)
@@ -126,7 +138,7 @@ object Bench {
     // source of truth for the metric fields, not a third hand-synced
     // spelling of them
     println(headline.dropRight(1) +
-      s""","queries":$qsShort,"errors":$errJson}""")
+      s""","queries":$qsShort,"errors":$errJsonShort}""")
     spark.stop()
   }
 }

@@ -936,6 +936,32 @@ object EventQueries {
     })
   }
 
+  /** Derived state-store partition count for q32–q34, from DATA rather
+    * than a pinned constant: the staged stream's row count (parquet
+    * metadata — a footer-only job, memoized per session×dir) is a
+    * sound upper bound on live state entries for every stateful shape
+    * here (windowed agg keys ≤ input rows; session windows ≤ input
+    * rows; join state buffers ≤ input rows within the watermark), and
+    * [[graft.streaming.StreamOps.statePartitionsFor]] turns it into a
+    * partition count via the volume ÷ per-partition-target rule. At
+    * sf0.1 (~10⁵ events) this derives 7 — the band the measured-good
+    * pinned 8 sat in — and a 100× SF derives proportionally more
+    * instead of silently bottlenecking on 8 stores. */
+  private val streamRowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def streamStatePartitions(s: SparkSession, dir: String): Int = {
+    val key = s"${graft.operators.SkewOps.sessionKey(s)}|$dir"
+    // compute OUTSIDE the map's bin lock (a Spark job under
+    // computeIfAbsent would block unrelated readers; see SkewOps)
+    var rows = streamRowCounts.get(key)
+    if (rows == null) {
+      val n: java.lang.Long = s.read.parquet(stagedStreamDir(s, dir)).count()
+      val prev = streamRowCounts.putIfAbsent(key, n)
+      rows = if (prev == null) n else prev
+    }
+    graft.streaming.StreamOps.statePartitionsFor(rows.longValue())
+  }
+
   /** Shared by q32–q34: the events stream's derived event-time column
     * — the SAME dispatch the batch adapter uses, so the two paths
     * cannot drift. */
@@ -958,8 +984,9 @@ object EventQueries {
     val resampled =
       graft.streaming.StreamOps.streamingResample(stream, "5m", "1 minute")
     val name = s"q32_sink_${streamSinkSeq.incrementAndGet()}"
-    // 8 state partitions: tiny windowed state — see withStatePartitions
-    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+    // state partitions derived from input volume — see streamStatePartitions
+    graft.streaming.StreamOps.withStatePartitions(
+        s, streamStatePartitions(s, dir)) {
       val q = resampled.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1007,8 +1034,9 @@ object EventQueries {
     val sessions = graft.streaming.StreamOps.streamingSessions(
       stream, "user_id", "data_time", "30 minutes", "1 minute")
     val name = s"q33_sink_${streamSinkSeq.incrementAndGet()}"
-    // 8 state partitions: tiny session state — see withStatePartitions
-    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+    // state partitions derived from input volume — see streamStatePartitions
+    graft.streaming.StreamOps.withStatePartitions(
+        s, streamStatePartitions(s, dir)) {
       val q = sessions.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1071,10 +1099,12 @@ object EventQueries {
     val joined = graft.streaming.StreamOps.streamingRangeJoin(
       purchases, errors, "user_id", "pt", "ot", "1 hour", "1 minute")
     val name = s"q34_sink_${streamSinkSeq.incrementAndGet()}"
-    // 8 state partitions: the join keeps 4 state stores per partition,
-    // so over-partitioning tiny state costs pure per-batch commit I/O
-    // (32 → 7.3 s, 8 → 2.6 s at sf0.1) — see withStatePartitions
-    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+    // state partitions derived from input volume (the join keeps 4
+    // state stores per partition, so over-partitioning tiny state
+    // costs pure per-batch commit I/O: 32 → 7.3 s, 8 → 2.6 s at
+    // sf0.1) — see streamStatePartitions
+    graft.streaming.StreamOps.withStatePartitions(
+        s, streamStatePartitions(s, dir)) {
       val q = joined
         .select(col("user_id"), col("err_id"), col("pid"),
           unix_micros(col("pt")).as("t"), col("value_r"))

@@ -893,10 +893,10 @@ object PipelineQueries {
     * windowed agg (q32), session agg (q33), stream-stream join (q34),
     * stream-static join (this). */
   private val p60Roots =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
 
   private def p60(s: SparkSession, dir: String): DataFrame = {
-    val (stateRoot, streamDir) =
+    val (stateRoot, streamDir, nDocs) =
       p60Roots.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
         val state = java.nio.file.Files
           .createTempDirectory("graft-p60-state").toString
@@ -914,12 +914,15 @@ object PipelineQueries {
             java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
             d.toString
           }
-        (state, sd)
+        (state, sd, docs(s, dir).count())
       })
     val stream = s.readStream.schema(docs(s, dir).schema).parquet(streamDir)
     val name = s"p60_sink_${p60Sink.incrementAndGet()}"
-    // 8 state partitions: tiny digest state — see withStatePartitions
-    graft.streaming.StreamOps.withStatePartitions(s, 8) {
+    // shuffle partitions derived from input volume (the op itself is
+    // STATELESS — the corpus is the state — so this sizes the
+    // anti-join shuffle, same volume rule) — see statePartitionsFor
+    graft.streaming.StreamOps.withStatePartitions(
+        s, graft.streaming.StreamOps.statePartitionsFor(nDocs)) {
       val q = graft.streaming.StreamOps
         .streamingExactDedupAgainstCorpus(stream, stateRoot)
         .select(col("doc_id"), col("fp"))

@@ -121,10 +121,30 @@ object SkewOps {
 
   def clearGateCache(): Unit = gateCache.clear()
 
+  /** Stable per-session cache key: the classic implementation's
+    * `sessionUUID` (unique for the JVM's life — never reused the way an
+    * identity hash can be after GC). The accessor is `private[sql]` at
+    * the Scala level but public bytecode, so it is reached reflectively
+    * (method handle resolved once); any session without it falls back
+    * to the identity hash, keeping the helper total. */
+  private[graft] def sessionKey(sess: org.apache.spark.sql.SparkSession)
+      : String =
+    try sessionUuidMethod.invoke(sess).asInstanceOf[String]
+    catch { case scala.util.control.NonFatal(_) =>
+      s"idhash-${System.identityHashCode(sess)}" }
+
+  private lazy val sessionUuidMethod =
+    classOf[org.apache.spark.sql.classic.SparkSession]
+      .getMethod("sessionUUID")
+
   private def cachedHotKeys(dim: DataFrame, key: String, weightCol: String,
       buckets: Int): DataFrame = {
     val sess = dim.sparkSession
-    val cacheKey = s"${sess.hashCode()}|" +
+    // sessionUUID, not hashCode: identity hashes can be reused after a
+    // closed session is collected, which would replay another session's
+    // hot list (stale-but-harmless for correctness, still wrong), and a
+    // stable key makes the size-capped clear the only retention path
+    val cacheKey = s"${SkewOps.sessionKey(sess)}|" +
       s"${dim.queryExecution.analyzed.semanticHash()}|$key|$weightCol|$buckets"
     // leak backstop OUTSIDE the mapping function: ConcurrentHashMap
     // forbids mutating other mappings from inside computeIfAbsent

@@ -226,6 +226,14 @@ final class TsStatsFileIndex private (
     files.map(_.getPath.toString).toArray
   override def sizeInBytes: Long = files.map(_.getLen).sum
 
+  /** Re-list `root` and re-read footers for files whose (len, mtime)
+    * changed. Caveat: on filesystems with coarse (1 s) mtime
+    * granularity, a SAME-SIZE in-place rewrite within the same second
+    * replays the old min/max stats — which can wrongly prune the file
+    * if the new rows fall outside the old range. Fine for the archive
+    * layout this index serves (append-only day directories: appends
+    * change `len`, closed days never rewrite); an overwriting layout
+    * would need a content hint (e.g. first-block checksum) in the key. */
   override def refresh(): Unit = synchronized {
     val listed = TsStatsFileIndex
       .dataFiles(root.getFileSystem(conf).listStatus(root)).toSeq

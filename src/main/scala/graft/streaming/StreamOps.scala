@@ -39,16 +39,50 @@ object StreamOps {
     *
     * CAVEAT — session-global mutation: `spark.sql.shuffle.partitions`
     * is session state, so any OTHER query planned on this session
-    * while `body` runs picks up `n`, and two overlapping calls
-    * restore stale values last-writer-wins. Use from a single-driver
-    * control path (the graft query mains are sequential); a service
-    * wanting concurrent streams should start each on its own
-    * `spark.newSession()` clone instead. */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    * while `body` runs picks up `n`. Overlapping calls are serialized
+    * by a process-wide lock (so restores can never interleave
+    * last-writer-wins), but the conf is still visible to unrelated
+    * queries planned concurrently on the same session — a service
+    * wanting truly concurrent streams should start each on its own
+    * `spark.newSession()` clone instead (the clone shares the
+    * SparkContext but owns its conf). */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    statePartitionsLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
+  /** Serializes [[withStatePartitions]] bodies: the helper mutates
+    * session state, and two in-flight bodies restoring in the wrong
+    * order would leave a stale partition count behind. Streaming query
+    * drains are seconds-long, so the coarse lock is the whole fix. */
+  private val statePartitionsLock = new Object
+
+  /** The scaladoc's sizing rule as code: state-store partition count =
+    * estimated state volume ÷ target per-partition state, clamped to
+    * [1, `maxPartitions`]. `estStateRows` is an UPPER BOUND estimate of
+    * live state entries (for an aggregation: distinct keys×windows ≤
+    * input rows; for a stream-stream join: rows buffered within the
+    * watermark horizon ≤ input rows) — callers pass the cheapest sound
+    * bound they have, typically the input row count from parquet
+    * metadata. The default target (16 Ki state rows per partition)
+    * keeps per-partition state well under executor memory while not
+    * over-partitioning tiny state into pure per-batch commit I/O (the
+    * measured failure mode: 32 partitions × 4 join stores ran 7.3 s
+    * where 8 ran 2.6 s on identical output). Partition count never
+    * affects results — only where state lives — so callers can re-size
+    * per run as data grows (with a FRESH checkpoint: a checkpoint pins
+    * the count for its lifetime). */
+  def statePartitionsFor(estStateRows: Long,
+      targetRowsPerPartition: Long = 16 * 1024,
+      maxPartitions: Int = 256): Int = {
+    require(targetRowsPerPartition > 0, "target must be positive")
+    require(maxPartitions > 0, "maxPartitions must be positive")
+    val byVolume = math.ceil(
+      math.max(0L, estStateRows).toDouble / targetRowsPerPartition).toInt
+    math.min(maxPartitions, math.max(1, byVolume))
   }
 
   /** The archive as a LIVE source: tail the

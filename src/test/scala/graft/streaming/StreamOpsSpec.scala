@@ -423,4 +423,22 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(streamed() == batchOver(b1 ++ b2))
     } finally q.stop()
   }
+
+  test("statePartitionsFor: volume ÷ per-partition target, clamped") {
+    // tiny state collapses to one store (per-partition commit I/O is
+    // the measured failure mode of over-partitioning)
+    assert(StreamOps.statePartitionsFor(0) == 1)
+    assert(StreamOps.statePartitionsFor(10_000) == 1)
+    // the sf0.1 events volume (~10^5 rows) derives the band the
+    // measured-good pinned value sat in
+    assert(StreamOps.statePartitionsFor(100_000) == 7)
+    // 100× the volume scales the store count proportionally…
+    assert(StreamOps.statePartitionsFor(10_000_000,
+      maxPartitions = Int.MaxValue) == 611)
+    // …until the default 256 clamp
+    assert(StreamOps.statePartitionsFor(10_000_000) == 256)
+    // custom target honored
+    assert(StreamOps.statePartitionsFor(1_000_000,
+      targetRowsPerPartition = 250_000) == 4)
+  }
 }
