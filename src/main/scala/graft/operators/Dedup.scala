@@ -330,8 +330,13 @@ object Dedup {
     *    SUM (exact, as decimal(38,0) — no overflow at any node count)
     *    is strictly decreasing until fixpoint; comparing consecutive
     *    sums replaces a join-against-previous `changed` count.
-    * Rounds are bounded by the largest component diameter;
-    * `localCheckpoint` every 5 rounds truncates the growing lineage.
+    * Rounds are bounded by the largest component diameter for SHALLOW
+    * graphs; past round 6 a pointer-jumping contraction (label := label
+    * of label) engages, so deep chain-shaped components converge in
+    * O(log diameter) materializations — `maxIter = 50` covers diameters
+    * around 35 000, not fifty (StressSpec runs a 1000-deep chain
+    * through the default budget). `localCheckpoint` periodically
+    * truncates the growing lineage.
     *
     * Scale contract: the input is the VERIFIED near-dup pair list —
     * O(LSH collisions), orders of magnitude smaller than the corpus
@@ -351,6 +356,25 @@ object Dedup {
       .join(l.select(col("node").as("src"), col("lbl")), Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(min(col("lbl")).as("lbl"))
+    // Pointer jumping (lbl(n) := lbl(lbl(n))): the label forest's
+    // depth HALVES per application, so once it engages the effective
+    // reach per materialization grows geometrically — a chain-shaped
+    // component (the propagation worst case: one hop per round)
+    // converges in O(log diameter) materializations instead of
+    // O(diameter). Invariants it preserves, both needed below: every
+    // label is a node id present in the label table (the inner self-
+    // join is total — self-loops give every node an incoming edge),
+    // and labels stay monotone non-increasing (lbl(x) ≤ x always, so
+    // lbl(lbl(n)) ≤ lbl(n)) — the sum-based convergence probe
+    // survives. Engaged only when the graph has already proven DEEP
+    // (not converged by round 6): dup graphs are diameter-1 dominated
+    // and converge in the first materialization, so the common path
+    // never pays the self-join, and its plans — and therefore every
+    // green hash — are untouched.
+    def jump(l: DataFrame): DataFrame = l
+      .join(l.select(col("node").as("_jn"), col("lbl").as("_jl")),
+        col("lbl") === col("_jn"))
+      .select(col("node"), col("_jl").as("lbl"))
     // The per-MATERIALIZATION cost (job scheduling, AQE planning, the
     // convergence action) dwarfs the per-ROUND data work on any
     // realistically-sparse dup graph, so rounds are COMPOSED: each
@@ -374,7 +398,17 @@ object Dedup {
     var depth = 2
     val generations = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (!converged && round < maxIter) {
-      var cur = labels
+      // jump on the MATERIALIZED label frame only (self-joining a lazy
+      // composed chain would replay its whole subtree twice — `labels`
+      // is cached, so even the second jump's replay of the first is an
+      // in-memory join); round ≥ 6 means two materializations failed
+      // to converge — a deep component is present and the geometric
+      // path pays for itself. TWO jumps per materialization: reach
+      // recurrence r → 4r + depth, which closes a diameter-35000 chain
+      // inside the default 50-round budget (one jump's 2r + depth
+      // tops out at ~900 — measured one materialization short on a
+      // 1000-chain).
+      var cur = if (round >= 6) jump(jump(labels)) else labels
       (1 until depth).foreach(_ => cur = propagate(cur))
       val probeN = s"cc_probe_${obsId.incrementAndGet()}"
       val finalN = s"cc_final_${obsId.incrementAndGet()}"
@@ -427,7 +461,8 @@ object Dedup {
     // (non-minimal cluster_ids, several keep=1 rows per component) —
     // pathological graphs (diameter > maxIter) must fail loudly
     require(converged, s"connectedComponents did not converge within " +
-      s"$maxIter rounds; raise maxIter for very-high-diameter pair graphs")
+      s"$maxIter rounds; raise maxIter for pathological pair graphs " +
+      "(pointer jumping makes each extra round count geometrically)")
     // detach the result from the generation caches (one cheap job over
     // the O(nodes) label table), then release every intermediate
     val out = labels.localCheckpoint(true)

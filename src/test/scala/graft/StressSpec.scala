@@ -496,6 +496,40 @@ class StressSpec extends AnyFunSuite {
     } finally { cc.unpersist(); () }
   }
 
+  test("stress: connectedComponents closes a diameter-1000 chain " +
+    "within the default round budget (pointer jumping)") {
+    // the propagation worst case — one giant path graph, where plain
+    // min-label moves ONE hop per round and the default maxIter=50
+    // would fail loudly. Pointer jumping engages after round 6 and
+    // halves the label-forest depth per materialization, so the chain
+    // must close in O(log 1000) materializations under the DEFAULT
+    // budget — this is the "degrade gracefully, not fail" contract for
+    // chain-shaped pathologies.
+    val chain = (0 until 1000).map(i => (5000L + i, 5000L + i + 1))
+    val cc = timed("diameter-1000 connectedComponents")(
+      Dedup.connectedComponents(chain.toDF("d1", "d2")).persist())
+    try {
+      val labels = cc.select(col("cluster_id")).distinct()
+        .as[Long].collect().toSeq
+      assert(labels == Seq(5000L),
+        s"chain did not converge to one cluster: ${labels.take(5)}…")
+      assert(cc.where(col("keep") === 1).count() == 1L)
+      assert(cc.count() == 1001L)
+    } finally { cc.unpersist(); () }
+  }
+
+  test("stress: connectedComponents past its round budget fails " +
+    "LOUDLY, never silently truncates") {
+    // exhausting maxIter must throw (a silently-truncated clustering
+    // would ship non-minimal cluster_ids downstream): maxIter=2 allows
+    // exactly one depth-2 materialization against a diameter-20 chain
+    val chain = (0 until 20).map(i => (7000L + i, 7000L + i + 1))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain.toDF("d1", "d2"), maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("stress: a degenerate Hamming bucket (20k identical docs) " +
     "star-expands instead of going quadratic") {
     // 20k copies of ONE text: every fingerprint identical, so each of
