@@ -27,23 +27,51 @@ import org.apache.spark.storage.StorageLevel
   */
 object ArchiveCache {
 
-  /** Closed-period persist-forever cache. `fetch` loads one period's
-    * frame; `today` supplies the current UTC date (injectable for
-    * tests). */
+  /** Closed-period persist cache. `fetch` loads one period's frame;
+    * `today` supplies the current UTC date (injectable for tests).
+    *
+    * `maxPersistedDays` bounds how many closed days stay persisted at
+    * once, LRU-evicted — the explicit analog of the reference's
+    * size-bounded cache (`utils.py:174-236`, 1 GB LRU). The default
+    * (unbounded) delegates eviction entirely to Spark's own LRU block
+    * manager, which is already safe (MEMORY_AND_DISK: a full store
+    * degrades to disk, then to recompute — never OOM); the bound
+    * additionally releases the MEMOIZED frame reference, so a
+    * long-lived session serving thousands of distinct days does not
+    * accumulate one logical-plan + block-set registration per day.
+    * Eviction is invisible in results: a re-accessed evicted day is
+    * simply re-fetched and re-persisted. */
   final class PeriodCache(fetch: String => DataFrame,
-      today: () => String) {
-    private val closed = new ConcurrentHashMap[String, DataFrame]()
-    private[graft] var fetches = 0L // instrumentation for tests
+      today: () => String, maxPersistedDays: Int = Int.MaxValue) {
+    require(maxPersistedDays > 0, "maxPersistedDays must be positive")
+    // access-ordered for LRU; all access is under its own monitor (a
+    // period fetch is a Spark job — seconds — so lock granularity is
+    // irrelevant next to the work it guards)
+    private val closed = new java.util.LinkedHashMap[String, DataFrame](
+      16, 0.75f, true)
+    private[graft] var fetches = 0L   // instrumentation for tests
+    private[graft] var evictions = 0L // instrumentation for tests
 
     /** Frame for one period: persisted+memoized if the period is
       * closed (strictly before today), fetched fresh otherwise. */
     def period(p: String): DataFrame = {
       val isClosed = p < today()
-      if (isClosed)
-        closed.computeIfAbsent(p, { key =>
+      if (isClosed) closed.synchronized {
+        val hit = closed.get(p) // get() records the access for LRU
+        if (hit != null) hit
+        else {
           fetches += 1
-          fetch(key).persist(StorageLevel.MEMORY_AND_DISK)
-        })
+          val df = fetch(p).persist(StorageLevel.MEMORY_AND_DISK)
+          closed.put(p, df)
+          while (closed.size > maxPersistedDays) {
+            val it = closed.entrySet().iterator()
+            it.next().getValue.unpersist()
+            it.remove()
+            evictions += 1
+          }
+          df
+        }
+      }
       else {
         fetches += 1
         fetch(p)
@@ -60,7 +88,7 @@ object ArchiveCache {
       days.map(period).reduce(_ unionByName _)
     }
 
-    def invalidate(): Unit = {
+    def invalidate(): Unit = closed.synchronized {
       closed.values.forEach(df => { df.unpersist(); () })
       closed.clear()
     }

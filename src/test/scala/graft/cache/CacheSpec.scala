@@ -33,6 +33,33 @@ class CacheSpec extends AnyFunSuite {
     cache.invalidate()
   }
 
+  test("PeriodCache: maxPersistedDays LRU-evicts the coldest closed day " +
+    "(reference's size-bounded cache, utils.py:174-236)") {
+    val backing = Map(
+      "2024-01-01" -> Seq((1, 100L, 1.0)),
+      "2024-01-02" -> Seq((1, 200L, 2.0)),
+      "2024-01-03" -> Seq((1, 300L, 3.0)))
+    val cache = new ArchiveCache.PeriodCache(
+      p => backing(p).toDF("att_conf_id", "t", "value_r"),
+      () => "2024-09-01", maxPersistedDays = 2)
+    assert(cache.period("2024-01-01").count() == 1)
+    assert(cache.period("2024-01-02").count() == 1)
+    assert(cache.fetches == 2 && cache.evictions == 0)
+    // touch day 1 so day 2 is now the LRU victim
+    assert(cache.period("2024-01-01").count() == 1)
+    assert(cache.fetches == 2) // still a hit
+    // a third day exceeds the bound → exactly one eviction
+    assert(cache.period("2024-01-03").count() == 1)
+    assert(cache.fetches == 3 && cache.evictions == 1)
+    // the recently-touched day survived…
+    assert(cache.period("2024-01-01").count() == 1)
+    assert(cache.fetches == 3)
+    // …the cold one was released and transparently re-fetches
+    assert(cache.period("2024-01-02").count() == 1)
+    assert(cache.fetches == 4 && cache.evictions == 2)
+    cache.invalidate()
+  }
+
   test("refreshOpenDay: truncate to full second, union fresh rows (R1/F4/U3/O5)") {
     // cached has rows up to t=2.7s; fresh source has a sub-second
     // straggler at 2.4s (µs precision arrived late) plus new rows
