@@ -479,8 +479,11 @@ class StressSpec extends AnyFunSuite {
     val chain = (0 until 20).map(i => (1000L + i, 1000L + i + 1))
     val islands = (0 until 500).map(i => (2000L + 2 * i, 2001L + 2 * i))
     val pairs = (chain ++ islands).toDF("d1", "d2")
+    // localEdgeThreshold = 0 forces the DISTRIBUTED loop — this case
+    // pins the composed-round escalation, which the driver-side
+    // fast path would otherwise bypass at this size
     val cc = timed("diameter-20 connectedComponents")(
-      Dedup.connectedComponents(pairs).persist())
+      Dedup.connectedComponents(pairs, localEdgeThreshold = 0).persist())
     try {
       // the whole chain must collapse to its minimum label…
       val chainLabels = cc.where(col("doc_id").between(1000L, 1020L))
@@ -506,8 +509,11 @@ class StressSpec extends AnyFunSuite {
     // budget — this is the "degrade gracefully, not fail" contract for
     // chain-shaped pathologies.
     val chain = (0 until 1000).map(i => (5000L + i, 5000L + i + 1))
+    // distributed loop forced (threshold 0): the case exists to pin
+    // pointer jumping, not the driver-side fast path
     val cc = timed("diameter-1000 connectedComponents")(
-      Dedup.connectedComponents(chain.toDF("d1", "d2")).persist())
+      Dedup.connectedComponents(chain.toDF("d1", "d2"),
+        localEdgeThreshold = 0).persist())
     try {
       val labels = cc.select(col("cluster_id")).distinct()
         .as[Long].collect().toSeq
@@ -525,7 +531,8 @@ class StressSpec extends AnyFunSuite {
     // exactly one depth-2 materialization against a diameter-20 chain
     val chain = (0 until 20).map(i => (7000L + i, 7000L + i + 1))
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain.toDF("d1", "d2"), maxIter = 2)
+      Dedup.connectedComponents(chain.toDF("d1", "d2"), maxIter = 2,
+        localEdgeThreshold = 0)
     }
     assert(e.getMessage.contains("did not converge"))
   }

@@ -268,10 +268,12 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connectedComponents: long path converges past checkpoint rounds") {
-    // a 16-node path: min label must walk the full diameter (>5 rounds,
-    // crossing the every-5-rounds localCheckpoint boundary)
+    // a 16-node path through the DISTRIBUTED loop (threshold 0 — the
+    // default fast path would solve this driver-side): min label must
+    // walk the full diameter, crossing the lineage-checkpoint boundary
     val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val r = Dedup.connectedComponents(pairs).collect()
+    val r = Dedup.connectedComponents(pairs, localEdgeThreshold = 0)
+      .collect()
     assert(r.length == 16)
     assert(r.forall(_.getLong(1) == 1L))
     assert(r.map(row => row.getLong(2)).sum == 1L) // exactly one keeper
@@ -280,6 +282,34 @@ class DedupSpec extends AnyFunSuite {
   test("connectedComponents: empty pair list yields empty output") {
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.connectedComponents(empty).count() == 0)
+    assert(Dedup.connectedComponents(empty, localEdgeThreshold = 0)
+      .count() == 0)
+  }
+
+  test("connectedComponents: driver fast path ≡ distributed loop on a " +
+    "seeded random graph, and on int ids") {
+    // 200 nodes, ~150 random edges — multiple components, chains,
+    // cycles; both paths must produce the identical clustering
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 150)
+      .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("d1", "d2")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = canon(Dedup.connectedComponents(pairs))
+    val loop = canon(Dedup.connectedComponents(pairs,
+      localEdgeThreshold = 0))
+    assert(fast == loop)
+    // int ids keep their type through the fast path
+    val intPairs = Seq((2, 1), (5, 7)).toDF("d1", "d2")
+    val ri = Dedup.connectedComponents(intPairs).orderBy("doc_id")
+    assert(ri.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(ri.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 1, 1L), (2, 1, 0L), (5, 5, 1L), (7, 5, 0L)))
   }
 
   test("bestQualityKeep: best margin wins its cluster, ties to smallest " +
