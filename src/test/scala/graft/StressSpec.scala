@@ -718,6 +718,87 @@ class StressSpec extends AnyFunSuite {
     assert(files <= 2, s"expected ≤2 of $nFiles files, scanned $files")
   }
 
+  test("stress: flagship dedup scales sub-quadratically over a 10× " +
+    "synthetic near-dup corpus") {
+    // builder-generated corpus (distributed spark.range — NOT driver
+    // seqs, so generation itself scales): groups of 10 docs share 29
+    // of 30 tokens (pairwise Jaccard 29/31 ≈ 0.94 — safely over the
+    // 0.5 default), one token varies per doc. Near-dup structure is
+    // O(n): n/10 clusters of 10 → ~45 verified pairs per cluster —
+    // the LSH regime the 100 TB argument assumes. Every stage's
+    // claimed shape (banded candidates, bounded buckets, broadcast
+    // anti-join) is what makes the end-to-end time scale ~linearly;
+    // all-pairs anywhere would show up as ~100× at 10× data.
+    def corpus(n: Long): DataFrame = {
+      val variant = concat(lit("v"),
+        pmod(xxhash64(col("id")), lit(977)))
+      val shared = (1 to 29).map(j => concat(lit("t"),
+        pmod(xxhash64(expr(s"(id div 10) * 31 + $j")), lit(5000))))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", variant +: shared: _*).as("text"))
+    }
+    def run(n: Long): (Long, Double) = {
+      var survivors = 0L
+      val sec = {
+        val t0 = System.nanoTime()
+        survivors = Dedup.dedupedCorpus(corpus(n), spark).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.sharedState.cacheManager.clearCache()
+      (survivors, sec)
+    }
+    run(1500L) // warm codegen/JIT so the ratio measures execution
+    val (s1, t1) = run(1500L)
+    val (s10, t10) = run(15000L)
+    timings += "dedup scale 1x" -> t1
+    timings += "dedup scale 10x" -> t10
+    info(f"dedup 1×: $t1%.2f s ($s1 survivors), 10×: $t10%.2f s ($s10)")
+    // one keeper per 10-doc group when LSH finds the cluster; allow
+    // slack for pairs a 16-perm signature misses
+    assert(s1 >= 150L && s1 <= 300L, s"unexpected survivor count $s1")
+    assert(s10 >= 1500L && s10 <= 3000L, s"unexpected survivor count $s10")
+    // sub-quadratic: 10× data in well under quadratic's 100× time
+    // (generous bound — a shared CI-ish host jitters small runs)
+    val ratio = t10 / math.max(t1, 0.5)
+    assert(ratio < 30.0,
+      f"dedup did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+  }
+
+  test("stress: IVF top-k scales sub-quadratically over a 10× " +
+    "synthetic embedding corpus") {
+    // 64-dim quantized embeddings from a hash recurrence, 32 IVF
+    // cells; query cost is |Q|·nprobe cells against ONE broadcast
+    // centroid matrix — corpus rows never fan out, so 10× vectors
+    // must cost ~10×, not 100× (the all-pairs failure the broadcast
+    // argmax expression exists to avoid).
+    def embs(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64), i ->
+        cast((cast(pmod(xxhash64(id * 64 + i), 2001) as double) - 1000.0)
+          / 1000.0 as float))""").as("embedding"),
+      pmod(xxhash64(col("id")), lit(32)).cast("int").as("label"))
+    def run(n: Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Similarity
+        .ivfTopK(embs(n), col("vec_id") < 20, k = 5, nprobe = 2)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      (rows, sec)
+    }
+    run(20000L) // warm
+    val (r1, t1) = run(20000L)
+    val (r10, t10) = run(200000L)
+    timings += "ivf scale 1x" -> t1
+    timings += "ivf scale 10x" -> t10
+    info(f"ivf 1×: $t1%.2f s ($r1 rows), 10×: $t10%.2f s ($r10 rows)")
+    // every query fills its top-k from ~n/32-deep probed cells
+    assert(r1 == 100L && r10 == 100L)
+    val ratio = t10 / math.max(t1, 0.5)
+    assert(ratio < 30.0,
+      f"ivf did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+  }
+
   test("stress timings summary") {
     // recorded for STATUS.md; scalatest orders tests in declaration
     // order within a suite, so everything above has run
