@@ -288,4 +288,47 @@ class PropertySpec extends AnyFunSuite {
       scalarOk && colOut.forall(r => r.getLong(2) == r.getLong(1))
     }, n = 8)
   }
+
+  // ------------------------------------------------- dedup clustering
+  test("property: connectedComponents driver fast path ≡ distributed " +
+    "loop ≡ an independent union-find model on arbitrary pair graphs") {
+    // three independent implementations must agree: the collect+DSU
+    // fast path (default), the iterative min-label loop (threshold 0),
+    // and a plain in-test DSU model. Graphs are small — the loop costs
+    // ~2 s/sample — but arbitrary: multi-components, cycles, dup
+    // edges, self-pairs excluded by construction in callers but kept
+    // legal here via filtering.
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        a <- Gen.choose(0L, 40L)
+        b <- Gen.choose(0L, 40L) if a != b
+      } yield (a, b)).map(_.take(30))
+    def model(edges: List[(Long, Long)]): Map[Long, (Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      parent.keys.map { n =>
+        val r = find(n)
+        n -> (r, if (n == r) 1L else 0L)
+      }.toMap
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    check(Prop.forAll(genEdges) { edges =>
+      val pairs = edges.toDF("d1", "d2")
+      val fast = canon(graft.operators.Dedup.connectedComponents(pairs))
+      val loop = canon(graft.operators.Dedup.connectedComponents(pairs,
+        localEdgeThreshold = 0))
+      val m = model(edges)
+      fast == m && loop == m
+    }, n = 6)
+  }
 }
