@@ -345,47 +345,70 @@ object Dedup {
     * iterative graph algorithms.
     *
     * Small graphs — the COMMON case — take a bounded driver-side fast
-    * path instead: when the materialized edge list holds at most
-    * `localEdgeThreshold` rows (≈ 2·pairs + nodes; the default 2 M ≈
-    * tens of MB of longs — broadcast-sized), it is collected once from
-    * the edge cache and clustered by union-find with union-by-minimum,
-    * which yields the identical (cluster_id = min reachable id, keep =
-    * canonical) answer in microseconds. Rationale, measured at sf0.1:
-    * the iterative loop's per-materialization constants (job scheduling
-    * + AQE planning + the convergence probe across 4+ shuffle stages)
-    * cost ~2 s REGARDLESS of graph size — pure overhead on the
-    * few-hundred-row pair graphs every dedup run produces, and the
-    * dominant stage of the whole dedupedCorpus pipeline. The collect is
-    * bounded exactly like a broadcast join's build side (a threshold
-    * decides, the distributed loop is the over-threshold fallback), so
-    * this is the broadcast-threshold pattern, not an unbounded
-    * driver-side loop. The fast path engages only for integer/long id
-    * columns (every call site; anything else falls through to the
-    * loop). Set `localEdgeThreshold = 0` to force the distributed loop
-    * (StressSpec does, to pin the loop's own contract). */
+    * path instead: when the pair list holds at most
+    * `localEdgeThreshold / 4` rows (the loop-equivalent edge table is
+    * 2·pairs + nodes ≤ 4·pairs rows, so this keeps the collected
+    * volume within the same `localEdgeThreshold` bound — the default
+    * 2 M edges ≈ tens of MB of longs, broadcast-sized), the RAW pair
+    * projection is collected and clustered by union-find with
+    * union-by-minimum, which yields the identical (cluster_id = min
+    * reachable id, keep = canonical) answer in microseconds. The
+    * symmetric mirror, self-loops, node distinct, and src-repartition
+    * are all LOOP machinery (they make `propagate` total and
+    * shuffle-stable); union-find derives both directions and the node
+    * set from the pair rows, so the fast path skips their two
+    * shuffles entirely — profiled at sf0.1, that machinery was the
+    * bulk of the CC stage's remaining ~1.2 s on few-hundred-row
+    * graphs. Rationale for the fast path itself, measured at sf0.1:
+    * the iterative loop's per-materialization constants (job
+    * scheduling + AQE planning + the convergence probe across 4+
+    * shuffle stages) cost ~2 s REGARDLESS of graph size — pure
+    * overhead on the pair graphs every dedup run produces, and the
+    * dominant stage of the whole dedupedCorpus pipeline. The collect
+    * is bounded exactly like a broadcast join's build side (a
+    * threshold decides, the distributed loop is the over-threshold
+    * fallback), so this is the broadcast-threshold pattern, not an
+    * unbounded driver-side loop. The fast path engages only for
+    * integer/long id columns (every call site; anything else falls
+    * through to the loop). Set `localEdgeThreshold = 0` to force the
+    * distributed loop (StressSpec does, to pin the loop's own
+    * contract). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeThreshold: Long = 2L << 20): DataFrame = {
-    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    val nodes = sym.select(col("src").as("node")).distinct()
-    val edges = sym
-      .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .repartition(col("src")).persist()
     val idType = pairs.schema("d1").dataType
     val localEligible = (localEdgeThreshold > 0) &&
       (idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType)
+    // the raw pair projection, cached once: the fast path collects it
+    // directly; the loop's edge table reads it THREE times (two sym
+    // branches + the node distinct) — without this cache an
+    // un-persisted input (e.g. a verify join handed straight in) would
+    // replay its whole upstream per read. Ownership check first: an
+    // alias-only Project CANONICALIZES to its child, so when the
+    // caller already persisted the pair frame (dedupedCorpus does)
+    // this plan hits the same cache entry — persisting again would
+    // double-register and, fatally, unpersisting here would drop the
+    // CALLER's cache out from under its later reads.
+    val basePlan = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    val ownCache =
+      basePlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val base = if (ownCache) basePlan.persist() else basePlan
+    def releaseBase(): Unit = if (ownCache) base.unpersist()
     if (localEligible) {
-      // one count materializes the edge cache (the loop's first job
-      // would have paid the same materialization)
-      val nEdges = edges.count()
-      if (nEdges <= localEdgeThreshold) {
-        val result = localComponents(pairs.sparkSession, edges,
+      val nPairs = base.count()
+      if (nPairs <= localEdgeThreshold / 4) {
+        val result = localComponents(pairs.sparkSession, base,
           idType == org.apache.spark.sql.types.IntegerType)
-        edges.unpersist()
+        releaseBase()
         return result
       }
     }
+    val sym = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val edges = sym
+      .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("src")).persist()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     def lblSum = sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum")
     def propagate(l: DataFrame): DataFrame = edges
@@ -505,20 +528,22 @@ object Dedup {
     generations.foreach(g => g.unpersist())
     labels.unpersist()
     edges.unpersist()
+    releaseBase()
     out.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
       when(col("node") === col("lbl"), 1L).otherwise(0L).as("keep"))
   }
 
   /** Driver-side union-find over a COLLECTED edge list (the
     * [[connectedComponents]] small-graph fast path — see its scaladoc
-    * for the threshold contract). `edges` is the symmetric+self-loop
-    * edge frame: rows with src == dst enumerate the node set, rows
-    * with src < dst each name one undirected pair (the src > dst
-    * mirrors are skipped). Union-by-minimum keeps every DSU root the
-    * minimum id of its component — find() IS the cluster label, the
-    * exact semantics of the distributed min-label loop. Output schema
-    * matches the loop's: (doc_id <id type>, cluster_id <id type>,
-    * keep long). */
+    * for the threshold contract). `edges` is any two-id-column frame
+    * whose rows name every undirected pair at least once in either
+    * direction — the raw (d1, d2) pair projection suffices: both
+    * endpoints register the nodes, symmetric mirrors and self-loops
+    * (if present) are no-op re-unions. Union-by-minimum keeps every
+    * DSU root the minimum id of its component — find() IS the cluster
+    * label, the exact semantics of the distributed min-label loop.
+    * Output schema matches the loop's: (doc_id <id type>,
+    * cluster_id <id type>, keep long). */
   private def localComponents(spark: SparkSession, edges: DataFrame,
       intIds: Boolean): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
