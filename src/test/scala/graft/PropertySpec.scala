@@ -331,4 +331,99 @@ class PropertySpec extends AnyFunSuite {
       fast == m && loop == m
     }, n = 6)
   }
+
+  // ------------------------------------------------- lexical retrieval
+  test("property: lexicalTopK / bm25TopK / mineHardNegatives ≡ an " +
+    "independent integer-exact model on arbitrary corpora") {
+    // the three retrieval surfaces re-derived in plain Scala with the
+    // same floor-division arithmetic: df over query-vocab postings,
+    // wt = scale div df, the BM25 contrib rational, the integer
+    // Jaccard gate, and (-score, doc_id) top-k ordering. A tiny
+    // alphabet forces score ties (the doc_id tiebreak), repeated
+    // sampling forces tf > 1 (saturation), and empty texts exercise
+    // the tokenized-docs-only avgdl rule.
+    import graft.operators.Retrieval
+    val (k, nNeg, scale, tauNum, tauDen) = (3, 2, 1000000L, 1L, 2L)
+    val genDocs: Gen[List[(Long, String)]] = for {
+      nd <- Gen.choose(4, 8)
+      texts <- Gen.listOfN(nd, Gen.choose(0, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, 5).map(i => s"w$i"))
+          .map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def toks(s: String): Array[String] = s.split(" ").filter(_.length >= 1)
+    def rankTopK(scores: Seq[(Long, Long)], n: Int): Seq[(Long, Long, Long)] =
+      scores.sortBy { case (d, s) => (-s, d) }.take(n)
+        .zipWithIndex.map { case ((d, s), i) => (i + 1L, d, s) }
+    // shared model pieces: query token sets and the pruned-postings df
+    def modelCommon(docs: List[(Long, String)], queryIds: Seq[Long]) = {
+      val qt = queryIds.map(q => q -> toks(docs.toMap.apply(q)).toSet).toMap
+      val qvocab = qt.values.flatten.toSet
+      val dset = docs.map { case (d, t) => d -> toks(t) }
+      val df = qvocab.iterator.map(w =>
+        w -> dset.count(_._2.contains(w)).toLong).filter(_._2 > 0).toMap
+      (qt, dset, df.map { case (w, n) => w -> scale / n })
+    }
+    def modelLexical(docs: List[(Long, String)], queryIds: Seq[Long],
+        n: Int): Map[Long, Seq[(Long, Long, Long)]] = {
+      val (qt, dset, wt) = modelCommon(docs, queryIds)
+      queryIds.map { q =>
+        val scores = dset.collect { case (d, ws)
+          if d != q && (ws.toSet & qt(q)).nonEmpty =>
+          (d, (ws.toSet & qt(q)).toSeq.map(wt).sum)
+        }
+        q -> rankTopK(scores, n)
+      }.toMap.filter(_._2.nonEmpty)
+    }
+    def modelBm25(docs: List[(Long, String)],
+        queryIds: Seq[Long]): Map[Long, Seq[(Long, Long, Long)]] = {
+      val (qt, dset, wt) = modelCommon(docs, queryIds)
+      val dl = dset.map { case (d, ws) => d -> ws.length.toLong }.toMap
+      val tokenized = dl.values.filter(_ >= 1L)
+      if (tokenized.isEmpty) return Map.empty
+      val avgdl = tokenized.sum / tokenized.size
+      queryIds.map { q =>
+        val scores = dset.collect { case (d, ws)
+          if d != q && (ws.toSet & qt(q)).nonEmpty =>
+          val dlr = (1000L * dl(d)) / avgdl
+          (d, (ws.toSet & qt(q)).toSeq.map { w =>
+            val tf = ws.count(_ == w).toLong
+            (wt(w) * tf * 2200L) / (1000L * tf + 300L + (9L * dlr) / 10L)
+          }.sum)
+        }
+        q -> rankTopK(scores, 5)
+      }.toMap.filter(_._2.nonEmpty)
+    }
+    def modelMine(docs: List[(Long, String)],
+        queryIds: Seq[Long]): Map[Long, Seq[(Long, Long, Long)]] = {
+      val cand = modelLexical(docs, queryIds, k)
+      val dmap = docs.toMap
+      cand.map { case (q, top) =>
+        val qs = toks(dmap(q)).toSet
+        val kept = top.collect { case (_, d, s) =>
+          val ds = toks(dmap(d)).toSet
+          val ni = (qs & ds).size.toLong
+          (d, s, tauDen * ni < tauNum * (qs.size + ds.size - ni))
+        }.collect { case (d, s, true) => (d, s) }
+        q -> rankTopK(kept, nNeg)
+      }.filter(_._2.nonEmpty)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Long, Long)]] = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(_._2).sortBy(_._1).toSeq }
+    check(Prop.forAll(genDocs) { docs =>
+      val queryIds = docs.map(_._1).filter(_ % 2 == 0)
+      val corpus = docs.toDF("doc_id", "text")
+      val queries = docs.filter(t => queryIds.contains(t._1))
+        .map { case (d, t) => (d, t) }.toDF("query_id", "text")
+      val lex = canon(Retrieval.lexicalTopK(corpus, queries, k, scale))
+      val bm = canon(Retrieval.bm25TopK(corpus, queries, 5, scale))
+      val mine = canon(Retrieval.mineHardNegatives(corpus, queries,
+        k, nNeg, scale, tauNum, tauDen, "lexical"))
+      lex == modelLexical(docs, queryIds, k) &&
+        bm == modelBm25(docs, queryIds) &&
+        mine == modelMine(docs, queryIds)
+    }, n = 8)
+  }
 }

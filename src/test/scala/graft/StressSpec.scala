@@ -799,6 +799,45 @@ class StressSpec extends AnyFunSuite {
       f"ivf did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
   }
 
+  test("stress: BM25 retrieval scales ~linearly over a 10× corpus " +
+    "with a fixed query set") {
+    // the bench-tail family's 100 TB argument: with Q fixed, every
+    // stage is linear in the corpus — postings tf aggregate, the
+    // query-vocab prune, the Q-fanout scoring aggregate (Q×N pairs),
+    // and the bounded top-k. Docs share one hot token with every
+    // query (the dense regime: every doc is a candidate for every
+    // query) plus rare tokens; 10× docs must cost ~10×, not the
+    // all-pairs-style blowup a sort-merge or window regression would
+    // produce.
+    def corpus(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("the u"), col("id").cast("string"), lit(" t"),
+        pmod(xxhash64(col("id")), lit(997))).as("text"))
+    val queries = spark.range(8).select(
+      (col("id") + 10000000L).as("query_id"),
+      concat(lit("the u"), (col("id") * 977).cast("string")).as("text"))
+      .persist()
+    def run(n: Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Retrieval
+        .bm25TopK(corpus(n), queries, k = 5).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      (rows, sec)
+    }
+    run(30000L) // warm
+    val (r1, t1) = run(30000L)
+    val (r10, t10) = run(300000L)
+    queries.unpersist()
+    timings += "bm25 scale 1x" -> t1
+    timings += "bm25 scale 10x" -> t10
+    info(f"bm25 1×: $t1%.2f s ($r1 rows), 10×: $t10%.2f s ($r10 rows)")
+    assert(r1 == 40L && r10 == 40L) // 8 queries × k=5 at both scales
+    val ratio = t10 / math.max(t1, 0.5)
+    assert(ratio < 30.0,
+      f"bm25 did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+  }
+
   test("stress timings summary") {
     // recorded for STATUS.md; scalatest orders tests in declaration
     // order within a suite, so everything above has run
