@@ -426,4 +426,74 @@ class PropertySpec extends AnyFunSuite {
         mine == modelMine(docs, queryIds)
     }, n = 8)
   }
+
+  // ------------------------------------------------- simhash blocking
+  test("property: simhashHammingDups ≡ the brute-force Hamming ball " +
+    "over its own fingerprints, for arbitrary bits × maxDist") {
+    // the pigeonhole blocking's recall-losslessness claim, tested
+    // directly: with the bucket cap out of the way, the blocked
+    // equi-join + popcount verify must produce EXACTLY the pairs a
+    // brute-force all-pairs popcount finds over the operator's own
+    // simhash output — for any corpus, any fingerprint width, and any
+    // radius (including maxDist = 0, where blocks = 1 ⇒ the whole
+    // fingerprint is the key). A tiny alphabet collapses many docs to
+    // identical or near fingerprints, so the ball is dense.
+    import graft.operators.Dedup
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nd <- Gen.choose(3, 10)
+      texts <- Gen.listOfN(nd, Gen.choose(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, 3).map(i => s"w$i"))
+          .map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val genParams: Gen[(Int, Int)] = for {
+      bits <- Gen.choose(6, 20)
+      maxDist <- Gen.choose(0, 3)
+    } yield (bits, maxDist)
+    check(Prop.forAll(genCorpus, genParams) { case (docs, (bits, maxDist)) =>
+      val corpus = docs.toDF("doc_id", "text")
+      val fp = Dedup.simhash(corpus, spark, bits).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        d1 <- fp.keys; d2 <- fp.keys if d1 < d2
+        if java.lang.Long.bitCount(fp(d1) ^ fp(d2)) <= maxDist
+      } yield (d1, d2)).toSet
+      val actual = Dedup.simhashHammingDups(corpus, spark, bits, maxDist,
+          maxBucket = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      actual == expected
+    }, n = 10)
+  }
+
+  // ------------------------------------------------- bounded top-k
+  test("property: TopK.smallestK ≡ sorted-take under forced " +
+    "multi-partition merges, for arbitrary groups × k") {
+    // every ranking surface (retrieval, catalog first-N, hover top-k)
+    // rides this aggregate; the retrieval property above only feeds it
+    // single-buffer-sized groups. Here rows repartition round-robin
+    // across 16 partitions so every group's state must go through
+    // reduce AND merge, with duplicate (key, tie) pairs and negative
+    // keys included; the model is a plain lexicographic sort-take.
+    import graft.operators.TopK
+    val genRows: Gen[List[(Long, Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        g <- Gen.choose(0L, 5L)
+        t <- Gen.choose(-50L, 50L)
+        tie <- Gen.choose(0L, 8L)
+      } yield (g, t, tie)).map(_.take(400))
+    check(Prop.forAll(genRows, Gen.choose(1, 6)) { (rows, k) =>
+      val df = rows.toDF("g", "t", "tie").repartition(16)
+      val out = df.groupBy(col("g"))
+        .agg(TopK.smallestK(k, col("t"), col("tie")).as("top"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getLong(0), p.getLong(1))))
+        .toMap
+      val model = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3))
+          .sortBy(identity).take(k)
+      }
+      out == model
+    }, n = 12)
+  }
 }
