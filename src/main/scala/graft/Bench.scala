@@ -10,17 +10,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // local[32] is the stated bench harness; allow override for dev runs
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.plans.DerivedDivBounds.register(spark)
+    val sfDir = Harness.sfDir
+    // bench-standard session (local[32] + confs) — shared with the
+    // profilers through Harness so their numbers stay comparable
+    val spark = Harness.session()
     // Warm-up: run EVERY query once at the smallest SF before timing.
     // Each query's generated code (whole-stage codegen classes) is
     // plan-specific, so scanning a few tables warms almost nothing —
@@ -30,9 +23,7 @@ object Bench {
     // loops at sf0.001 cost (sub-second per query); the timed pass then
     // measures execution, which is what a long-lived cluster session
     // actually experiences.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
+    val warmDir = Harness.warmDir
     // dev-only subset filter, shared with Verify — loud when active
     // (a leaked filter in a driver bench would otherwise silently
     // shrink the suite AND overwrite BENCH_SELF.json with partials)

@@ -111,33 +111,6 @@ object ProfileDedup {
     out.toSeq
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.plans.DerivedDivBounds.register(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // warm pass (Janino + JIT, same rationale as Bench)
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
-    profile(spark, warmDir)
-    // min-of-3 per stage, like Bench
-    val passes = Seq(profile(spark, sfDir), profile(spark, sfDir),
-      profile(spark, sfDir))
-    val names = passes.head.map(_._1)
-    val best = names.map { n =>
-      n -> passes.map(_.toMap.apply(n)).min
-    }
-    val js = best.map { case (k, v) => Verify.q(k) + ":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"dedup_profile","unit":"sec","stages":$js,""" +
-      s""""passes":3,"agg":"min","sf":${Verify.q(sfDir)}}""")
-    spark.stop()
-  }
+  def main(args: Array[String]): Unit =
+    Harness.runProfile("dedup_profile", profile)
 }

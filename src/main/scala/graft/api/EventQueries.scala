@@ -929,7 +929,11 @@ object EventQueries {
   private def stagedStreamDir(s: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     if (java.nio.file.Files.isDirectory(src)) src.toString
-    else streamDirs.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
+    // keyed by the stable session UUID (identity hashes can be reused
+    // after GC — see SkewOps.sessionKey); the compute is pure file IO,
+    // so holding the bin lock across it is fine (no Spark job)
+    else streamDirs.computeIfAbsent(
+        s"${graft.operators.SkewOps.sessionKey(s)}|$dir", _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-stream")
       java.nio.file.Files.copy(src, d.resolve("events.parquet"))
       d.toString
@@ -974,33 +978,39 @@ object EventQueries {
     val ad = new EventsArchiveAdapter(s, dir)
     val schema = ad.raw.schema // also sets nanosAsLong for legacy data
     val tUs = eventTimeUs(schema)
-    val stream = s.readStream.schema(schema)
-      .parquet(stagedStreamDir(s, dir))
-      .select(
-        concat(lit("u"), col("user_id"), lit("/"), col("event_type"))
-          .as("att_name"),
-        timestamp_micros(tUs).as("data_time"),
-        col("value").as("value_r"))
-    val resampled =
-      graft.streaming.StreamOps.streamingResample(stream, "5m", "1 minute")
     val name = s"q32_sink_${streamSinkSeq.incrementAndGet()}"
-    // state partitions derived from input volume — see streamStatePartitions
+    // state partitions derived from input volume — see
+    // streamStatePartitions. The WHOLE pipeline (UDF registration,
+    // file stream, sink read) is built on the clone the helper hands
+    // us: the memory sink registers in the session that runs the
+    // query, and registrations do not carry across sessions.
     graft.streaming.StreamOps.withStatePartitions(
-        s, streamStatePartitions(s, dir)) {
+        s, streamStatePartitions(s, dir)) { sess =>
+      graft.functions.MicrosOf.register(sess)
+      val stream = sess.readStream.schema(schema)
+        .parquet(stagedStreamDir(s, dir))
+        .select(
+          concat(lit("u"), col("user_id"), lit("/"), col("event_type"))
+            .as("att_name"),
+          timestamp_micros(tUs).as("data_time"),
+          col("value").as("value_r"))
+      val resampled =
+        graft.streaming.StreamOps.streamingResample(stream, "5m", "1 minute")
       val q = resampled.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val out = sess.table(name)
+        .select(col("att_name"), col("bucket_us"), col("n"))
+        .orderBy(col("att_name"), col("bucket_us"))
+      // the analyzed plan embeds the sink relation, so dropping the
+      // name changes nothing for `out` — but without it every bench/
+      // verify pass pins another full-result memory sink for the
+      // session's life
+      sess.catalog.dropTempView(name)
+      out
     }
-    val out = s.table(name)
-      .select(col("att_name"), col("bucket_us"), col("n"))
-      .orderBy(col("att_name"), col("bucket_us"))
-    // the analyzed plan embeds the sink relation, so dropping the name
-    // changes nothing for `out` — but without it every bench/verify
-    // pass pins another full-result memory sink for the session's life
-    s.catalog.dropTempView(name)
-    out
   }
 
   private val q32Sql =
@@ -1027,25 +1037,27 @@ object EventQueries {
     graft.functions.MicrosOf.register(s)
     val ad = new EventsArchiveAdapter(s, dir)
     val schema = ad.raw.schema // also sets nanosAsLong for legacy data
-    val stream = s.readStream.schema(schema)
-      .parquet(stagedStreamDir(s, dir))
-      .select(col("user_id"),
-        timestamp_micros(eventTimeUs(schema)).as("data_time"))
-    val sessions = graft.streaming.StreamOps.streamingSessions(
-      stream, "user_id", "data_time", "30 minutes", "1 minute")
     val name = s"q33_sink_${streamSinkSeq.incrementAndGet()}"
-    // state partitions derived from input volume — see streamStatePartitions
+    // state partitions derived from input volume — see
+    // streamStatePartitions; pipeline built on the clone (see q32)
     graft.streaming.StreamOps.withStatePartitions(
-        s, streamStatePartitions(s, dir)) {
+        s, streamStatePartitions(s, dir)) { sess =>
+      graft.functions.MicrosOf.register(sess)
+      val stream = sess.readStream.schema(schema)
+        .parquet(stagedStreamDir(s, dir))
+        .select(col("user_id"),
+          timestamp_micros(eventTimeUs(schema)).as("data_time"))
+      val sessions = graft.streaming.StreamOps.streamingSessions(
+        stream, "user_id", "data_time", "30 minutes", "1 minute")
       val q = sessions.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val out = sess.table(name).orderBy(col("user_id"), col("t_start"))
+      sess.catalog.dropTempView(name) // see q32 — bounds sink accumulation
+      out
     }
-    val out = s.table(name).orderBy(col("user_id"), col("t_start"))
-    s.catalog.dropTempView(name) // see q32 — bounds sink accumulation
-    out
   }
 
   private val q33Sql =
@@ -1088,23 +1100,25 @@ object EventQueries {
     // — two file-stream states, each listing and reading every file
     // per batch. Same rows, same hash; roughly half the fixed source
     // machinery cost (this was the suite's slowest query at r9).
-    val src = s.readStream.schema(schema).parquet(stagedStreamDir(s, dir))
-    val purchases = src.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("pid"),
-        timestamp_micros(eventTimeUs(schema)).as("pt"),
-        col("value").as("value_r"))
-    val errors = src.where(col("event_type") === "error")
-      .select(col("user_id"), col("event_id").as("err_id"),
-        timestamp_micros(eventTimeUs(schema)).as("ot"))
-    val joined = graft.streaming.StreamOps.streamingRangeJoin(
-      purchases, errors, "user_id", "pt", "ot", "1 hour", "1 minute")
     val name = s"q34_sink_${streamSinkSeq.incrementAndGet()}"
     // state partitions derived from input volume (the join keeps 4
     // state stores per partition, so over-partitioning tiny state
     // costs pure per-batch commit I/O: 32 → 7.3 s, 8 → 2.6 s at
-    // sf0.1) — see streamStatePartitions
+    // sf0.1) — see streamStatePartitions; pipeline on the clone (q32)
     graft.streaming.StreamOps.withStatePartitions(
-        s, streamStatePartitions(s, dir)) {
+        s, streamStatePartitions(s, dir)) { sess =>
+      graft.functions.MicrosOf.register(sess)
+      val src =
+        sess.readStream.schema(schema).parquet(stagedStreamDir(s, dir))
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          timestamp_micros(eventTimeUs(schema)).as("pt"),
+          col("value").as("value_r"))
+      val errors = src.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          timestamp_micros(eventTimeUs(schema)).as("ot"))
+      val joined = graft.streaming.StreamOps.streamingRangeJoin(
+        purchases, errors, "user_id", "pt", "ot", "1 hour", "1 minute")
       val q = joined
         .select(col("user_id"), col("err_id"), col("pid"),
           unix_micros(col("pt")).as("t"), col("value_r"))
@@ -1113,11 +1127,11 @@ object EventQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val out = sess.table(name)
+        .orderBy(col("user_id"), col("err_id"), col("pid"))
+      sess.catalog.dropTempView(name) // see q32 — bounds sink accumulation
+      out
     }
-    val out = s.table(name)
-      .orderBy(col("user_id"), col("err_id"), col("pid"))
-    s.catalog.dropTempView(name) // see q32 — bounds sink accumulation
-    out
   }
 
   private val q34Sql =

@@ -896,33 +896,44 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
 
   private def p60(s: SparkSession, dir: String): DataFrame = {
-    val (stateRoot, streamDir, nDocs) =
-      p60Roots.computeIfAbsent(s"${s.hashCode()}|$dir", _ => {
-        val state = java.nio.file.Files
-          .createTempDirectory("graft-p60-state").toString
-        Dedup.writeDedupState(
-          docs(s, dir).where(col("doc_id") % 2 === 0), state)
-        // the file-stream source needs a directory; documents.parquet
-        // is a single file in the driver layout (see EventQueries
-        // .stagedStreamDir for the directory-shaped case's handling)
-        val src = java.nio.file.Paths.get(dir, "documents.parquet")
-        val sd =
-          if (java.nio.file.Files.isDirectory(src)) src.toString
-          else {
-            val d = java.nio.file.Files
-              .createTempDirectory("graft-p60-stream")
-            java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
-            d.toString
-          }
-        (state, sd, docs(s, dir).count())
-      })
-    val stream = s.readStream.schema(docs(s, dir).schema).parquet(streamDir)
+    // fixture staged OUTSIDE the map's bin lock — writeDedupState and
+    // count are Spark jobs, and a job under computeIfAbsent would
+    // block unrelated readers sharing the bin (see SkewOps); keyed by
+    // the stable session UUID, not the reusable identity hash. A lost
+    // putIfAbsent race leaks one temp dir — harmless and bounded.
+    val key = s"${graft.operators.SkewOps.sessionKey(s)}|$dir"
+    var entry = p60Roots.get(key)
+    if (entry == null) {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-p60-state").toString
+      Dedup.writeDedupState(
+        docs(s, dir).where(col("doc_id") % 2 === 0), state)
+      // the file-stream source needs a directory; documents.parquet
+      // is a single file in the driver layout (see EventQueries
+      // .stagedStreamDir for the directory-shaped case's handling)
+      val src = java.nio.file.Paths.get(dir, "documents.parquet")
+      val sd =
+        if (java.nio.file.Files.isDirectory(src)) src.toString
+        else {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-p60-stream")
+          java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
+          d.toString
+        }
+      val computed = (state, sd, docs(s, dir).count())
+      val prev = p60Roots.putIfAbsent(key, computed)
+      entry = if (prev == null) computed else prev
+    }
+    val (stateRoot, streamDir, nDocs) = entry
+    val schema = docs(s, dir).schema
     val name = s"p60_sink_${p60Sink.incrementAndGet()}"
     // shuffle partitions derived from input volume (the op itself is
     // STATELESS — the corpus is the state — so this sizes the
-    // anti-join shuffle, same volume rule) — see statePartitionsFor
+    // anti-join shuffle, same volume rule) — see statePartitionsFor;
+    // pipeline built on the clone the helper hands us (q32 note)
     graft.streaming.StreamOps.withStatePartitions(
-        s, graft.streaming.StreamOps.statePartitionsFor(nDocs)) {
+        s, graft.streaming.StreamOps.statePartitionsFor(nDocs)) { sess =>
+      val stream = sess.readStream.schema(schema).parquet(streamDir)
       val q = graft.streaming.StreamOps
         .streamingExactDedupAgainstCorpus(stream, stateRoot)
         .select(col("doc_id"), col("fp"))
@@ -931,10 +942,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val out = sess.table(name).orderBy(col("doc_id"))
+      sess.catalog.dropTempView(name) // bounds sink accumulation (q32)
+      out
     }
-    val out = s.table(name).orderBy(col("doc_id"))
-    s.catalog.dropTempView(name) // bounds sink accumulation (q32 note)
-    out
   }
   private val p60Sink = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -44,38 +44,71 @@ object ArchiveCache {
   final class PeriodCache(fetch: String => DataFrame,
       today: () => String, maxPersistedDays: Int = Int.MaxValue) {
     require(maxPersistedDays > 0, "maxPersistedDays must be positive")
-    // access-ordered for LRU; all access is under its own monitor (a
-    // period fetch is a Spark job — seconds — so lock granularity is
-    // irrelevant next to the work it guards)
-    private val closed = new java.util.LinkedHashMap[String, DataFrame](
+    // access-ordered for LRU. The map's monitor guards only get/put/
+    // evict BOOKKEEPING — the fetch+persist itself runs under the
+    // per-day Slot's own lazy-val lock, so a miss in flight blocks
+    // only same-day callers; cache hits on other days never wait
+    // behind it (an earlier design ran fetch under this monitor,
+    // turning every concurrent hit into a full-fetch-latency stall).
+    private val closed = new java.util.LinkedHashMap[String, Slot](
       16, 0.75f, true)
     private[graft] var fetches = 0L   // instrumentation for tests
     private[graft] var evictions = 0L // instrumentation for tests
+
+    /** One closed day's memoized frame. `df` is a lazy val: the first
+      * accessor computes fetch+persist (confined to this slot's
+      * monitor), later same-day callers block here and reuse it; a
+      * failed fetch leaves the lazy val uninitialized, so the next
+      * access retries rather than caching the failure. `ready` is set
+      * only after a successful compute — eviction unpersists through
+      * it and skips slots still mid-compute (the computing thread's
+      * post-insert check below handles that race). */
+    private final class Slot(p: String) {
+      @volatile var ready: DataFrame = _
+      lazy val df: DataFrame = {
+        closed.synchronized { fetches += 1 }
+        val d = fetch(p).persist(StorageLevel.MEMORY_AND_DISK)
+        ready = d
+        d
+      }
+    }
 
     /** Frame for one period: persisted+memoized if the period is
       * closed (strictly before today), fetched fresh otherwise. */
     def period(p: String): DataFrame = {
       val isClosed = p < today()
-      if (isClosed) closed.synchronized {
+      if (!isClosed) {
+        closed.synchronized { fetches += 1 }
+        return fetch(p)
+      }
+      var created: Slot = null
+      val slot = closed.synchronized {
         val hit = closed.get(p) // get() records the access for LRU
         if (hit != null) hit
         else {
-          fetches += 1
-          val df = fetch(p).persist(StorageLevel.MEMORY_AND_DISK)
-          closed.put(p, df)
+          created = new Slot(p)
+          closed.put(p, created)
+          created
+        }
+      }
+      val df = slot.df // fetch+persist OUTSIDE the map monitor
+      if (created != null) {
+        val evictedMeanwhile = closed.synchronized {
           while (closed.size > maxPersistedDays) {
             val it = closed.entrySet().iterator()
-            it.next().getValue.unpersist()
+            val eldest = it.next().getValue
+            if (eldest.ready != null) eldest.ready.unpersist()
             it.remove()
             evictions += 1
           }
-          df
+          !closed.containsKey(p)
         }
+        // lost a race with eviction/invalidate while computing: the
+        // frame is no longer tracked, so release it ourselves (the
+        // caller still gets a valid, merely unpersisted, frame)
+        if (evictedMeanwhile) df.unpersist()
       }
-      else {
-        fetches += 1
-        fetch(p)
-      }
+      df
     }
 
     /** Union of [p0, p1] (inclusive, "YYYY-MM-DD" strings) — the
@@ -89,7 +122,9 @@ object ArchiveCache {
     }
 
     def invalidate(): Unit = closed.synchronized {
-      closed.values.forEach(df => { df.unpersist(); () })
+      // mid-compute slots (ready == null) are released by their
+      // computing thread's post-insert check in period()
+      closed.values.forEach(s => { if (s.ready != null) s.ready.unpersist(); () })
       closed.clear()
     }
   }

@@ -376,7 +376,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeThreshold: Long = 2L << 20): DataFrame = {
     val idType = pairs.schema("d1").dataType
+    // BOTH columns must carry the same accepted id type — a mixed
+    // long/int frame would reach localComponents' typed getters and
+    // ClassCastException, where the loop's union would coerce; such
+    // frames (and any other type) fall through to the loop
     val localEligible = (localEdgeThreshold > 0) &&
+      pairs.schema("d2").dataType == idType &&
       (idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType)
     // the raw pair projection, cached once: the fast path collects it
@@ -456,6 +461,8 @@ object Dedup {
     var sinceCheckpoint = 0
     var depth = 2
     val generations = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val out =
+    try {
     while (!converged && round < maxIter) {
       // jump on the MATERIALIZED label frame only (self-joining a lazy
       // composed chain would replay its whole subtree twice — `labels`
@@ -523,12 +530,17 @@ object Dedup {
       s"$maxIter rounds; raise maxIter for pathological pair graphs " +
       "(pointer jumping makes each extra round count geometrically)")
     // detach the result from the generation caches (one cheap job over
-    // the O(nodes) label table), then release every intermediate
-    val out = labels.localCheckpoint(true)
-    generations.foreach(g => g.unpersist())
-    labels.unpersist()
-    edges.unpersist()
-    releaseBase()
+    // the O(nodes) label table) — the finally then releases them
+    labels.localCheckpoint(true)
+    } finally {
+      // release every intermediate on BOTH paths: the non-convergence
+      // require (and any mid-loop failure) must not leak the persisted
+      // base/edges/labels/generations into the cache manager
+      generations.foreach(g => g.unpersist())
+      labels.unpersist()
+      edges.unpersist()
+      releaseBase()
+    }
     out.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
       when(col("node") === col("lbl"), 1L).otherwise(0L).as("keep"))
   }
@@ -557,6 +569,11 @@ object Dedup {
     // toLocalIterator would re-run per-partition jobs against the same
     // cache; one collect of a threshold-bounded frame is the point
     edges.collect().foreach { row =>
+      // a null endpoint never unions anything (the loop's equi-joins
+      // likewise never propagate through null); id columns are
+      // non-null at every call site, so this is pure defense
+      if (row.isNullAt(0) || row.isNullAt(1)) ()
+      else {
       val (s, d) =
         if (intIds) (row.getInt(0).toLong, row.getInt(1).toLong)
         else (row.getLong(0), row.getLong(1))
@@ -566,6 +583,7 @@ object Dedup {
         val (rs, rd) = (find(s), find(d))
         if (rs < rd) parent.put(rd, rs)
         else if (rd < rs) parent.put(rs, rd)
+      }
       }
     }
     val out = new scala.collection.mutable.ArrayBuffer[

@@ -23,42 +23,45 @@ import graft.functions.TimeFns
   */
 object StreamOps {
 
-  /** Start-and-drain a streaming query with the session's shuffle
-    * partitions — which FIX the query's state-partition count for the
-    * life of its checkpoint — set to `n`, restoring the prior value
-    * after `body`. State partitions are an operational sizing knob
-    * (state volume ÷ target per-partition state), NOT a parallelism
-    * knob: every stateful operator commits one state-store delta per
-    * partition per micro-batch, so an over-partitioned tiny-state
-    * stream pays pure fixed I/O — measured on the sf0.1 range join,
-    * 32 partitions × 4 join stores ran 7.3 s where 8 partitions run
-    * 2.6 s for identical output. A real deployment sizes `n` by the
-    * watermark-window's state volume and scales it with load; the
-    * probe-side shuffle uses the same count, so keep it ≥ the
-    * executor count once state is executor-memory-sized.
+  /** Run `body` against a SESSION CLONE whose shuffle partitions —
+    * which FIX a streaming query's state-partition count for the life
+    * of its checkpoint — are set to `n`. State partitions are an
+    * operational sizing knob (state volume ÷ target per-partition
+    * state), NOT a parallelism knob: every stateful operator commits
+    * one state-store delta per partition per micro-batch, so an
+    * over-partitioned tiny-state stream pays pure fixed I/O — measured
+    * on the sf0.1 range join, 32 partitions × 4 join stores ran 7.3 s
+    * where 8 partitions run 2.6 s for identical output. A real
+    * deployment sizes `n` by the watermark-window's state volume and
+    * scales it with load; the probe-side shuffle uses the same count,
+    * so keep it ≥ the executor count once state is executor-memory-
+    * sized.
     *
-    * CAVEAT — session-global mutation: `spark.sql.shuffle.partitions`
-    * is session state, so any OTHER query planned on this session
-    * while `body` runs picks up `n`. Overlapping calls are serialized
-    * by a process-wide lock (so restores can never interleave
-    * last-writer-wins), but the conf is still visible to unrelated
-    * queries planned concurrently on the same session — a service
-    * wanting truly concurrent streams should start each on its own
-    * `spark.newSession()` clone instead (the clone shares the
-    * SparkContext but owns its conf). */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
-    statePartitionsLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, n.toString)
-      try body finally spark.conf.set(key, prev)
+    * Isolation: the clone (`spark.newSession()`) shares the
+    * SparkContext and cache manager but OWNS its conf, so nothing
+    * here mutates the parent session — concurrent callers cannot
+    * cross-contaminate each other, and a stalled query inside one
+    * `body` cannot block another (an earlier design mutated the
+    * shared conf under a process-wide lock held across the drain,
+    * which turned one hung stream into a process-wide stall). The
+    * parent's runtime SQL confs are copied onto the clone first — a
+    * fresh session starts from the shared SparkConf, NOT the parent's
+    * session conf, and losing runtime flags like the legacy parquet
+    * nanos handling would silently change what `body` reads. Session-
+    * registered UDFs and temp views do NOT carry over: `body` must
+    * build its whole pipeline (registrations, `readStream`, sink
+    * reads) on the clone it receives. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(
+      body: SparkSession => T): T = {
+    val sess = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      // static / non-modifiable keys throw on set — skip them (they
+      // are process-wide anyway, so the clone already sees them)
+      try sess.conf.set(k, v) catch { case _: Exception => () }
     }
-
-  /** Serializes [[withStatePartitions]] bodies: the helper mutates
-    * session state, and two in-flight bodies restoring in the wrong
-    * order would leave a stale partition count behind. Streaming query
-    * drains are seconds-long, so the coarse lock is the whole fix. */
-  private val statePartitionsLock = new Object
+    sess.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(sess)
+  }
 
   /** The scaladoc's sizing rule as code: state-store partition count =
     * estimated state volume ÷ target per-partition state, clamped to
