@@ -570,9 +570,15 @@ object Dedup {
     // cache; one collect of a threshold-bounded frame is the point
     edges.collect().foreach { row =>
       // a null endpoint never unions anything (the loop's equi-joins
-      // likewise never propagate through null); id columns are
-      // non-null at every call site, so this is pure defense
-      if (row.isNullAt(0) || row.isNullAt(1)) ()
+      // likewise never propagate through null); the non-null side
+      // still registers as a singleton node. Id columns are non-null
+      // at every call site, so this is pure defense
+      if (row.isNullAt(0) || row.isNullAt(1)) {
+        Seq(0, 1).filterNot(row.isNullAt).foreach { i =>
+          val v = if (intIds) row.getInt(i).toLong else row.getLong(i)
+          parent.putIfAbsent(v, v)
+        }
+      }
       else {
       val (s, d) =
         if (intIds) (row.getInt(0).toLong, row.getInt(1).toLong)

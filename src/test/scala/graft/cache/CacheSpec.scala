@@ -60,6 +60,60 @@ class CacheSpec extends AnyFunSuite {
     cache.invalidate()
   }
 
+  test("PeriodCache: a hit never waits behind another day's in-flight " +
+    "fetch; same-day callers share one fetch") {
+    val fetchGate = new java.util.concurrent.CountDownLatch(1)
+    val fetchEntered = new java.util.concurrent.CountDownLatch(1)
+    val cache = new ArchiveCache.PeriodCache(
+      p => {
+        if (p == "2024-01-02") { fetchEntered.countDown(); fetchGate.await() }
+        Seq((1, 100L, 1.0)).toDF("att_conf_id", "t", "value_r")
+      },
+      () => "2024-09-01")
+    cache.period("2024-01-01") // warm day 1
+    assert(cache.fetches == 1)
+    // day 2's fetch parks on the gate in a background thread…
+    val ex = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val slow = ex.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = cache.period("2024-01-02").count()
+      })
+      assert(fetchEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // …while a HIT on day 1 completes immediately (the old design
+      // ran fetches under the map monitor, so this get() would block
+      // until the gate opened — i.e. this join would time out)
+      val hit = ex.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = cache.period("2024-01-01").count()
+      })
+      assert(hit.get(10, java.util.concurrent.TimeUnit.SECONDS) == 1L)
+      assert(!slow.isDone) // the miss really is still in flight
+      fetchGate.countDown()
+      assert(slow.get(10, java.util.concurrent.TimeUnit.SECONDS) == 1L)
+      // same-day callers shared the one fetch
+      assert(cache.period("2024-01-02").count() == 1L)
+      assert(cache.fetches == 2)
+    } finally { ex.shutdownNow(); cache.invalidate() }
+  }
+
+  test("PeriodCache: a failed fetch is retried, not cached") {
+    var attempts = 0
+    val cache = new ArchiveCache.PeriodCache(
+      p => {
+        attempts += 1
+        if (attempts == 1) sys.error("transient archive failure")
+        Seq((1, 100L, 1.0)).toDF("att_conf_id", "t", "value_r")
+      },
+      () => "2024-09-01")
+    intercept[RuntimeException] { cache.period("2024-01-01") }
+    // the slot memoizes the FRAME, never the failure
+    assert(cache.period("2024-01-01").count() == 1)
+    assert(attempts == 2)
+    // and the recovered frame is a normal cached hit afterwards
+    assert(cache.period("2024-01-01").count() == 1)
+    assert(attempts == 2)
+    cache.invalidate()
+  }
+
   test("refreshOpenDay: truncate to full second, union fresh rows (R1/F4/U3/O5)") {
     // cached has rows up to t=2.7s; fresh source has a sub-second
     // straggler at 2.4s (µs precision arrived late) plus new rows

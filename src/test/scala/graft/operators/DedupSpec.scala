@@ -312,6 +312,45 @@ class DedupSpec extends AnyFunSuite {
       Seq((1, 1, 1L), (2, 1, 0L), (5, 5, 1L), (7, 5, 0L)))
   }
 
+  test("connectedComponents: mixed-width id columns fall through to the " +
+    "loop; null endpoints register singletons on the fast path") {
+    // d1 long / d2 int: the fast path's typed getters would CCE, so
+    // eligibility must reject it — the loop coerces via union and
+    // still clusters correctly
+    val mixed = Seq((2L, 1), (5L, 7)).toDF("d1", "d2")
+    val rm = Dedup.connectedComponents(mixed).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rm.toSeq == Seq(
+      (1L, 1L, 1L), (2L, 1L, 0L), (5L, 5L, 1L), (7L, 5L, 0L)))
+    // a null endpoint never unions; its non-null partner survives as
+    // a singleton component
+    val withNull = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (3L, null)).toDF("d1", "d2")
+    val rn = Dedup.connectedComponents(withNull).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rn.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 3L, 1L)))
+  }
+
+  test("connectedComponents: non-convergence releases every cached " +
+    "intermediate (no leak on the failure path)") {
+    // diameter-7 path, maxIter=2 through the distributed loop: the
+    // convergence require must fire AND release base/edges/labels
+    // (same wait-loop pattern as the minhashEstimate release test —
+    // unpersist propagates asynchronously)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 2,
+        localEdgeThreshold = 0)
+    }
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"failure path leaked persisted frames: $leaked")
+  }
+
   test("bestQualityKeep: best margin wins its cluster, ties to smallest " +
     "id, non-members untouched, joins broadcast") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L))

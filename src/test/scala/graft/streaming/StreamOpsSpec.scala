@@ -441,4 +441,28 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(StreamOps.statePartitionsFor(1_000_000,
       targetRowsPerPartition = 250_000) == 4)
   }
+
+  test("withStatePartitions: body runs on a clone carrying n + the " +
+    "parent's runtime confs; the parent session is never mutated") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set("graft.test.carry", "yes")
+    try {
+      val (cloneN, carried, distinctSession, parentDuring) =
+        StreamOps.withStatePartitions(spark, 5) { sess =>
+          (sess.conf.get(key), sess.conf.get("graft.test.carry"),
+            sess ne spark, spark.conf.get(key))
+        }
+      assert(cloneN == "5")
+      assert(parentDuring == prev)
+      // runtime confs copied (a fresh session starts from SparkConf,
+      // not the parent's session conf — losing flags like the legacy
+      // parquet nanos handling would change what the body reads)
+      assert(carried == "yes")
+      assert(distinctSession)
+      // the parent's conf is untouched during AND after the body — the
+      // old implementation mutated it under a process-wide lock
+      assert(spark.conf.get(key) == prev)
+    } finally spark.conf.unset("graft.test.carry")
+  }
 }
