@@ -976,7 +976,7 @@ object EventQueries {
   private def q32(s: SparkSession, dir: String): DataFrame = {
     graft.functions.MicrosOf.register(s)
     val ad = new EventsArchiveAdapter(s, dir)
-    val schema = ad.raw.schema // also sets nanosAsLong for legacy data
+    val schema = ad.raw.schema // legacy data: raw sets nanosAsLong on demand
     val tUs = eventTimeUs(schema)
     val name = s"q32_sink_${streamSinkSeq.incrementAndGet()}"
     // state partitions derived from input volume — see
@@ -1036,7 +1036,7 @@ object EventQueries {
   private def q33(s: SparkSession, dir: String): DataFrame = {
     graft.functions.MicrosOf.register(s)
     val ad = new EventsArchiveAdapter(s, dir)
-    val schema = ad.raw.schema // also sets nanosAsLong for legacy data
+    val schema = ad.raw.schema // legacy data: raw sets nanosAsLong on demand
     val name = s"q33_sink_${streamSinkSeq.incrementAndGet()}"
     // state partitions derived from input volume — see
     // streamStatePartitions; pipeline built on the clone (see q32)
@@ -1094,7 +1094,7 @@ object EventQueries {
   private def q34(s: SparkSession, dir: String): DataFrame = {
     graft.functions.MicrosOf.register(s)
     val ad = new EventsArchiveAdapter(s, dir)
-    val schema = ad.raw.schema // also sets nanosAsLong for legacy data
+    val schema = ad.raw.schema // legacy data: raw sets nanosAsLong on demand
     // ONE file-stream source split into both join legs via `where` (a
     // streaming self-join): with `def src` each leg was its own source
     // — two file-stream states, each listing and reading every file

@@ -101,7 +101,11 @@ object ArchiveCache {
             it.remove()
             evictions += 1
           }
-          !closed.containsKey(p)
+          // IDENTITY check, not containsKey: if OUR mid-compute slot
+          // was evicted and another caller already re-created the key,
+          // containsKey would be true and this thread's persisted frame
+          // would leak untracked forever
+          closed.get(p) ne created
         }
         // lost a race with eviction/invalidate while computing: the
         // frame is no longer tracked, so release it ourselves (the
@@ -118,6 +122,10 @@ object ArchiveCache {
       val days = Iterator.iterate(java.time.LocalDate.parse(p0))(_.plusDays(1))
         .takeWhile(!_.isAfter(java.time.LocalDate.parse(p1)))
         .map(_.toString).toSeq
+      // loud on a reversed range — the empty Seq would otherwise
+      // surface as an opaque `empty.reduceLeft` from deep inside
+      require(days.nonEmpty,
+        s"reversed period range: '$p0' is after '$p1'")
       days.map(period).reduce(_ unionByName _)
     }
 

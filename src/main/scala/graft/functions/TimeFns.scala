@@ -68,6 +68,19 @@ object TimeFns {
   def roundBucketSql(tExpr: String, deltaUs: Long): String =
     s"(($tExpr + ${deltaUs / 2}) // $deltaUs) * $deltaUs"
 
+  /** UTC calendar day ("yyyy-MM-dd" string) of an epoch-µs column —
+    * pure arithmetic plus a date→string cast, INDEPENDENT of the
+    * session time zone. `date_format(ts, "yyyy-MM-dd")` renders in the
+    * session zone, so on a non-UTC session it silently buckets
+    * near-midnight rows into the neighboring day — and a `period`
+    * derived that way breaks every UTC-day consumer (PeriodCache's
+    * closed-day test, day-range enumeration). floor() keeps pre-1970
+    * instants on their correct day too; the double division is exact
+    * for |t| < 2⁵³ µs (~year 2255), far past any archive timestamp. */
+  def utcDay(tUs: Column): Column =
+    date_add(to_date(lit("1970-01-01")),
+      floor(tUs / lit(86400000000L)).cast("int")).cast("string")
+
   /** Inclusive-both-ends time filter (reference `data.py:104-105`). */
   def inRangeInclusive(tUs: Column, t0Us: Long, t1Us: Long): Column =
     tUs >= lit(t0Us) && tUs <= lit(t1Us)

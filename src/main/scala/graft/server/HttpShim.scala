@@ -141,11 +141,20 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     } else respond(ex, 200, bodyJson)
   }
 
-  private def handle(path: String, method: String)(
+  /** Register a route. The JDK server matches contexts by raw string
+    * PREFIX — without the exact-path guard, `/healthanything` would be
+    * served by the `/health` handler and `/queryXYZ` would run a real
+    * Spark query. Routes that legitimately own a subtree (`/static`,
+    * the `/` fallback) opt out with `exact = false` and do their own
+    * path vetting. */
+  private def handle(path: String, method: String,
+      exact: Boolean = true)(
       f: HttpExchange => Unit): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       try {
-        if (ex.getRequestMethod != method)
+        if (exact && ex.getRequestURI.getPath != path)
+          respond(ex, 404, """{"error":"not found"}""")
+        else if (ex.getRequestMethod != method)
           respond(ex, 405, """{"error":"method not allowed"}""")
         else f(ex)
       } catch {
@@ -282,6 +291,13 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
     val t1 = TimeFns.parseNaiveUtc(Json.str(tr(1)))
     val size = Json.arr(b("size"))
     val (w, h) = (Json.num(size(0)).toInt, Json.num(size(1)).toInt)
+    // a client-sized canvas must not size driver allocations unbounded
+    // (w×h int arrays per axis + the BufferedImage): same rationale as
+    // the row cap in requestedMax; 8192² covers any real display and
+    // keeps the per-request pixel state ≤ ~268 MB
+    if (w <= 0 || h <= 0 || w > HttpShim.MaxImageDim || h > HttpShim.MaxImageDim)
+      throw new IllegalArgumentException(
+        s"size must be within 1..${HttpShim.MaxImageDim} per side, got [$w, $h]")
     val axes = b.get("axes").map(Json.obj).getOrElse(Map.empty)
       .map { case (k, v) =>
         val o = Json.obj(v)
@@ -337,7 +353,7 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
           ContentTypes.getOrElse(ext, "application/octet-stream"))
       }
     }
-    handle("/static", "GET") { ex =>
+    handle("/static", "GET", exact = false) { ex =>
       // the JDK server matches contexts by raw string prefix, so
       // "/staticapp.js" also lands here — only serve real /static/…
       // segment paths
@@ -345,7 +361,7 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
       if (rel.isEmpty || rel.startsWith("/")) serve(ex, rel)
       else respond(ex, 404, """{"error":"not found"}""")
     }
-    handle("/", "GET") { ex =>
+    handle("/", "GET", exact = false) { ex =>
       // com.sun.net.httpserver routes unmatched paths to the "/"
       // context; only the bare root serves the index from here
       val p = ex.getRequestURI.getPath
@@ -353,4 +369,11 @@ final class HttpShim(spark: SparkSession, points: DataFrame,
       else respond(ex, 404, """{"error":"not found"}""")
     }
   }
+}
+
+object HttpShim {
+  /** Per-side cap on /image canvas dimensions — bounds the driver's
+    * per-request pixel allocations the way [[ArchiveApi
+    * .DefaultRawRowCap]] bounds raw-render rows. */
+  val MaxImageDim = 8192
 }

@@ -152,7 +152,14 @@ object Json {
     case s: String => quote(s)
     case b: Boolean => b.toString
     case d: Double =>
-      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      // JSON has no NaN/Infinity tokens — a bare `NaN` (an all-NaN
+      // hover column's min, say) makes the whole response fail
+      // JSON.parse. Deliberate divergence from the reference's bare
+      // json.dumps (whose default allow_nan emits the same invalid
+      // token); null matches GrafanaStream.jsonNum's choice here
+      if (d.isNaN || d.isInfinite) "null"
+      else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
     case f: Float => write(f.toDouble)
     case n: Number => n.toString
     case other => quote(other.toString)

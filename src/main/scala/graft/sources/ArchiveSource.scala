@@ -141,22 +141,35 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
     * [[ArchiveWriter]] writes adjusted µs (prunable) and the
     * `(att_conf_id, period)` partition dirs prune at day granularity
     * before row-group stats even matter. */
-  def raw: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rawFrame
-  }
+  def raw: DataFrame = rawFrame
 
   /** Built once per adapter. Multi-file event dirs go through
     * [[TsStatsFileIndex]] so time-window queries skip whole files on
     * footer min/max — the pruning tier that survives the unadjusted-µs
     * encoding (see the row-group caveat above); the driver's
     * single-file layout keeps the stock reader path, where the index
-    * could only ever return the one file anyway. */
+    * could only ever return the one file anyway.
+    *
+    * `nanosAsLong` is set ONLY when the plain read rejects the files
+    * as TIMESTAMP(NANOS) — the conf must then stay set for the life of
+    * the session (the scan re-reads it at execution planning, so a
+    * scoped set-and-restore would break the returned frame), but a
+    * session over current-encoding data is left untouched: an earlier
+    * version set it unconditionally on every access, silently changing
+    * how UNRELATED parquet reads in the caller's session handle NANOS
+    * files (bigint epoch-nanos instead of the loud default failure). */
   private lazy val rawFrame: DataFrame = {
     val path = s"$sfDir/events.parquet"
-    if (TsStatsFileIndex.eligible(spark, path))
-      TsStatsFileIndex.read(spark, path, "ts")
-    else spark.read.parquet(path)
+    def build(): DataFrame =
+      if (TsStatsFileIndex.eligible(spark, path))
+        TsStatsFileIndex.read(spark, path, "ts")
+      else spark.read.parquet(path)
+    try build()
+    catch {
+      case e: Throwable if EventsArchiveAdapter.isIllegalParquetType(e) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        build()
+    }
   }
 
   /** events in archive-point shape, with the derived epoch-µs `t`.
@@ -185,7 +198,8 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
       (col("user_id") * 8 + typeId).as("att_conf_id"), // long, like the oracle's
       concat(lit("u"), col("user_id"), lit("/"), col("event_type"))
         .as("att_name"),
-      date_format(timestamp_micros(tUs), "yyyy-MM-dd").as("period"),
+      // tz-free UTC day (date_format renders in the session zone)
+      graft.functions.TimeFns.utcDay(tUs).as("period"),
       timestamp_micros(tUs).as("data_time"),
       tUs.as("t"),
       col("value").as("value_r"),
@@ -343,6 +357,19 @@ object CassandraArchiveSource {
 
 object EventsArchiveAdapter {
   import graft.cache.ArchiveCache.TtlCache
+
+  /** True iff `e` (or a cause) is Spark's rejection of an unreadable
+    * parquet type — the signal that the files are legacy
+    * TIMESTAMP(NANOS) and need `nanosAsLong`. Error-class name first
+    * (stable), message substring as a fallback for wrapped throws. */
+  private[sources] def isIllegalParquetType(e: Throwable): Boolean =
+    if (e == null) false
+    else {
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("PARQUET_TYPE_ILLEGAL") ||
+        m.contains("Illegal Parquet type") ||
+        isIllegalParquetType(e.getCause)
+    }
 
   /** THE ts-encoding dispatch — epoch-µs `t` from any supported `ts`
     * type, shared by [[EventsArchiveAdapter.pointsAll]] and the

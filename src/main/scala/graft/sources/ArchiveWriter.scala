@@ -42,7 +42,11 @@ object ArchiveWriter {
     val withPeriod =
       if (points.columns.contains("period")) points
       else points.withColumn("period",
-        date_format(col("data_time"), "yyyy-MM-dd"))
+        // UTC day by construction — date_format renders in the SESSION
+        // zone, which on a non-UTC caller session would file
+        // near-midnight rows under the neighboring day and break every
+        // UTC-day reader (PeriodCache closed-day test, day enumeration)
+        graft.functions.TimeFns.utcDay(unix_micros(col("data_time"))))
     val conf = points.sparkSession.conf
     val key = "spark.sql.parquet.outputTimestampType"
     val saved = conf.get(key)

@@ -29,9 +29,25 @@ object CorpusSource {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** JSONL read with enforced schema + corrupt-record capture.
-    * Returns (clean rows in canonical column order, corrupt lines). */
-  def readJsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+  /** One JSONL ingestion's frames plus the handle that releases its
+    * cached parse boundary. The cache is REQUIRED for correctness
+    * (below), so it cannot be silently skipped or auto-released after
+    * first use (the other frame still needs it) — but without an
+    * explicit release, a long-lived session ingesting one shard per
+    * call would pin one dead cached parse per call until Spark's LRU
+    * pushes them out. Call `release()` once both frames are consumed.
+    * Released frames recompute on access, with one Spark caveat: a
+    * query over them whose referenced columns reduce to ONLY the
+    * corrupt column (a bare `count()` does — it prunes every data
+    * column, leaving just the filter's `_corrupt`) is rejected by
+    * Spark's raw-files rule once the cache no longer materializes the
+    * parse; queries touching any real column still work. */
+  final case class JsonlRead(clean: DataFrame, corrupt: DataFrame,
+      release: () => Unit)
+
+  /** JSONL read with enforced schema + corrupt-record capture:
+    * clean rows in canonical column order, corrupt lines separately. */
+  def readJsonl(spark: SparkSession, path: String): JsonlRead = {
     val withCorrupt = StructType(
       DocumentsSchema.fields :+ StructField("_corrupt", StringType))
     val raw = spark.read
@@ -48,7 +64,7 @@ object CorpusSource {
       .select(DocumentsSchema.fieldNames.map(col).toSeq: _*)
     val corrupt = raw.where(col("_corrupt").isNotNull)
       .select(col("_corrupt"))
-    (clean, corrupt)
+    JsonlRead(clean, corrupt, () => { raw.unpersist(); () })
   }
 
   /** LOSSLESS widenings accepted by [[readParquet]]: an external

@@ -163,16 +163,28 @@ object StreamOps {
   def streamingRangeJoin(points: DataFrame, openers: DataFrame,
       keyCol: String, pointTimeCol: String, openTimeCol: String,
       windowLen: String, watermarkDelay: String): DataFrame = {
+    // the time columns get the same rename treatment as the key: the
+    // join predicate names both sides in ONE scope, so identical names
+    // (both streams carrying the engine's canonical "t", say) would be
+    // AMBIGUOUS_REFERENCE at analysis. When they collide, the opener's
+    // time is restored as `<openTimeCol>_open` — duplicate output names
+    // would just move the ambiguity onto the caller's first select.
+    val outOpen =
+      if (openTimeCol == pointTimeCol) openTimeCol + "_open" else openTimeCol
     val p = points.withColumnRenamed(keyCol, "_pk")
-      .withWatermark(pointTimeCol, watermarkDelay)
+      .withColumnRenamed(pointTimeCol, "_pt")
+      .withWatermark("_pt", watermarkDelay)
     val o = openers.withColumnRenamed(keyCol, "_ok")
-      .withWatermark(openTimeCol, watermarkDelay)
+      .withColumnRenamed(openTimeCol, "_ot")
+      .withWatermark("_ot", watermarkDelay)
     p.join(o, expr(
       s"""_pk = _ok
-         |AND $pointTimeCol >= $openTimeCol
-         |AND $pointTimeCol <= $openTimeCol + interval $windowLen"""
+         |AND _pt >= _ot
+         |AND _pt <= _ot + interval $windowLen"""
         .stripMargin))
       .withColumnRenamed("_pk", keyCol).drop("_ok")
+      .withColumnRenamed("_pt", pointTimeCol)
+      .withColumnRenamed("_ot", outOpen)
   }
 
   /** Streaming exact dedup of a document stream: drop any doc whose
@@ -385,7 +397,18 @@ object StreamOps {
     * value moved at least `delta` from the LAST EMITTED value (first
     * point always emits) — the HDB++ "archive event" contract, kept as
     * one double of state per attribute via flatMapGroupsWithState.
-    * Within a batch, points are processed in `t` order. */
+    * Within a batch, points are processed in `t` order.
+    *
+    * NaN is a VALUE here (a sensor-fault reading the archive must
+    * record), not a sentinel: transitions into and out of NaN emit,
+    * repeated NaNs are suppressed like any unchanged value, and NaN
+    * state survives micro-batch boundaries. (An earlier version used
+    * NaN as the "no state yet" marker, which silently dropped every
+    * fault reading — NaN satisfies no delta comparison — and lost the
+    * detector's state whenever the last emitted value was NaN.) The
+    * `prev` of a group's FIRST emitted point stays NaN: "no previous"
+    * and "previous was a fault" coincide there, which consumers of an
+    * append-only archive can disambiguate by position. */
   def archiveEvents(points: Dataset[RawPoint],
       delta: Double): Dataset[ArchivedPoint] = {
     import points.sparkSession.implicits._
@@ -394,15 +417,23 @@ object StreamOps {
       .flatMapGroupsWithState[Double, ArchivedPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[RawPoint], state: GroupState[Double]) =>
-          var last = state.getOption.getOrElse(Double.NaN)
+          var last: Option[Double] = state.getOption
           val out = rows.toSeq.sortBy(p => (p.t, p.value_r)).flatMap { p =>
-            if (last.isNaN || math.abs(p.value_r - last) >= delta) {
-              val prev = last
-              last = p.value_r
+            val moved = last match {
+              case None => true // first point always emits
+              case Some(l) if l.isNaN || p.value_r.isNaN =>
+                // fault-transition: exactly one side NaN emits;
+                // NaN → NaN is "unchanged", like a small delta
+                l.isNaN != p.value_r.isNaN
+              case Some(l) => math.abs(p.value_r - l) >= delta
+            }
+            if (moved) {
+              val prev = last.getOrElse(Double.NaN)
+              last = Some(p.value_r)
               Some(ArchivedPoint(key, p.t, p.value_r, prev))
             } else None
           }
-          if (!last.isNaN) state.update(last)
+          last.foreach(state.update)
           out.iterator
       }
   }

@@ -95,6 +95,64 @@ class CacheSpec extends AnyFunSuite {
     } finally { ex.shutdownNow(); cache.invalidate() }
   }
 
+  test("PeriodCache: a slot evicted mid-compute then re-created by " +
+    "another caller releases the first creator's frame (no leak)") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val day1Calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fetchTag = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cache = new ArchiveCache.PeriodCache(
+      p => {
+        if (p == "2024-01-01" && day1Calls.incrementAndGet() == 1) {
+          entered.countDown(); gate.await()
+        }
+        // per-call tag keeps the two day-1 fetches' PLANS distinct —
+        // identical plans would share one CacheManager entry by
+        // sameResult matching and mask the leak this test pins
+        Seq((1, 100L, 1.0)).toDF("att_conf_id", "t", "value_r")
+          .where(lit(fetchTag.incrementAndGet()) >= 0)
+      },
+      () => "2024-09-01", maxPersistedDays = 1)
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val first = ex.submit(
+        new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+          def call() = cache.period("2024-01-01")
+        })
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // over the bound while day 1 is mid-compute → its slot is
+      // removed WITHOUT unpersist (ready not yet set)…
+      cache.period("2024-01-02")
+      // …and the key is re-created by a fresh caller before the first
+      // creator finishes — a containsKey post-insert check would now
+      // see the NEW entry and leak the first creator's persisted frame
+      val recreated = cache.period("2024-01-01")
+      gate.countDown()
+      val df = first.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "the mid-compute-evicted creator's frame stayed persisted")
+      assert(df.count() == 1L) // still a valid (merely unpersisted) frame
+      // the slot the map tracks is untouched by the loser's release
+      assert(recreated.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE)
+    } finally { ex.shutdownNow(); cache.invalidate() }
+  }
+
+  test("PeriodCache.range: a reversed range fails loudly, not with " +
+    "an opaque empty.reduceLeft") {
+    val cache = new ArchiveCache.PeriodCache(
+      _ => Seq((1, 100L, 1.0)).toDF("att_conf_id", "t", "value_r"),
+      () => "2024-09-01")
+    val e = intercept[IllegalArgumentException] {
+      cache.range("2024-01-05", "2024-01-01")
+    }
+    assert(e.getMessage.contains("reversed"))
+    cache.invalidate()
+  }
+
   test("PeriodCache: a failed fetch is retried, not cached") {
     var attempts = 0
     val cache = new ArchiveCache.PeriodCache(

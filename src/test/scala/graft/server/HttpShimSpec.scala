@@ -41,6 +41,40 @@ class HttpShimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() == 200 && r.body() == "OK")
   }
 
+  test("routes match exactly: prefix garbage is 404, not a handler hit") {
+    // the JDK server matches contexts by raw string prefix — without
+    // the shim's exact-path guard these would run REAL handlers
+    // (/queryXYZ a Spark query, /healthanything a 200)
+    assert(get("/healthanything").statusCode() == 404)
+    assert(get("/controlsystemsX").statusCode() == 404)
+    assert(get("/attributesfoo?cs=x&search=y").statusCode() == 404)
+    assert(post("/queryXYZ", "{}").statusCode() == 404)
+    assert(post("/image.png", "{}").statusCode() == 404)
+  }
+
+  test("POST /image rejects unbounded or non-positive canvas sizes") {
+    def img(w: Long, h: Long) = post("/image",
+      s"""{"attributes": [{"name": "u1/click"}],
+         |"time_range": ["2024-01-05", "2024-01-20"],
+         |"size": [$w, $h]}""".stripMargin)
+    // a client-sized canvas must not size driver allocations: 20000²
+    // would be a 1.6 GB int array per layer; 70000² overflows Int
+    assert(img(20000, 20000).statusCode() == 400)
+    assert(img(70000, 70000).statusCode() == 400)
+    assert(img(0, 100).statusCode() == 400)
+    assert(img(-5, 100).statusCode() == 400)
+    assert(img(HttpShim.MaxImageDim + 1, 100).statusCode() == 400)
+  }
+
+  test("Json.write emits valid JSON for non-finite doubles") {
+    // a bare NaN token (an all-NaN hover column's min, say) would make
+    // the whole /image response fail the client's JSON.parse
+    assert(Json.write(Map(
+      "a" -> Double.NaN, "b" -> Double.PositiveInfinity,
+      "c" -> Double.NegativeInfinity, "d" -> 1.5)) ==
+      """{"a":null,"b":null,"c":null,"d":1.5}""")
+  }
+
   test("GET /controlsystems lists the adapter's cs") {
     val r = get("/controlsystems")
     assert(r.statusCode() == 200)

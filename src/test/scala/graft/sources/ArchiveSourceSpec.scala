@@ -61,6 +61,30 @@ class ArchiveSourceSpec extends AnyFunSuite {
       == Seq(3.0))
   }
 
+  test("ArchiveWriter derives UTC periods regardless of session " +
+    "time zone") {
+    val root = Files.createTempDirectory("graft-ingest-tz").toString
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    // a near-midnight-UTC instant: under a negative-offset session,
+    // date_format would have filed it under the previous day — and a
+    // mis-filed period corrupts every UTC-day reader (PeriodCache's
+    // closed-day test, day-range enumeration)
+    spark.conf.set(tzKey, "America/Chicago")
+    try {
+      val pts = Seq((1, 1706832000000000L, 1.0)) // 2024-02-02T00:00:00Z
+        .toDF("att_conf_id", "t_us", "value_r")
+        .select(col("att_conf_id"),
+          timestamp_micros(col("t_us")).as("data_time"), col("value_r"))
+      ArchiveWriter.write(pts, root)
+      val dirs = new java.io.File(s"$root/att_scalar_devdouble_ro/att_conf_id=1")
+        .list().filter(_.startsWith("period=")).toSeq
+      assert(dirs == Seq("period=2024-02-02"), s"got $dirs")
+    } finally {
+      spark.conf.set(tzKey, saved)
+    }
+  }
+
   test("catalog tables round-trip: parameterAt/history over written parquet") {
     val root = Files.createTempDirectory("graft-cat").toString
     val params = Seq(

@@ -15,11 +15,27 @@ class CorpusSourceSpec extends AnyFunSuite {
   test("jsonl round-trip preserves rows and schema") {
     val dir = java.nio.file.Files.createTempDirectory("corpus-jsonl").toString
     CorpusSource.writeJsonl(docs, s"$dir/out")
-    val (clean, corrupt) = CorpusSource.readJsonl(spark, s"$dir/out")
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val CorpusSource.JsonlRead(clean, corrupt, release) =
+      CorpusSource.readJsonl(spark, s"$dir/out")
     assert(corrupt.count() == 0)
     assert(clean.schema == CorpusSource.DocumentsSchema)
     assert(clean.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
       docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    // release drops the parse cache (a long-lived ingestion session
+    // would otherwise pin one dead cached parse PER CALL); the frames
+    // stay valid afterwards, merely recomputing
+    def added = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(added.nonEmpty, "readJsonl should have cached the parse")
+    release()
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (added.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(added.isEmpty, s"release leaked the parse cache: $added")
+    // released frames recompute for real-column queries (a bare
+    // count() would be rejected — it prunes down to only _corrupt;
+    // see the JsonlRead scaladoc)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L))
   }
 
   test("malformed lines are quarantined, not dropped or poisoning") {
@@ -30,11 +46,12 @@ class CorpusSourceSpec extends AnyFunSuite {
         |this line is not json at all
         |{"doc_id": 8, "text": "another", "lang": "fr", "source": "s", "n_chars": 7}
         |""".stripMargin)
-    val (clean, corrupt) = CorpusSource.readJsonl(spark, s"$dir/mixed.jsonl")
-    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq ==
+    val r = CorpusSource.readJsonl(spark, s"$dir/mixed.jsonl")
+    assert(r.clean.select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(7L, 8L))
-    val bad = corrupt.as[String].collect()
+    val bad = r.corrupt.as[String].collect()
     assert(bad.length == 1 && bad.head.contains("not json"))
+    r.release()
   }
 
   test("parquet read enforces the canonical schema") {

@@ -202,6 +202,40 @@ class EncodingMatrixSpec extends AnyFunSuite {
         "ArchiveWriter scaladocs")
   }
 
+  test("adapter leaves the session's nanosAsLong untouched on " +
+    "non-NANOS data") {
+    // the conf is set ON DEMAND when a read rejects TIMESTAMP(NANOS)
+    // files — an earlier version set it unconditionally on every
+    // access, silently changing how unrelated parquet reads in the
+    // same session handle NANOS files
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    Seq(ntzDir, nanoDir, ltzDir).foreach { dir =>
+      new EventsArchiveAdapter(spark, dir).pointsAll.limit(1).collect()
+    }
+    assert(spark.conf.getOption(key) == before)
+  }
+
+  test("derived period is the UTC day regardless of session time zone") {
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    // negative offset: date_format would file the fixture's
+    // midnight-UTC rows (Base itself is one) under the PREVIOUS day
+    spark.conf.set(tzKey, "America/Chicago")
+    try {
+      val rows = new EventsArchiveAdapter(spark, ntzDir).pointsAll
+        .select("t", "period").collect()
+      assert(rows.exists(_.getLong(0) % 86400000000L == 0))
+      rows.foreach { r =>
+        val utcDay = java.time.Instant
+          .ofEpochSecond(r.getLong(0) / 1000000L)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        assert(r.getString(1) == utcDay,
+          s"t=${r.getLong(0)}: period ${r.getString(1)} != UTC $utcDay")
+      }
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("flagship entry runs against the LIVE driver testdata") {
     // guards the fixture contract itself: if the driver regenerates
     // /root/testdata under yet another encoding, this fails in sbt test

@@ -442,6 +442,56 @@ class StreamOpsSpec extends AnyFunSuite {
       targetRowsPerPartition = 250_000) == 4)
   }
 
+  test("streamingRangeJoin: identical time-column names on the two " +
+    "inputs analyze and join (no AMBIGUOUS_REFERENCE)") {
+    import spark.implicits._
+    // both sides carrying the engine's canonical point schema — a
+    // time column named "t" on each — must work: the join predicate
+    // names both sides in one scope, so the time columns need the
+    // same rename treatment as the key. Batch frames exercise the
+    // identical analysis path (withWatermark is a no-op on batch).
+    val base = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    def ts(plus: Long) = java.sql.Timestamp.from(base.plusSeconds(plus))
+    val points = Seq(("a", ts(5), 1L), ("a", ts(60), 2L))
+      .toDF("k", "t", "pid")
+    val openers = Seq(("a", ts(0), 10L)).toDF("k", "t", "oid")
+    val j = StreamOps.streamingRangeJoin(points, openers,
+      "k", "t", "t", windowLen = "10 seconds", watermarkDelay = "1 hour")
+    // colliding names: the opener's time comes back as t_open
+    assert(j.columns.count(_ == "t") == 1 && j.columns.contains("t_open"))
+    val rows = j.select("pid", "oid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L))) // ts(60) is outside the 10 s window
+  }
+
+  test("archiveEvents: NaN is a recorded fault value, not a sentinel") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[StreamOps.RawPoint]
+    val out = StreamOps.archiveEvents(in.toDS(), delta = 1.0)
+    val q = out.writeStream.format("memory").queryName("aenan")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamOps.RawPoint("a", 1L, 5.0),        // first → emit
+        StreamOps.RawPoint("a", 2L, Double.NaN)) // fault transition → emit
+      q.processAllAvailable()
+      // NaN state survives the batch boundary: a repeated fault is
+      // "unchanged" (suppressed), recovery emits
+      in.addData(
+        StreamOps.RawPoint("a", 3L, Double.NaN), // still faulted → suppress
+        StreamOps.RawPoint("a", 4L, 5.05),       // recovery → emit
+        StreamOps.RawPoint("a", 5L, 5.5))        // |Δ|=0.45 < 1 → suppress
+      q.processAllAvailable()
+      val rows = spark.table("aenan").orderBy("t")
+        .as[StreamOps.ArchivedPoint].collect()
+      assert(rows.map(_.t).toSeq == Seq(1L, 2L, 4L))
+      assert(rows(0).value_r == 5.0 && rows(0).prev.isNaN) // no previous
+      assert(rows(1).value_r.isNaN && rows(1).prev == 5.0)
+      assert(rows(2).value_r == 5.05 && rows(2).prev.isNaN) // prev = fault
+    } finally q.stop()
+  }
+
   test("withStatePartitions: body runs on a clone carrying n + the " +
     "parent's runtime confs; the parent session is never mutated") {
     val key = "spark.sql.shuffle.partitions"
