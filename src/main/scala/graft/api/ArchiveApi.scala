@@ -154,7 +154,12 @@ object ArchiveApi {
       case Some(_) => resampled.select(col("att_name"), col("t"),
         col("value_r")).orderBy(col("t"), col("att_name"))
       case None => resampled.select(col("att_name"),
-        col("t").cast("double").as("t"), col("value_r"))
+        col("t").cast("double").as("t"),
+        // the render loop reads getDouble: a float/decimal value_r
+        // source would otherwise CCE after the whole query ran (the
+        // intervaled branch gets double for free from avg); on an
+        // already-double source the cast folds away
+        col("value_r").cast("double").as("value_r"))
         .orderBy(col("t"), col("att_name"), col("value_r"))
     }
     // request order, not lexicographic: series must render in the
@@ -238,20 +243,27 @@ object ArchiveApi {
         // unchanged
         val lineRaster =
           if (antialias) Raster.binLinesAA _ else Raster.binLines _
+        val presentPoints = axisPoints.where(col("att_name").isin(present: _*))
         val lineCells = lineRaster(
-          axisPoints.where(col("att_name").isin(present: _*)),
+          presentPoints,
           Seq("att_name"), tieCol, t0Us, t1Us, yLo, yHi, width, height,
           spec.isLog).collect()
         // hover reductions run FUSED end-to-end (one exchange, merged
         // per pixel column in the exec): the driver receives O(width)
         // rows per attribute, not the O(width×height) grid
         val hoverGrid = graft.plans.RasterFusion.hoverColumns(
-          axisPoints.where(col("att_name").isin(present: _*)),
+          presentPoints,
           Seq("att_name"), t0Us, t1Us, yLo, yHi, width, height,
           spec.isLog).collect()
+        // ONE pass over each collected grid — a per-attribute
+        // linear filter would rescan the full array per attribute
+        // (O(attrs × cells) of driver CPU on the interactive path)
+        val cellsByName = lineCells.groupBy(_.getString(0))
+        val hoverByName = hoverGrid.groupBy(_.getString(0))
 
         val layers = axisAttrs.filter(a => present.contains(a.name)).map { a =>
-          val cells = lineCells.filter(_.getString(0) == a.name)
+          val cells = cellsByName
+            .getOrElse(a.name, Array.empty[org.apache.spark.sql.Row])
             .map(r => (r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3)))
           // eq-hist is datashader's default and therefore the
           // reference's (plot.py:36); Render.shade is the linear option
@@ -265,7 +277,8 @@ object ArchiveApi {
         // hover reductions (A6, plot.py:44-60) — already column-level
         // rows (att_name, px, col_min, col_max, col_count)
         present.foreach { name =>
-          val cols = hoverGrid.filter(_.getString(0) == name)
+          val cols = hoverByName
+            .getOrElse(name, Array.empty[org.apache.spark.sql.Row])
             .sortBy(_.getLong(1))
           val indices = cols.map(_.getLong(1).toInt).toSeq
           descs += name -> HoverDesc(

@@ -158,6 +158,11 @@ object ArgmaxDot {
   def argmax(a: ArrayData,
       bc: Broadcast[(Array[Int], Array[Array[Long]])]): Int = {
     val (labels, matrix) = bc.value
+    // CentroidSet requires non-empty at construction; this backstop
+    // keeps any future direct use from silently assigning every row
+    // the phantom label Int.MaxValue
+    if (matrix.isEmpty)
+      throw new IllegalStateException("argmax_dot_e4: empty centroid matrix")
     val q = quantize(a)
     var bestD = Long.MinValue
     var bestLab = Int.MaxValue
@@ -186,6 +191,9 @@ object ArgmaxDot {
     var s = 0
     while (s < books.length) {
       val (codes, matrix, c2) = books(s)
+      if (matrix.isEmpty) // same backstop as argmax: never a phantom code
+        throw new IllegalStateException(
+          s"pq_codes_e4: empty codebook for subspace $s")
       val off = s * subDims
       var bestD = Long.MinValue
       var bestC = Int.MaxValue

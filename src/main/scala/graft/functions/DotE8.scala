@@ -87,7 +87,7 @@ object DotE8 {
   }
 
   private val info = new ExpressionInfo(classOf[DotE8].getName, "dot_e8")
-  private val builder = (args: Seq[Expression]) => {
+  private[functions] val builder = (args: Seq[Expression]) => {
     require(args.length == 2, "dot_e8 takes exactly 2 arguments")
     DotE8(args.head, args(1))
   }
@@ -174,18 +174,22 @@ object DotE4C {
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the SAME builders registerOnce uses — inline lambdas here once
+    // duplicated them minus their arity `require`s, so wrong-arity SQL
+    // crashed with a raw IndexOutOfBounds instead of the clean
+    // "takes exactly N arguments" analysis error
     ext.injectFunction((FunctionIdentifier("dot_e8"),
       new ExpressionInfo(classOf[DotE8].getName, "dot_e8"),
-      (args: Seq[Expression]) => DotE8(args.head, args(1))))
+      DotE8.builder))
     ext.injectFunction((FunctionIdentifier("dot_e4c"),
       new ExpressionInfo(classOf[DotE4C].getName, "dot_e4c"),
-      (args: Seq[Expression]) => DotE4C(args.head, args(1))))
+      DotE4C.builder))
     ext.injectFunction((FunctionIdentifier("poly_hash31"),
       new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
-      (args: Seq[Expression]) => PolyHash31(args.head)))
+      PolyHash31.builder))
     ext.injectFunction((FunctionIdentifier("micros_of"),
       new ExpressionInfo(classOf[MicrosOf].getName, "micros_of"),
-      (args: Seq[Expression]) => MicrosOf(args.head)))
+      MicrosOf.builder))
     // derived-column predicate derivation (pushable raw-ts bounds from
     // filters on `t = ts div 1000` — see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.DerivedDivBounds)

@@ -138,7 +138,10 @@ object TimeFns {
     val frac = regexp_extract(s, "\\.([0-9]{1,6})", 1)
     val norm = regexp_replace(s, lit("\\.[0-9]+"),
       concat(lit("."), rpad(frac, 6, "0")))
-    val hasOffset = s.rlike("[+-][0-9]{2}:[0-9]{2}$")
+    // 'Z' is an offset spelling too (the most common UTC form on the
+    // wire) — the XXX pattern parses it; missing it here silently
+    // null'd Z-suffixed inputs where the scalar twin accepts them
+    val hasOffset = s.rlike("([+-][0-9]{2}:[0-9]{2}|Z)$")
     val hasFrac = s.contains(".")
     when(hasOffset && hasFrac,
       unix_micros(to_timestamp(norm, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")))

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -15,14 +16,59 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * [[unpersistAfterFirstUse]] registers a ONE-SHOT
   * [[QueryExecutionListener]] that unpersists the intermediate as soon
   * as the first completed query CONTAINS the result's plan (consumers
-  * may wrap it in further operators). If the result is never
-  * materialized the cache stays LRU-managed — no worse than not
-  * releasing at all; a caller that materializes twice recomputes the
-  * second time — correct, lazy, and cheaper than a leak. The listener
-  * bus is async: release trails the action by a beat (tests poll
-  * `getPersistentRDDs`), which is fine — the contract is "freed after
-  * use", not "freed synchronously". */
+  * may wrap it in further operators). A caller that materializes twice
+  * recomputes the second time — correct, lazy, and cheaper than a leak.
+  * The listener bus is async: release trails the action by a beat
+  * (tests poll `getPersistentRDDs`), which is fine — the contract is
+  * "freed after use", not "freed synchronously".
+  *
+  * Results that are NEVER materialized cannot be allowed to accumulate
+  * either: each outstanding listener retains its captured plan tree and
+  * pays a `sameResult` plan walk on EVERY completed query in the
+  * session. Outstanding listeners are therefore BOUNDED per session
+  * ([[MaxOutstanding]]): registering past the cap force-releases the
+  * oldest — early release is always safe (the cache merely recomputes
+  * if that result is materialized later), so the bound trades at worst
+  * one recompute for a hard ceiling on listener and plan retention. */
 private[graft] object CacheLifecycle {
+
+  private[operators] val MaxOutstanding = 64
+
+  /** Outstanding one-shot listeners per session, oldest first. Weak
+    * keys so a dead session's queue collects with it. All access under
+    * the map's own monitor. */
+  private val outstanding =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayDeque[OneShot]]()
+
+  private final class OneShot(spark: SparkSession, target: LogicalPlan,
+      release: () => Unit) extends QueryExecutionListener {
+    private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private[CacheLifecycle] def isFired: Boolean = fired.get()
+
+    /** Release + unregister, exactly once (natural fire and cap-evict
+      * force-fire can race; the CAS arbitrates). */
+    private[CacheLifecycle] def fire(): Unit =
+      if (fired.compareAndSet(false, true)) {
+        try release() catch { case scala.util.control.NonFatal(_) => }
+        spark.listenerManager.unregister(this)
+        forget(spark, this)
+      }
+
+    private def maybeRelease(qe: QueryExecution): Unit =
+      try { if (qe.analyzed.exists(_.sameResult(target))) fire() }
+      catch { case scala.util.control.NonFatal(_) => }
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = maybeRelease(qe)
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = maybeRelease(qe)
+  }
+
+  private def forget(spark: SparkSession, l: OneShot): Unit =
+    outstanding.synchronized {
+      val q = outstanding.get(spark)
+      if (q != null) { q.remove(l); () }
+    }
 
   def unpersistAfterFirstUse(result: DataFrame, cached: Dataset[_]): Unit =
     releaseAfterFirstUse(result)(() => cached.unpersist(blocking = false))
@@ -33,20 +79,19 @@ private[graft] object CacheLifecycle {
     * persisted frame per closed day). */
   def releaseAfterFirstUse(result: DataFrame)(release: () => Unit): Unit = {
     val spark = result.sparkSession
-    val target = result.queryExecution.analyzed
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit =
-        try {
-          if (qe.analyzed.exists(_.sameResult(target))) {
-            release()
-            spark.listenerManager.unregister(this)
-          }
-        } catch { case scala.util.control.NonFatal(_) => }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
+    val l = new OneShot(spark, result.queryExecution.analyzed, release)
+    val evicted = outstanding.synchronized {
+      val q = outstanding.computeIfAbsent(spark,
+        _ => new java.util.ArrayDeque[OneShot]())
+      q.addLast(l)
+      var out = List.empty[OneShot]
+      while (q.size > MaxOutstanding) out ::= q.pollFirst()
+      out
     }
-    spark.listenerManager.register(listener)
+    spark.listenerManager.register(l)
+    // if a concurrent registration already cap-evicted (fired) l in the
+    // window before register, take the registration back out
+    if (l.isFired) spark.listenerManager.unregister(l)
+    evicted.foreach(_.fire())
   }
 }

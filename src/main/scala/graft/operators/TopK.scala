@@ -64,7 +64,11 @@ object TopK {
     require(k > 0)
     def zero: BufS = BufS(Vector.empty)
     def reduce(b: BufS, p: (Long, String)): BufS =
-      if (b.items.size >= k && !ltS(p, b.items.last)) b
+      // a null payload is skipped like the built-in aggregates skip
+      // nulls — comparing it would NPE inside the task (the string is
+      // the one nullable slot; the long variants carry primitives)
+      if (p._2 == null) b
+      else if (b.items.size >= k && !ltS(p, b.items.last)) b
       else {
         val (lo, hi) = b.items.span(ltS(_, p))
         BufS((lo ++ (p +: hi)).take(k))

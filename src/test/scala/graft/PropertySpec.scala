@@ -244,12 +244,12 @@ class PropertySpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ C3 parse
   test("property: parseNaiveUtcCol ≡ parseNaiveUtc scalar ≡ java.time " +
-    "model on arbitrary instants × the six request forms (C3)") {
+    "model on arbitrary instants × the eight request forms (C3)") {
     import java.time.{Instant, LocalDate, ZoneOffset}
     import java.time.format.DateTimeFormatter
     val genCase = for {
       sec <- Gen.choose(0L, 4102444800L) // 1970..2100
-      form <- Gen.choose(0, 5)
+      form <- Gen.choose(0, 7)
       ms <- Gen.choose(0, 999)
     } yield (sec, form, ms)
     check(Prop.forAll(Gen.listOfN(40, genCase)) { cases =>
@@ -272,9 +272,13 @@ class PropertySpec extends AnyFunSuite {
             (fmtT.format(inst.plusSeconds(7200)) + "+02:00", sec * 1000000L)
           case 4 => // fractional millis — exercises the pad-to-µs path
             (fmtT.format(inst) + f".$ms%03d", sec * 1000000L + ms * 1000L)
-          case _ => // fraction AND offset combined
+          case 5 => // fraction AND offset combined
             (fmtT.format(inst.plusSeconds(7200)) + f".$ms%03d+02:00",
               sec * 1000000L + ms * 1000L)
+          case 6 => // 'Z' suffix — the most common UTC wire spelling
+            (fmtT.format(inst) + "Z", sec * 1000000L)
+          case _ => // fraction AND 'Z'
+            (fmtT.format(inst) + f".$ms%03dZ", sec * 1000000L + ms * 1000L)
         }
         (i, s, expected)
       }

@@ -337,4 +337,25 @@ class MiscSpec extends AnyFunSuite {
     assert(TangoTypes.dataTables.contains("att_scalar_devushort_rw"))
     assert(TangoTypes.scalarTypes.size == 13)
   }
+
+  test("CacheLifecycle: outstanding one-shot listeners are bounded — " +
+    "the oldest force-releases at the cap") {
+    // never-materialized results must not accumulate listeners (each
+    // pays a plan walk on EVERY completed query) — past the cap the
+    // oldest releases early, which is always safe (recompute)
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val released = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Int]())
+    val n = CacheLifecycle.MaxOutstanding + 2
+    (0 until n).foreach { i =>
+      // distinct plans per registration (lit(i) keeps them un-aliased)
+      val f = Seq((i, 1)).toDF("a", "b").where(lit(i) >= 0)
+      CacheLifecycle.releaseAfterFirstUse(f)(() => { released.add(i); () })
+    }
+    // two past the cap → exactly the two OLDEST released, in order
+    assert(released.size == 2 && released.get(0) == 0 && released.get(1) == 1,
+      s"released=$released")
+  }
 }
