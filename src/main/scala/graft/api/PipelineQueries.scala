@@ -654,7 +654,9 @@ object PipelineQueries {
        |  SELECT DISTINCT d.v2 AS vec_id
        |  FROM pairdots d JOIN norms nx ON nx.vec_id = d.v1
        |    JOIN norms ny ON ny.vec_id = d.v2
-       |  WHERE CAST(d.dot AS DOUBLE)
+       |  -- zero-norm guard mirrors the engine: dead vectors (nrm = 0,
+       |  -- cosine NaN) are never anyone's duplicate
+       |  WHERE nx.nrm > 0 AND ny.nrm > 0 AND CAST(d.dot AS DOUBLE)
        |    / sqrt(CAST(nx.nrm AS DOUBLE) * CAST(ny.nrm AS DOUBLE)) >= 0.3)
        |SELECT a.vec_id, a.clab,
        |  CASE WHEN u.vec_id IS NULL THEN 1 ELSE 0 END AS keep
@@ -998,7 +1000,8 @@ object PipelineQueries {
       |    AS cosine
       |FROM dots d JOIN norms n1 ON n1.vec_id = d.d1
       |  JOIN norms n2 ON n2.vec_id = d.d2
-      |WHERE CAST(d.dot_e8 AS DOUBLE)
+      |-- zero-norm guard mirrors the engine (NaN cosine never passes)
+      |WHERE n1.nrm > 0 AND n2.nrm > 0 AND CAST(d.dot_e8 AS DOUBLE)
       |    / sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) >= 0.3
       |ORDER BY d.d1, d.d2""".stripMargin
 
@@ -2255,12 +2258,13 @@ object PipelineQueries {
       |        ORDER BY score DESC, doc_id) AS rank
       |    FROM sc) WHERE rank <= 8),
       |ctg AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-      |  FROM corpus),
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM corpus) WHERE length(w) >= 1),
       |qtg AS (
-      |  SELECT DISTINCT doc_id AS query_id,
-      |         unnest(string_split(text, ' ')) AS w
-      |  FROM documents WHERE doc_id % 100 = 0),
+      |  SELECT DISTINCT doc_id AS query_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE doc_id % 100 = 0) WHERE length(w) >= 1),
       |qsz AS (SELECT query_id, count(*) AS nq FROM qtg GROUP BY query_id),
       |dsz AS (SELECT doc_id, count(*) AS nc FROM ctg GROUP BY doc_id),
       |ni AS (
@@ -2312,12 +2316,13 @@ object PipelineQueries {
       |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
       |  FROM documents WHERE doc_id % 100 = 0),
       |ct AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-      |  FROM corpus),
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM corpus) WHERE length(w) >= 1),
       |qt AS (
-      |  SELECT DISTINCT doc_id AS query_id,
-      |         unnest(string_split(text, ' ')) AS w
-      |  FROM documents WHERE doc_id % 100 = 0),
+      |  SELECT DISTINCT doc_id AS query_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE doc_id % 100 = 0) WHERE length(w) >= 1),
       |rel AS (
       |  SELECT ct.doc_id, ct.w FROM ct
       |  WHERE ct.w IN (SELECT DISTINCT w FROM qt)),
@@ -3145,16 +3150,20 @@ object PipelineQueries {
       |d AS (SELECT tl.vec_id, bl.bench_id,
       |        CAST(sum(tl.q * bl.q) AS BIGINT) AS d
       |      FROM tl JOIN bl ON tl.i = bl.i GROUP BY 1, 2),
-      |c AS (SELECT vec_id, bench_id,
+      |c AS (SELECT vec_id, bench_id, n1,
       |        CAST(d AS DOUBLE)
       |          / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS c
-      |      FROM d JOIN tn USING (vec_id) JOIN bn USING (bench_id)),
-      |r AS (SELECT vec_id, bench_id, c,
+      |      -- zero-norm BENCH vectors are dropped (engine filters them
+      |      -- before building the candidate array)
+      |      FROM d JOIN tn USING (vec_id) JOIN bn USING (bench_id)
+      |      WHERE n2 > 0),
+      |r AS (SELECT vec_id, bench_id, n1, c,
       |        row_number() OVER (PARTITION BY vec_id
       |          ORDER BY c DESC, bench_id) AS rn
       |      FROM c)
       |SELECT vec_id, c AS max_cos, bench_id AS best_bench,
-      |  c >= 0.33 AS contaminated
+      |  -- zero-norm TRAIN vectors are clean by contract (engine guard)
+      |  (n1 > 0 AND c >= 0.33) AS contaminated
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- domain caps

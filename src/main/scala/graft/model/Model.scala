@@ -60,7 +60,11 @@ object AttributePath {
       i = path.lastIndexOf('/', i - 1)
       if (i < 0) i = 0 else cuts += 1
     }
-    require(cuts == 4 && i > 0, s"not a full attribute path: $path")
+    // cuts == 4 with i == 0 means the 4th slash IS the first char:
+    // Python's rsplit("/", 4) yields cs = '' there (a valid, if
+    // unusual, empty-cs path) — rejecting it diverged from the cited
+    // contract
+    require(cuts == 4, s"not a full attribute path: $path")
     (path.substring(0, i), path.substring(i + 1))
   }
 
@@ -72,7 +76,10 @@ object AttributePath {
 
   /** "domain/family/member/name" → 4 parts (reference hdbpp.py:90-92). */
   def splitName(attName: String): AttName = {
-    val parts = attName.split("/")
+    // limit -1 keeps trailing empties: "d/f/m/" is four parts with an
+    // empty name, exactly what [[Rsplit4Re]] (and Python split) accept
+    // — Java's default split would drop it and reject asymmetrically
+    val parts = attName.split("/", -1)
     require(parts.length == 4, s"attribute name must have 4 parts: $attName")
     AttName("", parts(0), parts(1), parts(2), parts(3))
   }

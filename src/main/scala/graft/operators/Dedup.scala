@@ -50,6 +50,11 @@ object Dedup {
     * the oracle builds with `string_agg(sig, ',' ORDER BY i)`. One
     * posexplode over in-row band keys; no extra aggregation. */
   def lshBands(sigs: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
+    // a remainder would silently DROP the trailing permutations from
+    // banding — paid for in the signature aggregate, absent from the
+    // detection probability the caller thinks they configured
+    require(numPerms % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numPerms=$numPerms")
     val bandKeys = (0 until numPerms / rowsPerBand).map { b =>
       concat_ws(",", (0 until rowsPerBand).map(r =>
         col(s"sig${b * rowsPerBand + r}").cast("string")): _*)
@@ -62,12 +67,15 @@ object Dedup {
     * key is the comma-joined slice sig[b·r+1 … b·r+r] — the same string
     * the oracle's `string_agg(sig, ',' ORDER BY i)` builds. Shared by
     * the batch and streaming MinHash pipelines. */
-  def sigBandKeys(numPerms: Int, rowsPerBand: Int): Seq[Column] =
+  def sigBandKeys(numPerms: Int, rowsPerBand: Int): Seq[Column] = {
+    require(numPerms % rowsPerBand == 0, // see lshBands
+      s"rowsPerBand=$rowsPerBand must divide numPerms=$numPerms")
     (0 until numPerms / rowsPerBand).map { b =>
       concat_ws(",", (0 until rowsPerBand).map(r =>
         element_at(col("sig"), b * rowsPerBand + r + 1)
           .cast("string")): _*)
     }
+  }
 
   /** Candidate pairs (d1 < d2) sharing at least one LSH bucket.
     *
@@ -998,8 +1006,14 @@ object Dedup {
       n: Int = 5): DataFrame = {
     require(n >= 2, s"gram length must be >= 2, got $n")
     graft.functions.PolyHash31.register(spark)
+    // mod at EVERY step, not just the end: modular reduction
+    // distributes over the recurrence (identical final value when the
+    // unreduced fold fits), and the end-only form overflows int64 at
+    // n >= 8 — an ArithmeticException under Spark 4's default ANSI
+    // mode. Per-step keeps every intermediate < 31·2³¹ for ANY n.
     val combine = (1 until n).foldLeft("element_at(tids, i)") {
-      case (acc, k) => s"($acc * 31 + element_at(tids, i + $k))"
+      case (acc, k) =>
+        s"(($acc * 31 + element_at(tids, i + $k)) % ${TextOps.HashP}L)"
     }
     // (doc_id, pos, token, gram-hash-starting-here | null)
     val occ = corpus

@@ -110,6 +110,10 @@ object Multimodal {
     * k-th byte in the stub) and re-extract features — the
     * transform-then-redecode shape of a thumbnail pipeline. */
   def resized(media: DataFrame, keepEvery: Int): Dataset[MediaFeatures] = {
+    // plan-time validation, like every sibling knob: keepEvery = 0
+    // would plan fine and then `i % 0` every non-empty payload inside
+    // the tasks; negative would silently keep only byte 0
+    require(keepEvery >= 1, s"keepEvery must be >= 1, got $keepEvery")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -149,8 +153,11 @@ trait MediaCodec {
   def frames(row: Multimodal.MediaRow, n: Int): Iterator[Multimodal.Frame] = {
     val len = row.payload.length
     (0 until n).iterator.map { i =>
-      val slice = java.util.Arrays.copyOfRange(
-        row.payload, i * len / n, (i + 1) * len / n)
+      // long arithmetic: i*len wraps Int for payloads past
+      // ~Int.MaxValue/n bytes, handing copyOfRange inverted bounds —
+      // a task throw this module exists to never produce
+      val slice = java.util.Arrays.copyOfRange(row.payload,
+        (i.toLong * len / n).toInt, ((i + 1).toLong * len / n).toInt)
       val d = decode(Multimodal.MediaRow(row.doc_id, row.kind, slice))
       Multimodal.Frame(row.doc_id, i, d.byte_len, d.checksum)
     }

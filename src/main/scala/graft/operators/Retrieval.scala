@@ -220,12 +220,17 @@ object Retrieval {
       case other => throw new IllegalArgumentException(
         s"scorer must be lexical|bm25, got '$other'")
     }).persist()
-    val qset = queries.select(col("query_id"),
-      array_distinct(split(col("text"), " ")).as("qs"))
+    // the SAME tokenizer as the scorers: empty tokens from doubled
+    // separators are dropped — counting '' as a gate token inflates
+    // both set sizes, deflating Jaccard, so a near-duplicate positive
+    // could sneak under tau and be trained on as a hard negative
+    val nonEmptyTokens = array_distinct(
+      expr("filter(split(text, ' '), x -> length(x) >= 1)"))
+    val qset = queries.select(col("query_id"), nonEmptyTokens.as("qs"))
     val dset = corpus
       .join(broadcast(cand.select(col("doc_id")).distinct()), Seq("doc_id"),
         "left_semi")
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ds"))
+      .select(col("doc_id"), nonEmptyTokens.as("ds"))
     val negatives = cand
       .join(broadcast(qset), Seq("query_id"))
       .join(broadcast(dset), Seq("doc_id"))

@@ -181,7 +181,7 @@ object Sampling {
     * (already small) pair set regardless of corpus size. Cross-split
     * pairs survive with both labels; fixing them (quarantining one
     * side, or re-keying the split on the dedup cluster id from
-    * [[Dedup.nearDupClusters]] so whole clusters travel together) is
+    * [[Dedup.connectedComponents]] so whole clusters travel together) is
     * the caller's policy decision. */
   def splitLeakage(pairs: DataFrame, salt: String = "split",
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {

@@ -379,8 +379,17 @@ object Similarity {
     val b = aug.select(col("clab"), col("vec_id").as("d2"),
       col("embedding").as("e2"), col("nrm").as("n2"))
     val dups = a.join(b, Seq("clab")).where(col("d1") < col("d2"))
-      .withColumn("cosine", expr("dot_e8(e1, e2)").cast("double") /
-        sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      // zero-norm guard INSIDE the expression: a dead/sub-quantization
+      // vector has nrm = 0 — under ANSI the division itself throws
+      // DIVIDE_BY_ZERO, and a trailing filter conjunct gives no
+      // evaluation-order guarantee once the optimizer splits it. The
+      // when() makes the cosine null (never computed) for such pairs,
+      // and null never passes the threshold. Contract: zero-norm
+      // vectors have no direction, so they are never anyone's
+      // duplicate (mirrored in the DuckDB oracle).
+      .withColumn("cosine", when(col("n1") > 0 && col("n2") > 0,
+        expr("dot_e8(e1, e2)").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("d2").as("vec_id")).distinct()
     // read the keep join's left side from the CACHED aug, not from
@@ -451,8 +460,13 @@ object Similarity {
       col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, Seq("bucket")).where(col("d1") < col("d2"))
       .withColumn("dot_e8", expr("dot_e8(e1, e2)"))
-      .withColumn("cosine", col("dot_e8").cast("double") /
-        sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      // zero-norm guard inside the expression (see semanticDedup):
+      // under ANSI the 0-denominator division throws; the when() keeps
+      // it unevaluated and null never passes the threshold — zero-norm
+      // vectors are never near-dups by contract
+      .withColumn("cosine", when(col("n1") > 0 && col("n2") > 0,
+        col("dot_e8").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double"))))
       .where(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), col("bucket"), col("dot_e8"),
         col("cosine"))
@@ -492,12 +506,26 @@ object Similarity {
       .collect().map { r =>
         val q = r.getSeq[Float](1).map(graft.functions.DotE8.roundE4).toArray
         (r.getLong(0), q, q.map(x => x * x).sum)
-      }.sortBy(_._1)
-    require(bench.nonEmpty, "benchmark set is empty")
+      }
+      // zero-norm benchmark vectors have no direction: their cosine is
+      // 0/0 = NaN against EVERY training row, and NaN orders above the
+      // threshold — one dead bench vector would flag the whole corpus.
+      // They cannot be contaminated against, so drop them up front
+      // (mirrored in the oracle).
+      .filter(_._3 > 0)
+      .sortBy(_._1)
+    require(bench.nonEmpty, "benchmark set is empty (or all zero-norm)")
     val cands = bench.map { case (id, q, n2) =>
       val lits = q.mkString("", "L, ", "L")
-      s"struct(cast(dot_e4c(embedding, array($lits)) as double) / " +
-        s"sqrt(cast(n1 as double) * cast(${n2}L as double)) as c, " +
+      // the n1 = 0 branch must keep the division UNEVALUATED (ANSI
+      // throws on the 0 denominator): `if` short-circuits; NaN keeps
+      // the argmax total (it orders above every real cosine, ties
+      // break to the smallest bench id) and the verdict below guards
+      // on n1, so a zero-norm train row is (max_cos NaN, clean)
+      s"struct(if(n1 > 0, " +
+        s"cast(dot_e4c(embedding, array($lits)) as double) / " +
+        s"sqrt(cast(n1 as double) * cast(${n2}L as double)), " +
+        s"cast('NaN' as double)) as c, " +
         s"${-id}L as nb)"
     }.mkString("array(", ", ", ")")
     train
@@ -505,7 +533,10 @@ object Similarity {
       .withColumn("best", expr(s"array_max($cands)"))
       .select(col("vec_id"), col("best.c").as("max_cos"),
         (-col("best.nb")).as("best_bench"),
-        (col("best.c") >= threshold).as("contaminated"))
+        // a zero-norm TRAINING vector scores NaN against every bench
+        // vector; it carries no content to leak, so it is clean by
+        // contract (without the guard NaN ≥ threshold is TRUE)
+        (col("n1") > 0 && col("best.c") >= threshold).as("contaminated"))
   }
 
   /** Per-label embedding stats on exact quantized components: count and

@@ -304,6 +304,24 @@ class CurationSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"cache still pinned: $leaked")
   }
 
+  test("mineHardNegatives' positive gate tokenizes like the scorers: " +
+    "empty tokens from doubled separators do not dilute Jaccard") {
+    // query "alpha " vs doc 1 "alpha beta": true Jaccard({alpha},
+    // {alpha,beta}) = 1/2 ≥ tau → doc 1 is a POSITIVE and must be
+    // gated out. Counting the trailing-space '' as a query token gave
+    // |qs| = 2, union = 3, 1/3 < 1/2 — the near-duplicate leaked
+    // through as a "hard negative"
+    val corpus = Seq(
+      (1L, "alpha beta"),
+      (3L, "alpha delta epsilon gamma"), // j = 1/4 < 1/2 → true negative
+      (9L, "zeta eta"))                  // shares nothing, never scores
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "alpha ")).toDF("query_id", "text")
+    val r = Retrieval.mineHardNegatives(corpus, queries, k = 3, nNeg = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(r.toSeq == Seq((10L, 3L)), s"got ${r.toSeq}")
+  }
+
   test("mineHardNegatives with the bm25 scorer: candidates come from " +
     "bm25TopK, the positive gate is scorer-agnostic") {
     val corpus = Seq(

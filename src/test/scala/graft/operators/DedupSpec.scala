@@ -427,6 +427,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 0L, "totally unrelated words here")))
   }
 
+  test("scrubRepeatedNgrams: n >= 8 runs (per-step modular reduction " +
+    "never overflows int64, where the end-only mod threw under ANSI)") {
+    val run = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$run tail one"),
+      (2L, s"other head $run"),
+      (3L, "nothing shared here at all in this doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedNgrams(corpus, spark, n = 9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    // the shared 12-token run goes from both docs, the rest survives
+    assert(out(1L) == ((12L, "tail one")))
+    assert(out(2L) == ((12L, "other head")))
+    assert(out(3L)._1 == 0L)
+  }
+
+  test("lshBands/sigBandKeys reject a remainder that would silently " +
+    "drop trailing permutations from banding") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sigBandKeys(numPerms = 16, rowsPerBand = 5)
+    }
+    assert(e.getMessage.contains("divide"))
+    val sigs = Seq((1L, 1L, 2L)).toDF("doc_id", "sig0", "sig1")
+    intercept[IllegalArgumentException] {
+      Dedup.lshBands(sigs, numPerms = 2, rowsPerBand = 3)
+    }
+  }
+
   test("scrubRepeatedNgrams: an exact duplicate pair is fully " +
     "removed on BOTH sides; a within-doc repeat alone is not shared") {
     val corpus = Seq(

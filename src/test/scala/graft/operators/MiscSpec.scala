@@ -329,6 +329,20 @@ class MiscSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       AttributePath.splitCs("only/three/parts/here")
     }
+    // Python rsplit("/", 4) parity at the edges: a LEADING slash is an
+    // empty cs (accepted), and a trailing empty name segment splits
+    // into 4 parts like the Rsplit4Re regex does
+    val (cs3, rest3) = AttributePath.splitCs("/r3/mag/dia-01/current")
+    assert(cs3 == "" && rest3 == "r3/mag/dia-01/current")
+    val trail = AttributePath.splitName("r3/mag/dia-01/")
+    assert(trail.member == "dia-01" && trail.name == "")
+  }
+
+  test("Multimodal.resized validates keepEvery at plan time") {
+    val media = Seq((1L, "image/fake", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "kind", "payload")
+    intercept[IllegalArgumentException] { Multimodal.resized(media, 0) }
+    intercept[IllegalArgumentException] { Multimodal.resized(media, -3) }
   }
 
   test("TangoTypes: 26 tables, type resolution") {

@@ -258,6 +258,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2(5L) == 0, s"re-homed duplicate should drop: $r2")
   }
 
+  test("zero-norm vectors are never duplicates or contamination " +
+    "(NaN cosine must not pass the threshold)") {
+    // a dead vector (all zeros — or all |x| < 5e-5, which e4
+    // quantization rounds to zero) has nrm = 0 and cosine 0/0 = NaN;
+    // Spark orders NaN above every threshold, so without the guard one
+    // dead vector marks every larger-id cell-mate a duplicate
+    val dead = Array(0.0f, 0.0f, 0.0f, 0.0f)
+    val emb = Seq(
+      (0L, dead, 1),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (3L, dead, 1)) // two dead vectors are not each other's dups either
+      .toDF("vec_id", "embedding", "label")
+    val sd = Similarity.semanticDedup(emb, threshold = 0.5, dims = 4)
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(sd == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1), s"got $sd")
+    val cd = Similarity.cosineNearDups(emb, threshold = 0.5, dim = 4)
+      .collect()
+    assert(cd.forall(r => r.getLong(0) != 0L && r.getLong(1) != 0L
+      && r.getLong(0) != 3L && r.getLong(1) != 3L),
+      s"dead vector paired: ${cd.toSeq}")
+    // decontamination: a zero TRAIN vector is clean; a zero BENCH
+    // vector flags nothing
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, dead)).toDF("bench_id", "embedding")
+    val dec = Similarity.embedDecontaminate(emb, bench, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(dec == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false),
+      s"got $dec")
+  }
+
   test("semanticDedup releases its assignment cache after the result's " +
     "first materialization") {
     val emb = Seq(
