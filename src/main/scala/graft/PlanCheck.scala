@@ -9,12 +9,11 @@ object PlanCheck {
     val names = if (args.length > 1) args(1).split(",").toSeq
       else Seq("q09_point_in_time", "q10_history_limit")
     val doExplain = args.length > 2 && args(2) == "explain"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the BENCH-standard session (Harness): a hand-rolled builder here
+    // once skipped DerivedDivBounds.register, so this tool explained
+    // full-scan plans no production session executes — the opposite of
+    // its purpose
+    val spark = Harness.session()
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       if (doExplain) { println(s"=== $name plan ==="); df.explain("formatted") }

@@ -54,6 +54,11 @@ object Raster {
   def binPoints(points: DataFrame, keys: Seq[String],
       t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
       width: Int, height: Int, logScale: Boolean = false): DataFrame = {
+    // same plan-time contract as the fused RasterFusion.binPoints (the
+    // "same values" twin): a zero-length range nulls pxCol's division
+    // and least() silently clamps every point into the last column
+    require(t1Us > t0Us && width > 0 && height > 0,
+      s"degenerate raster window: t=[$t0Us,$t1Us] ${width}x$height")
     val base = points
       .where(col("t").between(t0Us, t1Us) && !isnan(col("value_r"))
         && col("value_r").between(
@@ -92,15 +97,39 @@ object Raster {
     * (key, px, py, w): Bresenham at w=1 (so the summed column IS the
     * hit count) and the AA kernel at w∈[1,256] coverage units.
     * Object-scoped so task closures capture nothing but this
-    * serializable object. */
-  private def segCells(aa: Boolean)(a: LP, b: LP): Seq[(String, Long, Long, Long)] =
+    * serializable object.
+    *
+    * Out-of-canvas guards (manual axis ranges narrower than the data —
+    * `pyCol` has no bottom clamp, so an outlier's py can be billions):
+    *  - a segment ENTIRELY below or above the canvas is skipped — its
+    *    cells' y all lie between the endpoint ys (Bresenham walks
+    *    monotonically; AA straddles at most one extra row, covered by
+    *    the 1-row margin), so every cell would be clipped anyway:
+    *    output-exact, and it removes the |Δpy|-cells blow-up for the
+    *    common both-sides-out case;
+    *  - a CROSSING segment's far endpoint is clamped into a ±4·height
+    *    band: cells per segment stay O(height+width) (no executor
+    *    blow-up, no Int wrap in the kernels) at the cost of a slightly
+    *    distorted slope for endpoints beyond the band — a documented
+    *    approximation that only engages when the caller's manual range
+    *    excludes data by >4 canvas heights. */
+  private def segCells(aa: Boolean, height: Int)(
+      a: LP, b: LP): Seq[(String, Long, Long, Long)] =
     if (a.k == b.k && a.py.isDefined && b.py.isDefined) {
-      if (aa)
-        lineAA(a.px.toInt, a.py.get.toInt, b.px.toInt, b.py.get.toInt)
-          .toSeq.map { case (x, y, w) => (b.k, x.toLong, y.toLong, w) }
-      else
-        bresenham(a.px.toInt, a.py.get.toInt, b.px.toInt, b.py.get.toInt)
-          .toSeq.map { case (x, y) => (b.k, x.toLong, y.toLong, 1L) }
+      val (ya, yb) = (a.py.get, b.py.get)
+      val fullyOut =
+        (ya < -1 && yb < -1) || (ya > height.toLong && yb > height.toLong)
+      if (fullyOut) Nil
+      else {
+        val band = 4L * height + 4
+        def cl(y: Long): Int = math.max(-band, math.min(band + height, y)).toInt
+        if (aa)
+          lineAA(a.px.toInt, cl(ya), b.px.toInt, cl(yb))
+            .toSeq.map { case (x, y, w) => (b.k, x.toLong, y.toLong, w) }
+        else
+          bresenham(a.px.toInt, cl(ya), b.px.toInt, cl(yb))
+            .toSeq.map { case (x, y) => (b.k, x.toLong, y.toLong, 1L) }
+      }
     } else Nil
 
   /** A4 — Canvas.line equivalent: per-cell count of pixels covered by
@@ -126,7 +155,15 @@ object Raster {
     * rasterized from their true endpoints and clipped per-cell, not
     * geometrically clipped at the canvas edge; callers should pass a
     * [vmin, vmax] covering the data (imageQuery does — axis limits come
-    * from the extrema phase). */
+    * from the extrema phase). Endpoints beyond ±4 canvas heights are
+    * clamped into that band before rasterizing (see [[segCells]]).
+    *
+    * Precondition: key column values must be NON-NULL — the NUL-joined
+    * series key cannot represent null parts (`concat_ws` skips them, so
+    * (null, "x") and ("x", null) would collide and reconstruct into the
+    * wrong columns). Archive keys (att_name, event_type) satisfy this
+    * by construction, the same invariant [[Catalog.latestBefore]]
+    * documents for its clustering key. */
   def binLines(points: DataFrame, keys: Seq[String], tieCol: String,
       t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
       width: Int, height: Int, logScale: Boolean = false): DataFrame =
@@ -143,6 +180,11 @@ object Raster {
       tieCol: String, t0Us: Long, t1Us: Long, vmin: Double, vmax: Double,
       width: Int, height: Int, logScale: Boolean, aa: Boolean,
       outCol: String): DataFrame = {
+    // same plan-time contract as the fused RasterFusion.binPoints —
+    // a zero-length range would otherwise null pxCol's division and
+    // least() would silently clamp every point into the last column
+    require(t1Us > t0Us && width > 0 && height > 0,
+      s"degenerate raster window: t=[$t0Us,$t1Us] ${width}x$height")
     val spark = points.sparkSession
     import spark.implicits._
     // a NaN value breaks the line; so does a non-positive value on a
@@ -174,7 +216,7 @@ object Raster {
       .repartitionByRange(col("k"), col("t"), col("tie"))
       .sortWithinPartitions(col("k"), col("t"), col("tie"))
       .persist()
-    val kernel = segCells(aa) _
+    val kernel = segCells(aa, height) _
     // within-partition consecutive pairs
     val inner = sorted.mapPartitions { it =>
       var prev: LP = null

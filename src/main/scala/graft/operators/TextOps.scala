@@ -116,7 +116,13 @@ object TextOps {
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    spark.createDataFrame(indexed, schema)
+    val res = spark.createDataFrame(indexed, schema)
+    // zipWithIndex's eager count already consumed the cache once; the
+    // returned frame's first materialization is the only other reader
+    // — release then instead of pinning one distinct-term set per call
+    // until LRU pressure (the library-wide CacheLifecycle contract)
+    CacheLifecycle.unpersistAfterFirstUse(res, sorted)
+    res
   }
 
   /** Corpus with planted near-duplicates: every doc_id % every`th doc

@@ -47,19 +47,27 @@ object TimeJoins {
     require(valueCols.forall(!left.columns.contains(_)),
       "valueCols collide with left columns")
     val rSchema = right.schema
+    // the right payload travels as ONE struct so the propagated match
+    // is atomic: per-column `last(_, ignoreNulls)` would mix columns
+    // from DIFFERENT right rows whenever the most recent row holds a
+    // legitimate null in one payload column (a=null from t=2 would be
+    // backfilled by a=5 from t=1 while b=7 comes from t=2) — breaking
+    // the "most recent right ROW" contract
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => rSchema(c)))
     val lTagged = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("_t"), lit(1).as("_is_left"),
-          lit(Long.MaxValue).as("_tie")) ++
-        leftPayload.map(col) ++
-        valueCols.map(c => lit(null).cast(rSchema(c).dataType).as(c)): _*)
+          lit(Long.MaxValue).as("_tie"),
+          lit(null).cast(payloadType).as("_payload")) ++
+        leftPayload.map(col): _*)
     val lSchema = left.schema
     val rTagged = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_is_left"),
-          col(rightTie).cast("long").as("_tie")) ++
-        leftPayload.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
+          col(rightTie).cast("long").as("_tie"),
+          struct(valueCols.map(col): _*).as("_payload")) ++
+        leftPayload.map(c => lit(null).cast(lSchema(c).dataType).as(c)): _*)
     // inclusive: right rows sort BEFORE left rows at an equal time
     // (is_left ascending puts 0 first), so an equal-time right row is
     // visible; exclusive flips the side order. _tie orders equal-time
@@ -71,10 +79,11 @@ object TimeJoins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .select(keyCols.map(col) ++ Seq(col("_is_left")) ++
-        leftPayload.map(col) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        leftPayload.map(col) :+
+        last(col("_payload"), ignoreNulls = true).over(w).as("_m"): _*)
       .where(col("_is_left") === 1)
-      .drop("_is_left")
+      .select(keyCols.map(col) ++ leftPayload.map(col) ++
+        valueCols.map(c => col(s"_m.$c").as(c)): _*)
   }
 
   /** Skew-bounded as-of join — identical output to [[asofJoin]]
@@ -101,24 +110,28 @@ object TimeJoins {
       "valueCols collide with left columns")
     val rSchema = right.schema
     val lSchema = left.schema
+    // atomic right-row payload struct — see [[asofJoin]]: per-column
+    // propagation mixed columns from different right rows on legit
+    // null payload values, and the per-column carry coalesce likewise
+    // substituted a previous bucket's value for an in-cell match's null
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => rSchema(c)))
     val lTagged = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("_t"), lit(1).as("_is_left"),
-          lit(Long.MaxValue).as("_tie")) ++
-        leftPayload.map(col) ++
-        valueCols.map(c => lit(null).cast(rSchema(c).dataType).as(c)): _*)
+          lit(Long.MaxValue).as("_tie"),
+          lit(null).cast(payloadType).as("_payload")) ++
+        leftPayload.map(col): _*)
     val rTagged = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_is_left"),
-          col(rightTie).cast("long").as("_tie")) ++
-        leftPayload.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
-    // persisted because BOTH window passes below consume it; it cannot
-    // be unpersisted here (the returned plan is lazy), so blocks stay
-    // cached under LRU eviction — long-lived sessions running many
-    // joins reclaim via cacheManager.clearCache() or eviction, worst
-    // case recompute (the library-wide persist lifecycle contract,
-    // same as Dedup.minhashNearDups')
+          col(rightTie).cast("long").as("_tie"),
+          struct(valueCols.map(col): _*).as("_payload")) ++
+        leftPayload.map(c => lit(null).cast(lSchema(c).dataType).as(c)): _*)
+    // persisted because BOTH window passes below consume it; released
+    // by the one-shot listener once the returned plan's first
+    // materialization completes (both passes live inside that one
+    // plan) — the library-wide CacheLifecycle contract
     val u = lTagged.unionByName(rTagged)
       .withColumn("_b", expr(s"_t div ${bucketUs}L")).persist()
     // pass 1: merge within each (key, bucket) cell — bounded tasks
@@ -129,14 +142,13 @@ object TimeJoins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inCell = u.select(
       (keyCols :+ "_b").map(col) ++ Seq(col("_is_left")) ++
-        leftPayload.map(col) ++
-        valueCols.map(c =>
-          last(col(c), ignoreNulls = true).over(wCell).as(c)): _*)
+        leftPayload.map(col) :+
+        last(col("_payload"), ignoreNulls = true).over(wCell).as("_m"): _*)
       .where(col("_is_left") === 1)
     // pass 2: per-cell LAST right row (max (_t, _tie) — unique per
     // right), then carry the latest non-empty cell forward per key
     val lastStruct = max(when(col("_is_left") === 0,
-      struct(col("_t") +: col("_tie") +: valueCols.map(col): _*)))
+      struct(col("_t"), col("_tie"), col("_payload"))))
       .as("_last")
     val cells = u.groupBy((keyCols :+ "_b").map(col): _*).agg(lastStruct)
     val wCarry = Window.partitionBy(keyCols.map(col): _*)
@@ -146,12 +158,14 @@ object TimeJoins {
       (keyCols :+ "_b").map(col) :+
         last(col("_last"), ignoreNulls = true).over(wCarry)
           .as("_carry"): _*)
-    // left rows unmatched in their own cell take the carry-in
-    inCell.join(carry, keyCols :+ "_b")
+    // left rows unmatched in their own cell take the carry-in ROW
+    val res = inCell.join(carry, keyCols :+ "_b")
+      .withColumn("_row", coalesce(col("_m"), col("_carry._payload")))
       .select(
         keyCols.map(col) ++ leftPayload.map(col) ++
-          valueCols.map(c =>
-            coalesce(col(c), col(s"_carry.$c")).as(c)): _*)
+          valueCols.map(c => col(s"_row.$c").as(c)): _*)
+    CacheLifecycle.unpersistAfterFirstUse(res, u)
+    res
   }
 
   /** Range join: pairs every point row (`pointTime`) with every

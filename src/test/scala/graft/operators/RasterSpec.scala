@@ -84,6 +84,41 @@ class RasterSpec extends AnyFunSuite {
       (7L, 0L, 1L)))
   }
 
+  test("binLines: a manual range far narrower than the data neither " +
+    "wraps nor blows up — off-canvas segments skip, crossings clamp") {
+    // pyCol has no bottom clamp, so the -1e7 outlier's py is ~-4e9 (an
+    // Int wrap waiting to happen) and a naive Bresenham would emit
+    // billions of cells per crossing segment. Range [0, 1]: the
+    // outlier segments cross the canvas, the in-range points draw
+    // normally, and the whole thing returns promptly with cells only
+    // inside the canvas.
+    val pts = Seq(
+      (0L, 0.2, 1L), (10L, -1.0e7, 2L), (20L, 0.8, 3L),
+      (30L, -1.0e7, 4L), (40L, -2.0e7, 5L), // fully-below segment: skipped
+      (50L, 0.5, 6L))
+      .toDF("t", "value_r", "point_id")
+      .withColumn("att_name", lit("a"))
+    val cells = Raster.binLines(pts, Seq("att_name"), "point_id",
+      0L, 60L, 0.0, 1.0, width = 8, height = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    assert(cells.forall { case (px, py) =>
+      px >= 0 && px < 8 && py >= 0 && py < 4 }, s"got ${cells.toSeq}")
+  }
+
+  test("binPoints/binLines reject a degenerate window like the fused " +
+    "twin (zero span would silently clamp everything into one column)") {
+    val pts = Seq((0L, 0.5, 1L)).toDF("t", "value_r", "point_id")
+      .withColumn("att_name", lit("a"))
+    intercept[IllegalArgumentException] {
+      Raster.binPoints(pts, Seq("att_name"), 5L, 5L, 0.0, 1.0, 4, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Raster.binLines(pts, Seq("att_name"), "point_id",
+        5L, 5L, 0.0, 1.0, 4, 4)
+    }
+  }
+
   test("binLines releases its sorted-projection cache after the result's " +
     "first materialization") {
     val pts = Seq(

@@ -53,6 +53,34 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(r.head.getLong(3) == 9L && r.head.getDouble(4) == 9.0)
   }
 
+  test("asofJoin propagates the most recent right ROW atomically — a " +
+    "legit null payload column is not backfilled from an older row") {
+    // right rows (t=1, a=5, b=6) and (t=2, a=null, b=7): the match for
+    // a left row at t=3 is the WHOLE t=2 row → (null, 7). Per-column
+    // last(_, ignoreNulls) returned (5, 7) — a and b from two
+    // different right rows
+    val l = Seq(("k", 3L, "x")).toDF("k", "t", "lbl")
+    val r = Seq(
+      ("k", 1L, 1L, Some(5.0), 6.0),
+      ("k", 2L, 2L, Option.empty[Double], 7.0))
+      .toDF("k", "rt", "rid", "a", "b")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val row = df.collect().head
+      assert(row.isNullAt(row.fieldIndex("a")),
+        s"null payload column backfilled from an older right row: $row")
+      assert(row.getDouble(row.fieldIndex("b")) == 7.0)
+    }
+    check(TimeJoins.asofJoin(l, r, Seq("k"), "t", "rt",
+      Seq("a", "b"), "rid"))
+    // the bucketed variant's carry path has the same contract: put the
+    // match in an EARLIER bucket than the left row so the carry-in (not
+    // the in-cell merge) supplies the row
+    check(TimeJoins.asofJoinBucketed(l, r, Seq("k"), "t", "rt",
+      Seq("a", "b"), "rid", bucketUs = 1L))
+    check(TimeJoins.asofJoinBucketed(l, r, Seq("k"), "t", "rt",
+      Seq("a", "b"), "rid", bucketUs = 100L))
+  }
+
   test("asofJoinBucketed: parity with asofJoin across widths and modes") {
     // rights in earlier buckets, empty buckets, tie at a bucket edge
     val l = Seq(
