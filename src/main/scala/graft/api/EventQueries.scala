@@ -145,6 +145,25 @@ object EventQueries {
   private val W = 64; private val H = 32
   private val VMax = 330.0
 
+  /** [[graft.operators.Raster]] segCells' out-of-canvas guards,
+    * mirrored into the raster oracles: a segment entirely below/above
+    * the canvas is skipped (its cells could never survive the clip),
+    * and crossing endpoints clamp into the ±(4·H+4) band — without
+    * this the oracle walks a far outlier's exact endpoints (different
+    * in-canvas cells than the engine, and a recursive CTE that emits
+    * |Δpy| rows). NULL pys pass through untouched (line breaks). */
+  private def segClampSql(h: Int): String = {
+    val lo = -(4 * h + 4); val hi = 5 * h + 4
+    def cl(c: String) =
+      s"CASE WHEN $c IS NULL THEN NULL WHEN $c < $lo THEN $lo " +
+        s"WHEN $c > $hi THEN $hi ELSE $c END"
+    s"""segc AS (
+       |  SELECT event_type, x0, ${cl("y0")} AS y0, x1, ${cl("y1")} AS y1
+       |  FROM segs
+       |  WHERE coalesce(NOT ((y0 < -1 AND y1 < -1)
+       |    OR (y0 > $h AND y1 > $h)), TRUE))""".stripMargin
+  }
+
   private def q07(s: SparkSession, dir: String): DataFrame =
     // the FUSED raster path (plans/RasterFusion.scala): one custom
     // operator for filter+pixel-bin+partial-agg; value parity with
@@ -433,13 +452,14 @@ object EventQueries {
        |    lag(px) OVER win AS x0, lag(py) OVER win AS y0,
        |    px AS x1, py AS y1
        |  FROM proj WINDOW win AS (PARTITION BY event_type ORDER BY t, point_id)),
+       |${segClampSql(H)},
        |walk AS (
        |  SELECT event_type, x0 AS x, y0 AS y, x1, y1,
        |    abs(x1 - x0) AS dx, -abs(y1 - y0) AS dy,
        |    CASE WHEN x0 < x1 THEN 1 ELSE -1 END AS sx,
        |    CASE WHEN y0 < y1 THEN 1 ELSE -1 END AS sy,
        |    abs(x1 - x0) - abs(y1 - y0) AS err, FALSE AS emit
-       |  FROM segs WHERE x0 IS NOT NULL AND y0 IS NOT NULL AND y1 IS NOT NULL
+       |  FROM segc WHERE x0 IS NOT NULL AND y0 IS NOT NULL AND y1 IS NOT NULL
        |  UNION ALL
        |  SELECT event_type,
        |    CASE WHEN 2*err >= dy THEN x + sx ELSE x END,
@@ -482,13 +502,14 @@ object EventQueries {
        |    lag(px) OVER win AS x0, lag(py) OVER win AS y0,
        |    px AS x1, py AS y1
        |  FROM proj WINDOW win AS (PARTITION BY event_type ORDER BY t, point_id)),
+       |${segClampSql(H)},
        |oriented AS (
        |  SELECT event_type, abs(y1 - y0) > abs(x1 - x0) AS steep,
        |    CASE WHEN abs(y1 - y0) > abs(x1 - x0) THEN y0 ELSE x0 END AS a0,
        |    CASE WHEN abs(y1 - y0) > abs(x1 - x0) THEN x0 ELSE y0 END AS b0,
        |    CASE WHEN abs(y1 - y0) > abs(x1 - x0) THEN y1 ELSE x1 END AS a1,
        |    CASE WHEN abs(y1 - y0) > abs(x1 - x0) THEN x1 ELSE y1 END AS b1
-       |  FROM segs
+       |  FROM segc
        |  WHERE x0 IS NOT NULL AND y0 IS NOT NULL AND y1 IS NOT NULL
        |    AND NOT (x0 = x1 AND y0 = y1)),
        |steps AS (
@@ -1296,8 +1317,8 @@ object EventQueries {
 
   // ---------------------------------------------------------------- q37 C3 naive-UTC parse
   /** q37 — C3 under the oracle gate: [[TimeFns.parseNaiveUtcCol]]
-    * (reference `utils.py:14-19`) over a string column cycling the
-    * five request-time shapes — 'T'-separated ISO, space-separated,
+    * (reference `utils.py:14-19`) over a string column cycling SEVEN
+    * request-time shapes — 'T'-separated ISO, space-separated,
     * date-only, explicit `+02:00` offset (formatted from the
     * instant's +02:00 wall clock, so the parsed UTC instant must
     * round back to the second-truncated `t`), and a MILLISECOND
@@ -1305,21 +1326,29 @@ object EventQueries {
     * pad-to-6-digits path in both engines. The strings are formatted
     * from the events themselves, so both engines parse IDENTICAL
     * text and the hash pins parse → epoch-µs end-to-end.
-    * (Offset+fraction combined is not a generated form; the column
-    * parser's offset branch is whole-second — the scalar
-    * [[TimeFns.parseNaiveUtc]] covers the full ISO space.) */
+    * Two more forms complete the ISO coverage: a 'Z'-suffixed UTC
+    * spelling (the most common wire form) and the offset+fraction
+    * combination (whose 12h-wrong parse a substr-positioned oracle
+    * once produced — positions shift when a fraction precedes the
+    * offset). */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val ts = timestamp_micros(col("t"))
-    val form = pmod(col("point_id"), lit(5))
+    val msFrac = lpad(expr("pmod(t, 1000000) div 1000").cast("string"),
+      3, "0")
+    val form = pmod(col("point_id"), lit(7))
     val iso = when(form === 0, date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
       .when(form === 1, date_format(ts, "yyyy-MM-dd HH:mm:ss"))
       .when(form === 2, date_format(ts, "yyyy-MM-dd"))
       .when(form === 3, concat(
         date_format(timestamp_micros(col("t") + 7200000000L),
           "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00")))
+      .when(form === 4, concat(
+        date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit("."), msFrac))
+      .when(form === 5, concat(
+        date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")))
       .otherwise(concat(
-        date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit("."),
-        lpad(expr("pmod(t, 1000000) div 1000").cast("string"), 3, "0")))
+        date_format(timestamp_micros(col("t") + 7200000000L),
+          "yyyy-MM-dd'T'HH:mm:ss"), lit("."), msFrac, lit("+02:00")))
     pts(s, dir).select(col("point_id"), iso.as("iso"))
       .withColumn("t_parsed", TimeFns.parseNaiveUtcCol(col("iso")))
       .orderBy(col("point_id"))
@@ -1328,35 +1357,55 @@ object EventQueries {
   private val q37Sql =
     s"""${PtsSql}, strs AS (
        |  SELECT point_id,
-       |    CASE point_id % 5
+       |    CASE point_id % 7
        |      WHEN 0 THEN strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
        |      WHEN 1 THEN strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S')
        |      WHEN 2 THEN strftime(make_timestamp(t), '%Y-%m-%d')
        |      WHEN 3 THEN strftime(make_timestamp(t + 7200000000),
        |             '%Y-%m-%dT%H:%M:%S') || '+02:00'
-       |      ELSE strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
+       |      WHEN 4 THEN strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
        |             || '.' || lpad(CAST((t % 1000000) // 1000 AS VARCHAR),
        |                            3, '0')
+       |      WHEN 5 THEN strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
+       |             || 'Z'
+       |      ELSE strftime(make_timestamp(t + 7200000000),
+       |             '%Y-%m-%dT%H:%M:%S')
+       |             || '.' || lpad(CAST((t % 1000000) // 1000 AS VARCHAR),
+       |                            3, '0') || '+02:00'
        |    END AS iso
-       |  FROM pts)
+       |  FROM pts),
+       |-- the offset/Z suffix is stripped BEFORE fraction handling —
+       |-- an earlier fixed-substr form read the fraction's digits as
+       |-- the offset hours whenever a fraction preceded the offset
+       |base AS (
+       |  SELECT point_id, iso, s,
+       |    CASE
+       |      WHEN s LIKE '%Z' THEN substr(s, 1, length(s) - 1)
+       |      WHEN regexp_matches(s, '[+-][0-9]{2}:[0-9]{2}$$')
+       |        THEN substr(s, 1, length(s) - 6)
+       |      ELSE s END AS body,
+       |    CASE
+       |      WHEN regexp_matches(s, '[+-][0-9]{2}:[0-9]{2}$$') THEN
+       |        (CASE WHEN substr(s, length(s) - 5, 1) = '+'
+       |              THEN 1 ELSE -1 END)
+       |          * (CAST(substr(s, length(s) - 4, 2) AS BIGINT) * 3600
+       |             + CAST(substr(s, length(s) - 1, 2) AS BIGINT) * 60)
+       |          * 1000000
+       |      ELSE 0 END AS off_us
+       |  FROM (SELECT point_id, iso, replace(iso, ' ', 'T') AS s
+       |        FROM strs))
        |SELECT point_id, iso,
        |  CASE
-       |    WHEN regexp_matches(iso, '[+-][0-9]{2}:[0-9]{2}$$') THEN
-       |      epoch_us(strptime(substr(iso, 1, 19), '%Y-%m-%dT%H:%M:%S'))
-       |        - (CASE WHEN substr(iso, 20, 1) = '+' THEN 1 ELSE -1 END)
-       |          * (CAST(substr(iso, 21, 2) AS BIGINT) * 3600
-       |             + CAST(substr(iso, 24, 2) AS BIGINT) * 60) * 1000000
-       |    WHEN length(iso) = 10 THEN epoch_us(strptime(iso, '%Y-%m-%d'))
-       |    WHEN iso LIKE '%.%' THEN
+       |    WHEN length(body) = 10 THEN epoch_us(strptime(body, '%Y-%m-%d'))
+       |    WHEN body LIKE '%.%' THEN
        |      epoch_us(strptime(
-       |        regexp_replace(replace(iso, ' ', 'T'), '\\.[0-9]+$$', '')
-       |          || '.' || rpad(regexp_extract(iso, '\\.([0-9]+)', 1),
+       |        regexp_replace(body, '\\.[0-9]+$$', '')
+       |          || '.' || rpad(regexp_extract(body, '\\.([0-9]+)', 1),
        |                         6, '0'),
        |        '%Y-%m-%dT%H:%M:%S.%f'))
-       |    ELSE epoch_us(strptime(replace(iso, ' ', 'T'),
-       |           '%Y-%m-%dT%H:%M:%S'))
-       |  END AS t_parsed
-       |FROM strs ORDER BY point_id""".stripMargin
+       |    ELSE epoch_us(strptime(body, '%Y-%m-%dT%H:%M:%S'))
+       |  END - off_us AS t_parsed
+       |FROM base ORDER BY point_id""".stripMargin
 
   // ---------------------------------------------------------------- q38 C4 period arithmetic
   /** q38 — C4 under the oracle gate: the day-period enumeration the
@@ -1371,12 +1420,15 @@ object EventQueries {
       .groupBy(col("event_type"))
       .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
       .select(col("event_type"),
+        // tz-free UTC day bounds (to_date over an LTZ timestamp
+        // renders the SESSION zone; utcDay is epoch arithmetic, the
+        // oracle's CAST(make_timestamp AS DATE) semantics)
         explode(sequence(
-          to_date(timestamp_micros(col("t0"))),
-          to_date(timestamp_micros(col("t1"))),
+          to_date(graft.functions.TimeFns.utcDay(col("t0"))),
+          to_date(graft.functions.TimeFns.utcDay(col("t1"))),
           expr("interval 1 day"))).as("day"))
       .select(col("event_type"),
-        date_format(col("day"), "yyyy-MM-dd").as("period"))
+        col("day").cast("string").as("period"))
       .orderBy(col("event_type"), col("period"))
 
   private val q38Sql =
@@ -1413,13 +1465,19 @@ object EventQueries {
       .orderBy(col("point_id"))
 
   private val q39Sql =
+    // positive-mod / floor-div forms, NOT bare % and //: DuckDB's %
+    // takes the dividend's sign and // truncates toward zero, while
+    // the Spark side uses pmod and date_trunc's floor — bare forms
+    // would shift every pre-1970 timestamp by one second/bucket
     s"""${PtsSql}SELECT point_id,
-       |  t // 1000000 AS t_sec,
-       |  t % 1000000 AS data_time_us,
+       |  (t - (((t % 1000000) + 1000000) % 1000000)) // 1000000 AS t_sec,
+       |  ((t % 1000000) + 1000000) % 1000000 AS data_time_us,
        |  epoch_us(date_trunc('second', make_timestamp(t)))
-       |    + (t % 1000000) AS t_us,
-       |  CAST(t // 1000000 AS DOUBLE) * 1000.0
-       |    + CAST(t % 1000000 AS DOUBLE) / 1000.0 AS t_ms
+       |    + (((t % 1000000) + 1000000) % 1000000) AS t_us,
+       |  CAST((t - (((t % 1000000) + 1000000) % 1000000)) // 1000000
+       |    AS DOUBLE) * 1000.0
+       |    + CAST(((t % 1000000) + 1000000) % 1000000 AS DOUBLE) / 1000.0
+       |    AS t_ms
        |FROM pts ORDER BY point_id""".stripMargin
 
   // ---------------------------------------------------------------- q40 C7 axis padding
@@ -1438,8 +1496,10 @@ object EventQueries {
     pts(s, dir)
       .withColumn("value_r", col("value_r") - 100)
       .groupBy(col("user_id"), col("event_type"),
-        date_format(to_date(timestamp_micros(col("t"))), "yyyy-MM-dd")
-          .as("period"))
+        // tz-free UTC day — to_date(timestamp_micros(t)) renders the
+        // SESSION zone, the oracle's CAST(make_timestamp AS DATE) is
+        // zone-free UTC
+        graft.functions.TimeFns.utcDay(col("t")).as("period"))
       .agg(min(clean).as("vmin"), max(clean).as("vmax"))
       .where(col("vmin").isNotNull) // plot.py:156 — no data, no range
       .select(col("user_id"), col("event_type"), col("period"),

@@ -1186,7 +1186,10 @@ object PipelineQueries {
   private val p19Sql =
     """WITH t AS (
       |  SELECT lang, doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |    -- coalesce mirrors packTokenBudget: NULL text is 0 tokens,
+      |    -- not a NULL that poisons the running sum and the bin key
+      |    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+      |      AS n_tok
       |  FROM documents),
       |c AS (
       |  SELECT lang, doc_id, n_tok,
@@ -1887,9 +1890,13 @@ object PipelineQueries {
        |         array_to_string(string_split(text, ' ')[4:], ' ') AS text
        |  FROM documents WHERE doc_id % 25 = 0),
        |tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-       |         generate_subscripts(string_split(text, ' '), 1) AS pos,
-       |         len(string_split(text, ' ')) AS nt
+       |  -- coalesce mirrors scrubRepeatedNgrams' text coalesce: a
+       |  -- NULL-text doc keeps its audit row instead of vanishing
+       |  SELECT doc_id,
+       |         unnest(string_split(coalesce(text, ''), ' ')) AS w,
+       |         generate_subscripts(string_split(coalesce(text, ''), ' '), 1)
+       |           AS pos,
+       |         len(string_split(coalesce(text, ''), ' ')) AS nt
        |  FROM corpus),
        |seq AS (SELECT doc_id, pos, w, nt, ${polyHashSql("w")} AS tid
        |  FROM tok),
@@ -2002,8 +2009,12 @@ object PipelineQueries {
       |  SELECT doc_id + 2000000 AS doc_id, text
       |  FROM documents WHERE doc_id % 50 = 0),
       |tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  -- coalesce mirrors stripBoilerplate's text coalesce: a NULL
+      |  -- text doc still emits its (empty-chunk) audit row instead of
+      |  -- vanishing from the output
+      |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w,
+      |         generate_subscripts(string_split(coalesce(text, ''), ' '), 1)
+      |           AS pos
       |  FROM corpus),
       |ch AS (
       |  SELECT doc_id, (pos - 1) // 8 + 1 AS ci,
@@ -2208,10 +2219,10 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** p72's BM25 chain over the planted corpus, then p67's gate. The
-    * gate sets are UNfiltered raw splits (`array_distinct(split)`)
-    * while the scoring postings drop empty tokens — mirroring the
-    * Scala sides exactly. */
+  /** p72's BM25 chain over the planted corpus, then p67's gate. Gate
+    * sets and scoring postings BOTH drop empty tokens (the one
+    * tokenizer contract — the gate once kept '' and deflated Jaccard,
+    * letting near-duplicate positives through). */
   private val p74Sql =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -3151,8 +3162,13 @@ object PipelineQueries {
       |        CAST(sum(tl.q * bl.q) AS BIGINT) AS d
       |      FROM tl JOIN bl ON tl.i = bl.i GROUP BY 1, 2),
       |c AS (SELECT vec_id, bench_id, n1,
-      |        CAST(d AS DOUBLE)
-      |          / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS c
+      |        -- the explicit NaN branch mirrors the engine exactly: a
+      |        -- zero-norm TRAIN vector's max_cos is NaN there, while
+      |        -- DuckDB's bare 0.0/0.0 is NULL — a NaN-vs-NULL cell
+      |        -- difference the hash would catch
+      |        CASE WHEN n1 > 0 THEN CAST(d AS DOUBLE)
+      |          / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |          ELSE CAST('NaN' AS DOUBLE) END AS c
       |      -- zero-norm BENCH vectors are dropped (engine filters them
       |      -- before building the candidate array)
       |      FROM d JOIN tn USING (vec_id) JOIN bn USING (bench_id)

@@ -64,9 +64,14 @@ object TimeFns {
     h - pmod(h, lit(deltaUs))
   }
 
-  /** Same, for use in oracle SQL (DuckDB `//` is integer division). */
-  def roundBucketSql(tExpr: String, deltaUs: Long): String =
-    s"(($tExpr + ${deltaUs / 2}) // $deltaUs) * $deltaUs"
+  /** Same, for use in oracle SQL — the positive-mod form `h - pmod(h,
+    * Δ)`, NOT `(h // Δ) * Δ`: DuckDB's `//` truncates toward zero
+    * where the Spark side floors, which would shift every
+    * negative-time bucket by Δ. Identical for h ≥ 0. */
+  def roundBucketSql(tExpr: String, deltaUs: Long): String = {
+    val h = s"($tExpr + ${deltaUs / 2})"
+    s"($h - ((($h % $deltaUs) + $deltaUs) % $deltaUs))"
+  }
 
   /** UTC calendar day ("yyyy-MM-dd" string) of an epoch-µs column —
     * pure arithmetic plus a date→string cast, INDEPENDENT of the

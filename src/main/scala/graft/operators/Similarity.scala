@@ -268,9 +268,10 @@ object Similarity {
     * classic broadcast-Lloyd layout. */
   private def collectCentroids(assigned: DataFrame, labelCol: String,
       dims: Int): Array[(Int, Array[Long])] = {
-    val compSums = (1 to dims).map(d => sum(expr(
-      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
-      .as(s"s$d"))
+    // qComp: a short vector contributes nothing to its missing dims'
+    // sums but still counts in n — exactly the oracle's p38Round shape
+    // (unnest drops absent dims, n is count(*) per cell)
+    val compSums = (1 to dims).map(d => sum(Similarity.qComp(d)).as(s"s$d"))
     val aggs = count(lit(1)).as("n") +: compSums
     assigned.groupBy(col(labelCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -278,7 +279,10 @@ object Similarity {
       .map { r =>
         val n = r.getLong(1)
         (r.getInt(0),
-          Array.tabulate(dims)(d => Math.floorDiv(r.getLong(2 + d), n)))
+          // a dim NO vector in the cell has sums to null → component 0
+          Array.tabulate(dims)(d =>
+            if (r.isNullAt(2 + d)) 0L
+            else Math.floorDiv(r.getLong(2 + d), n)))
       }
       .sortBy(_._1)
   }
@@ -543,11 +547,23 @@ object Similarity {
     * Σ round(e[d]·10⁴) for the first `nDims` dimensions. */
   def labelStats(emb: DataFrame, nDims: Int): DataFrame = {
     val sums = (1 to nDims).map(d =>
-      sum(expr(s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)"))
-        .as(s"s$d"))
+      sum(Similarity.qComp(d)).as(s"s$d"))
     val aggs = count(lit(1)).as("n") +: sums
     emb.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** e4-quantized component d, NULL when the vector is shorter than d —
+    * bare `element_at` past the end THROWS under Spark's default ANSI
+    * mode, where the DuckDB oracles (subscript access / unnest) treat a
+    * missing dim as absent. Null-skipping sums over this expression
+    * match the oracles' semantics; counts stay whatever the caller
+    * aggregates. The corpus contract is fixed-width embeddings — this
+    * guard makes a stray short vector degrade instead of killing the
+    * query. */
+  private def qComp(d: Int): Column = expr(
+    s"case when size(embedding) >= $d then " +
+      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) " +
+      "as bigint) end")
 
   /** Exact second-moment (covariance) statistics over the first
     * `nDims` embedding components — the one-pass aggregate PCA /
@@ -572,25 +588,37 @@ object Similarity {
     * (i, j, n, s_i, s_j, s_ij, cov), i ≤ j. */
   def covarianceStats(emb: DataFrame, nDims: Int): DataFrame = {
     require(nDims >= 1, s"nDims must be >= 1, got $nDims")
-    val comp = emb.select((1 to nDims).map(d => expr(
-      s"cast(round(cast(element_at(embedding, $d) as double) * 10000) as bigint)")
-      .as(s"v$d")): _*)
+    // qComp: missing dims are NULL (never an ANSI throw); every pair
+    // statistic is scoped to rows possessing BOTH dims — the oracle's
+    // semantics exactly (its pairs CTE inner-joins the component rows,
+    // so n, s_i, s_j are all pair-scoped there). On a fixed-width
+    // corpus pair-scoped ≡ global, so this costs nothing at contract.
+    val comp = emb.select((1 to nDims).map(d =>
+      Similarity.qComp(d).as(s"v$d")): _*)
     val pairIdx = for { i <- 1 to nDims; j <- i to nDims } yield (i, j)
-    val aggCols = Seq(count(lit(1)).as("n")) ++
-      (1 to nDims).map(d => sum(col(s"v$d")).as(s"s$d")) ++
-      pairIdx.map { case (i, j) =>
-        sum(col(s"v$i") * col(s"v$j")).as(s"p${i}_$j") }
+    def both(i: Int, j: Int): Column =
+      col(s"v$i").isNotNull && col(s"v$j").isNotNull
+    val aggCols = pairIdx.flatMap { case (i, j) => Seq(
+      count(when(both(i, j), 1)).as(s"n${i}_$j"),
+      sum(when(both(i, j), col(s"v$i"))).as(s"si${i}_$j"),
+      sum(when(both(i, j), col(s"v$j"))).as(s"sj${i}_$j"),
+      sum(col(s"v$i") * col(s"v$j")).as(s"p${i}_$j")) }
     val one = comp.agg(aggCols.head, aggCols.tail: _*)
     val pairs = array(pairIdx.map { case (i, j) =>
-      struct(lit(i).as("i"), lit(j).as("j"), col(s"s$i").as("s_i"),
-        col(s"s$j").as("s_j"), col(s"p${i}_$j").as("s_ij")) }: _*)
-    one.select(col("n"), explode(pairs).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("n"),
+      struct(lit(i).as("i"), lit(j).as("j"), col(s"n${i}_$j").as("n"),
+        col(s"si${i}_$j").as("s_i"), col(s"sj${i}_$j").as("s_j"),
+        col(s"p${i}_$j").as("s_ij")) }: _*)
+    one.select(explode(pairs).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.n").as("n"),
         col("p.s_i").as("s_i"), col("p.s_j").as("s_j"),
         col("p.s_ij").as("s_ij"),
-        ((col("n") * col("p.s_ij") - col("p.s_i") * col("p.s_j"))
-          .cast("double") /
-          (col("n") * col("n")).cast("double")).as("cov"))
+        // n = 0 would be an ANSI divide-by-zero; the oracle has no row
+        // for an empty pair, so null cov on an all-short corpus is the
+        // benign divergence (fixed-width corpora never hit it)
+        when(col("p.n") > 0,
+          (col("p.n") * col("p.s_ij") - col("p.s_i") * col("p.s_j"))
+            .cast("double") /
+            (col("p.n") * col("p.n")).cast("double")).as("cov"))
   }
 
   /** Symmetric int8 quantization audit per vector — the vector-store

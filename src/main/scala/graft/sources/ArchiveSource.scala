@@ -185,8 +185,12 @@ final class EventsArchiveAdapter(val spark: SparkSession, sfDir: String)
     * rewrites range predicates on `t` into raw-`ts` bounds the parquet
     * footer can prune on — no manual predicate pairing needed. */
   def pointsAll: DataFrame = {
+    // an UNKNOWN event type folds to a null id (matching the oracle's
+    // CASE-without-ELSE) — the old -1 default produced att_conf_id =
+    // 8·user_id − 1, silently ALIASING the unknown type onto the
+    // previous user's slot-7 attribute
     val typeId = eventTypes.zipWithIndex
-      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
+      .foldLeft(lit(null).cast("int")) { case (acc, (t, i)) =>
         when(col("event_type") === t, lit(i)).otherwise(acc)
       }
     val df = raw

@@ -258,6 +258,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2(5L) == 0, s"re-homed duplicate should drop: $r2")
   }
 
+  test("ragged (short) vectors degrade like the oracles' absent dims " +
+    "instead of throwing under ANSI") {
+    // bare element_at past the end THROWS under Spark's default ANSI
+    // mode; the oracles (subscript access / unnest) treat a missing
+    // dim as absent. One 2-dim vector among 4-dim ones:
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f), 1),
+      (1L, Array(5.0f, 6.0f), 1)) // short
+      .toDF("vec_id", "embedding", "label")
+    val ls = Similarity.labelStats(emb, nDims = 4).collect().head
+    assert(ls.getLong(1) == 2) // n counts ALL rows (oracle count(*))
+    assert(ls.getLong(2) == 60000L && ls.getLong(3) == 80000L) // d1,d2 both
+    assert(ls.getLong(4) == 30000L && ls.getLong(5) == 40000L) // d3,d4 one
+    val cov = Similarity.covarianceStats(emb, nDims = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // pair statistics scope to rows possessing BOTH dims — the
+    // oracle's inner-join semantics
+    assert(cov((1, 2)) == 2 && cov((1, 3)) == 1 && cov((3, 4)) == 1)
+  }
+
   test("zero-norm vectors are never duplicates or contamination " +
     "(NaN cosine must not pass the threshold)") {
     // a dead vector (all zeros — or all |x| < 5e-5, which e4

@@ -202,6 +202,23 @@ class EncodingMatrixSpec extends AnyFunSuite {
         "ArchiveWriter scaladocs")
   }
 
+  test("an unknown event type gets a NULL att_conf_id, matching the " +
+    "oracle's CASE-without-ELSE (the old -1 default aliased slots)") {
+    val dir = Files.createTempDirectory("graft-enc-unknown").toString
+    logical.withColumn("event_type",
+      when(col("event_id") === 0, lit("refund")) // a SIXTH type
+        .otherwise(col("event_type")))
+      .select(col("event_id"),
+        timestamp_micros(col("t_us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val p = new EventsArchiveAdapter(spark, dir).pointsAll
+      .where(col("event_type") === "refund")
+      .select("att_conf_id").collect()
+    assert(p.length == 1 && p.head.isNullAt(0),
+      s"unknown type must yield null att_conf_id, got ${p.toSeq}")
+  }
+
   test("adapter leaves the session's nanosAsLong untouched on " +
     "non-NANOS data") {
     // the conf is set ON DEMAND when a read rejects TIMESTAMP(NANOS)
