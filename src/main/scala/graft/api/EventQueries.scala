@@ -878,7 +878,8 @@ object EventQueries {
         .createTempDirectory("graft-flat").toString
       pts(s, dir).select(
           col("point_id").as("event_id"),
-          timestamp_micros(col("t")).cast("timestamp_ntz").as("ts"),
+          // explicit-UTC NTZ — a bare cast renders the SESSION zone
+          expr("convert_timezone('UTC', timestamp_micros(t))").as("ts"),
           col("user_id"), col("event_type"),
           col("value_r").as("value"), col("error_desc").as("props"))
         .repartitionByRange(15, col("ts"))
@@ -1332,7 +1333,13 @@ object EventQueries {
     * once produced — positions shift when a fraction precedes the
     * offset). */
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    val ts = timestamp_micros(col("t"))
+    // explicit-UTC NTZ: date_format over an LTZ timestamp renders the
+    // SESSION zone, which would generate different strings (and parse
+    // to different instants) on a non-UTC session than the oracle's
+    // zone-free strftime(make_timestamp(t))
+    val ts = expr("convert_timezone('UTC', timestamp_micros(t))")
+    val tsPlus2h =
+      expr("convert_timezone('UTC', timestamp_micros(t + 7200000000))")
     val msFrac = lpad(expr("pmod(t, 1000000) div 1000").cast("string"),
       3, "0")
     val form = pmod(col("point_id"), lit(7))
@@ -1340,15 +1347,14 @@ object EventQueries {
       .when(form === 1, date_format(ts, "yyyy-MM-dd HH:mm:ss"))
       .when(form === 2, date_format(ts, "yyyy-MM-dd"))
       .when(form === 3, concat(
-        date_format(timestamp_micros(col("t") + 7200000000L),
-          "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00")))
+        date_format(tsPlus2h, "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00")))
       .when(form === 4, concat(
         date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit("."), msFrac))
       .when(form === 5, concat(
         date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")))
       .otherwise(concat(
-        date_format(timestamp_micros(col("t") + 7200000000L),
-          "yyyy-MM-dd'T'HH:mm:ss"), lit("."), msFrac, lit("+02:00")))
+        date_format(tsPlus2h, "yyyy-MM-dd'T'HH:mm:ss"),
+        lit("."), msFrac, lit("+02:00")))
     pts(s, dir).select(col("point_id"), iso.as("iso"))
       .withColumn("t_parsed", TimeFns.parseNaiveUtcCol(col("iso")))
       .orderBy(col("point_id"))

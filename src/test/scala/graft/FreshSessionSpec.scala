@@ -90,4 +90,28 @@ class FreshSessionSpec extends AnyFunSuite {
       s"derived bounds missing in fresh session (pushed=$pushed)")
     assert(df.count() > 0)
   }
+
+  test("day-deriving and string-generating queries are session-time-" +
+    "zone invariant (q35/q37/q38/q40)") {
+    // date_format / to_date / NTZ-cast over an LTZ timestamp all
+    // render the SESSION zone; the oracles are zone-free UTC. These
+    // four queries derive days, generate parse strings, or stage an
+    // NTZ fixture — each must produce IDENTICAL results on a non-UTC
+    // session (q35's fixture staging memoizes per session, so the
+    // clone re-stages under the shifted zone and exercises the
+    // staging path too).
+    val dir = "/root/testdata/sf0.001"
+    def run(s: org.apache.spark.sql.SparkSession, name: String) =
+      SparkEntry.queries(name)(s, dir).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val chicago = SparkTestBase.spark.newSession()
+    chicago.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    Seq("q35_flat_archive_window", "q37_parse_naive_utc",
+      "q38_period_days", "q40_axis_padding").foreach { name =>
+      val utc = run(SparkTestBase.spark.newSession(), name)
+      val shifted = run(chicago, name)
+      assert(utc == shifted, s"$name differs under a non-UTC session " +
+        s"(first diff: ${utc.zip(shifted).find(p => p._1 != p._2)})")
+    }
+  }
 }
