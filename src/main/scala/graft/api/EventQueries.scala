@@ -153,7 +153,10 @@ object EventQueries {
     * in-canvas cells than the engine, and a recursive CTE that emits
     * |Δpy| rows). NULL pys pass through untouched (line breaks). */
   private def segClampSql(h: Int): String = {
-    val lo = -(4 * h + 4); val hi = 5 * h + 4
+    // ONE band definition with the engine (Raster.clampBand) — any
+    // drift between the two splits engine and oracle on far outliers
+    val band = graft.operators.Raster.clampBand(h)
+    val lo = -band; val hi = band + h
     def cl(c: String) =
       s"CASE WHEN $c IS NULL THEN NULL WHEN $c < $lo THEN $lo " +
         s"WHEN $c > $hi THEN $hi ELSE $c END"

@@ -92,6 +92,13 @@ object Raster {
 
   private val KeySep = "\u0000"
 
+  /** Off-canvas endpoint clamp band (plus/minus band, see
+    * [[segCells]]). ONE definition shared with the raster oracles'
+    * segClampSql (api/EventQueries) -- the two must stay equal or the
+    * engine and its q21/q28/q29 oracles diverge on far-outlier
+    * segments. */
+  private[graft] def clampBand(height: Int): Long = 4L * height + 4
+
   /** Weighted cells of the segment prev→cur, or none when the pair
     * spans keys or touches a NaN (None) endpoint. Both kernels emit
     * (key, px, py, w): Bresenham at w=1 (so the summed column IS the
@@ -121,7 +128,7 @@ object Raster {
         (ya < -1 && yb < -1) || (ya > height.toLong && yb > height.toLong)
       if (fullyOut) Nil
       else {
-        val band = 4L * height + 4
+        val band = clampBand(height)
         def cl(y: Long): Int = math.max(-band, math.min(band + height, y)).toInt
         if (aa)
           lineAA(a.px.toInt, cl(ya), b.px.toInt, cl(yb))
