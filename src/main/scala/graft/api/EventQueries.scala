@@ -881,8 +881,10 @@ object EventQueries {
         .createTempDirectory("graft-flat").toString
       pts(s, dir).select(
           col("point_id").as("event_id"),
-          // explicit-UTC NTZ — a bare cast renders the SESSION zone
-          expr("convert_timezone('UTC', timestamp_micros(t))").as("ts"),
+          // reinterpret, not cast/convert_timezone: both render the
+          // SESSION zone (convert_timezone's implicit LTZ→NTZ cast
+          // mis-resolves DST-ambiguous fall-back wall times)
+          TimeFns.ntzOfMicros(col("t")).as("ts"),
           col("user_id"), col("event_type"),
           col("value_r").as("value"), col("error_desc").as("props"))
         .repartitionByRange(15, col("ts"))
@@ -1336,13 +1338,13 @@ object EventQueries {
     * once produced — positions shift when a fraction precedes the
     * offset). */
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    // explicit-UTC NTZ: date_format over an LTZ timestamp renders the
-    // SESSION zone, which would generate different strings (and parse
-    // to different instants) on a non-UTC session than the oracle's
-    // zone-free strftime(make_timestamp(t))
-    val ts = expr("convert_timezone('UTC', timestamp_micros(t))")
-    val tsPlus2h =
-      expr("convert_timezone('UTC', timestamp_micros(t + 7200000000))")
+    // naive-UTC NTZ via the ntz_of_micros REINTERPRET: date_format
+    // over LTZ renders the SESSION zone, and even
+    // convert_timezone('UTC', …) casts LTZ→NTZ in the session zone
+    // first, mis-resolving DST-ambiguous fall-back wall times — the
+    // oracle's strftime(make_timestamp(t)) is zone-free, so must we be
+    val ts = TimeFns.ntzOfMicros(col("t"))
+    val tsPlus2h = TimeFns.ntzOfMicros(col("t") + lit(7200000000L))
     val msFrac = lpad(expr("pmod(t, 1000000) div 1000").cast("string"),
       3, "0")
     val form = pmod(col("point_id"), lit(7))
@@ -1373,13 +1375,17 @@ object EventQueries {
        |      WHEN 3 THEN strftime(make_timestamp(t + 7200000000),
        |             '%Y-%m-%dT%H:%M:%S') || '+02:00'
        |      WHEN 4 THEN strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
-       |             || '.' || lpad(CAST((t % 1000000) // 1000 AS VARCHAR),
+       |             || '.' || lpad(CAST((((t % 1000000) + 1000000)
+       |                              % 1000000) // 1000 AS VARCHAR),
        |                            3, '0')
        |      WHEN 5 THEN strftime(make_timestamp(t), '%Y-%m-%dT%H:%M:%S')
        |             || 'Z'
        |      ELSE strftime(make_timestamp(t + 7200000000),
        |             '%Y-%m-%dT%H:%M:%S')
-       |             || '.' || lpad(CAST((t % 1000000) // 1000 AS VARCHAR),
+       |             -- positive-mod like q39Sql: DuckDB % keeps the
+       |             -- dividend's sign, the engine's msFrac uses pmod
+       |             || '.' || lpad(CAST((((t % 1000000) + 1000000)
+       |                              % 1000000) // 1000 AS VARCHAR),
        |                            3, '0') || '+02:00'
        |    END AS iso
        |  FROM pts),
@@ -1433,8 +1439,8 @@ object EventQueries {
         // renders the SESSION zone; utcDay is epoch arithmetic, the
         // oracle's CAST(make_timestamp AS DATE) semantics)
         explode(sequence(
-          to_date(graft.functions.TimeFns.utcDay(col("t0"))),
-          to_date(graft.functions.TimeFns.utcDay(col("t1"))),
+          graft.functions.TimeFns.utcDayDate(col("t0")),
+          graft.functions.TimeFns.utcDayDate(col("t1")),
           expr("interval 1 day"))).as("day"))
       .select(col("event_type"),
         col("day").cast("string").as("period"))

@@ -82,9 +82,25 @@ object TimeFns {
     * closed-day test, day-range enumeration). floor() keeps pre-1970
     * instants on their correct day too; the double division is exact
     * for |t| < 2⁵³ µs (~year 2255), far past any archive timestamp. */
-  def utcDay(tUs: Column): Column =
+  def utcDay(tUs: Column): Column = utcDayDate(tUs).cast("string")
+
+  /** [[utcDay]]'s DateType form, for consumers that need the date
+    * itself (day enumeration) — saves a date→string→date round trip. */
+  def utcDayDate(tUs: Column): Column =
     date_add(to_date(lit("1970-01-01")),
-      floor(tUs / lit(86400000000L)).cast("int")).cast("string")
+      floor(tUs / lit(86400000000L)).cast("int"))
+
+  /** Naive-UTC TIMESTAMP_NTZ of an epoch-µs column — [[MicrosOf]]'s
+    * inverse, a pure reinterpret of the internal µs long. The obvious
+    * spellings are all session-zone dependent:
+    * `timestamp_micros(t).cast("timestamp_ntz")` renders the session
+    * wall clock, and even `convert_timezone('UTC', timestamp_micros(t))`
+    * casts LTZ→NTZ in the session zone FIRST, so a DST-ambiguous
+    * fall-back wall time resolves to the wrong instant (off by one
+    * hour for one hour a year). The reinterpret has no zone anywhere. */
+  def ntzOfMicros(tUs: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      NtzOfMicros(org.apache.spark.sql.GraftPlanBridge.expression(tUs)))
 
   /** Inclusive-both-ends time filter (reference `data.py:104-105`). */
   def inRangeInclusive(tUs: Column, t0Us: Long, t1Us: Long): Column =
@@ -203,4 +219,29 @@ object MicrosOf {
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
     DotE8.registerOnce(spark, "micros_of", builder)
+}
+
+/** `ntz_of_micros(t)` — [[MicrosOf]]'s inverse: the TIMESTAMP_NTZ whose
+  * internal µs long IS the input (naive UTC by construction). See
+  * [[TimeFns.ntzOfMicros]] for why the cast/convert_timezone spellings
+  * are all session-zone dependent where this reinterpret is not. */
+case class NtzOfMicros(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"ntz_of_micros requires a bigint argument, got ${dt.sql}")
+  }
+  override def dataType: DataType = TimestampNTZType
+  override def prettyName: String = "ntz_of_micros"
+
+  // the input long IS the internal NTZ value — identity
+  override def nullSafeEval(v: Any): Any = v
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NtzOfMicros = copy(child = newChild)
 }

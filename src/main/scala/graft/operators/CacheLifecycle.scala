@@ -25,23 +25,39 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Results that are NEVER materialized cannot be allowed to accumulate
   * either: each outstanding listener retains its captured plan tree and
   * pays a `sameResult` plan walk on EVERY completed query in the
-  * session. Outstanding listeners are therefore BOUNDED per session
-  * ([[MaxOutstanding]]): registering past the cap force-releases the
-  * oldest — early release is always safe (the cache merely recomputes
-  * if that result is materialized later), so the bound trades at worst
-  * one recompute for a hard ceiling on listener and plan retention. */
+  * session. Outstanding listeners are therefore BOUNDED — per session
+  * ([[MaxOutstanding]]) and process-wide ([[MaxOutstandingGlobal]],
+  * which also bounds retention across DEAD sessions: a release closure
+  * captures its cached Dataset, which references its session, so
+  * without the global cap a process churning through short-lived
+  * sessions with unmaterialized results would retain them all).
+  * Registering past a cap force-releases the oldest — early release is
+  * always safe (the cache merely recomputes if that result is
+  * materialized later). The listener itself holds its session WEAKLY:
+  * once a session's listeners have all fired, nothing here keeps the
+  * session (or its queue entry) from collecting. */
 private[graft] object CacheLifecycle {
 
   private[operators] val MaxOutstanding = 64
+  private[operators] val MaxOutstandingGlobal = 256
 
   /** Outstanding one-shot listeners per session, oldest first. Weak
-    * keys so a dead session's queue collects with it. All access under
-    * the map's own monitor. */
+    * keys so a dead session's (empty) queue collects with it; values
+    * must not strongly reference the key, so queue entries hold the
+    * session weakly and empty queues are pruned eagerly. All access
+    * under the map's own monitor. */
   private val outstanding =
     new java.util.WeakHashMap[SparkSession, java.util.ArrayDeque[OneShot]]()
 
+  /** Process-wide FIFO of the same listeners (insertion order). */
+  private val global = new java.util.ArrayDeque[OneShot]()
+
   private final class OneShot(spark: SparkSession, target: LogicalPlan,
       release: () => Unit) extends QueryExecutionListener {
+    // weak: a strong session field would make the registry's VALUES
+    // reference their WeakHashMap KEY, pinning dead sessions forever
+    private val sparkRef =
+      new java.lang.ref.WeakReference[SparkSession](spark)
     private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     private[CacheLifecycle] def isFired: Boolean = fired.get()
 
@@ -50,8 +66,12 @@ private[graft] object CacheLifecycle {
     private[CacheLifecycle] def fire(): Unit =
       if (fired.compareAndSet(false, true)) {
         try release() catch { case scala.util.control.NonFatal(_) => }
-        spark.listenerManager.unregister(this)
-        forget(spark, this)
+        val s = sparkRef.get()
+        if (s != null) {
+          s.listenerManager.unregister(this)
+          forget(s, this)
+        }
+        outstanding.synchronized { global.remove(this); () }
       }
 
     private def maybeRelease(qe: QueryExecution): Unit =
@@ -67,7 +87,11 @@ private[graft] object CacheLifecycle {
   private def forget(spark: SparkSession, l: OneShot): Unit =
     outstanding.synchronized {
       val q = outstanding.get(spark)
-      if (q != null) { q.remove(l); () }
+      if (q != null) {
+        q.remove(l)
+        if (q.isEmpty) outstanding.remove(spark) // value must not linger
+        ()
+      }
     }
 
   def unpersistAfterFirstUse(result: DataFrame, cached: Dataset[_]): Unit =
@@ -84,8 +108,10 @@ private[graft] object CacheLifecycle {
       val q = outstanding.computeIfAbsent(spark,
         _ => new java.util.ArrayDeque[OneShot]())
       q.addLast(l)
+      global.addLast(l)
       var out = List.empty[OneShot]
       while (q.size > MaxOutstanding) out ::= q.pollFirst()
+      while (global.size > MaxOutstandingGlobal) out ::= global.pollFirst()
       out
     }
     spark.listenerManager.register(l)

@@ -61,4 +61,28 @@ class TimeFnsSpec extends AnyFunSuite {
       .as[Long].collect()
     assert(hits.toSeq == Seq(10L, 15L, 20L))
   }
+
+  test("ntzOfMicros renders naive UTC under any session zone, " +
+    "including DST-ambiguous fall-back wall times") {
+    // 2024-11-03T07:30:00Z is the SECOND 01:30 in America/Chicago:
+    // cast(LTZ as NTZ) renders 01:30 local, and convert_timezone
+    // re-interpreting that wall time resolves the overlap to the
+    // EARLIER offset — one hour wrong. The reinterpret has no zone.
+    val t = java.time.Instant.parse("2024-11-03T07:30:00Z")
+      .toEpochMilli * 1000L
+    val s = SparkTestBase.spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    import s.implicits._
+    val got = Seq(t).toDF("t")
+      .select(date_format(TimeFns.ntzOfMicros(col("t")),
+        "yyyy-MM-dd'T'HH:mm:ss")).as[String].collect().head
+    assert(got == "2024-11-03T07:30:00", s"got $got")
+    // and the round trip back through micros_of is the identity
+    val rt = Seq(t).toDF("t")
+      .select(org.apache.spark.sql.GraftPlanBridge.column(
+        MicrosOf(org.apache.spark.sql.GraftPlanBridge.expression(
+          TimeFns.ntzOfMicros(col("t"))))))
+      .as[Long].collect().head
+    assert(rt == t)
+  }
 }
