@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * session. Outstanding listeners are therefore BOUNDED — per session
   * ([[MaxOutstanding]]) and process-wide ([[MaxOutstandingGlobal]],
   * which also bounds retention across DEAD sessions: a release closure
-  * captures its cached Dataset, which references its session, so
+  * captures its cached Dataset — necessarily strongly, see
+  * [[unpersistAfterFirstUse]] — which references its session, so
   * without the global cap a process churning through short-lived
   * sessions with unmaterialized results would retain them all).
   * Registering past a cap force-releases the oldest — early release is
@@ -94,6 +95,19 @@ private[graft] object CacheLifecycle {
       }
     }
 
+  // `cached` is captured STRONGLY, deliberately. A WeakReference (with
+  // a no-op release when collected) was tried and REVERTED: operators
+  // like mineHardNegatives hold their internal cached frame ONLY
+  // through this closure, so any GC between operator return and the
+  // async listener fire cleared the ref and turned the release into a
+  // no-op — the cache entry stayed pinned (caught by CurationSpec's
+  // release assertions). The cost of the strong capture is that a DEAD
+  // session with unmaterialized results stays reachable through its
+  // outstanding closures until the global cap cycles them out — a
+  // BOUNDED retention (≤ MaxOutstandingGlobal closures process-wide,
+  // see the class scaladoc), which the cap exists to bound; per-session
+  // weak collection therefore engages only once all of a session's
+  // listeners have fired or been cap-evicted.
   def unpersistAfterFirstUse(result: DataFrame, cached: Dataset[_]): Unit =
     releaseAfterFirstUse(result)(() => cached.unpersist(blocking = false))
 

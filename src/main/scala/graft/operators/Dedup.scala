@@ -418,8 +418,21 @@ object Dedup {
     }
     val sym = base
       .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = sym.select(col("src").as("node")).distinct()
+    // Null-endpoint parity with localComponents: a null id never
+    // unions anything (equi-joins would not propagate through it
+    // anyway), the non-null partner of a half-null pair still
+    // registers as a singleton node, and NO null output row is
+    // emitted. Without the node-side filter a half-null pair would
+    // have leaked a (doc_id=null, keep=0) row here that the fast path
+    // drops — identical input must not change shape with the path
+    // taken. Ids are non-null at every internal call site, so for
+    // those Catalyst folds both filters away (IsNotNull on a
+    // non-nullable column is `true`) and the green plans are
+    // untouched.
+    val nodes = sym.select(col("src").as("node"))
+      .where(col("node").isNotNull).distinct()
     val edges = sym
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
       .repartition(col("src")).persist()
     var labels = nodes.select(col("node"), col("node").as("lbl"))

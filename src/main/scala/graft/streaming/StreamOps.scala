@@ -55,9 +55,13 @@ object StreamOps {
       body: SparkSession => T): T = {
     val sess = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
-      // static / non-modifiable keys throw on set — skip them (they
-      // are process-wide anyway, so the clone already sees them)
-      try sess.conf.set(k, v) catch { case _: Exception => () }
+      // static / non-modifiable keys throw AnalysisException on set —
+      // skip them (they are process-wide anyway, so the clone already
+      // sees them). Only that: any OTHER failure to copy a runtime
+      // flag (e.g. a semantic flag like the parquet nanos handling)
+      // must propagate, not surface later as wrong results in `body`
+      try sess.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     sess.conf.set("spark.sql.shuffle.partitions", n.toString)
     body(sess)

@@ -323,12 +323,19 @@ class DedupSpec extends AnyFunSuite {
     assert(rm.toSeq == Seq(
       (1L, 1L, 1L), (2L, 1L, 0L), (5L, 5L, 1L), (7L, 5L, 0L)))
     // a null endpoint never unions; its non-null partner survives as
-    // a singleton component
+    // a singleton component — and BOTH paths agree on that shape (no
+    // null doc_id row from the loop, no dropped singleton from the
+    // fast path): identical input must not change output with the
+    // path taken
     val withNull = Seq[(java.lang.Long, java.lang.Long)](
-      (1L, 2L), (3L, null)).toDF("d1", "d2")
-    val rn = Dedup.connectedComponents(withNull).orderBy("doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(rn.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 3L, 1L)))
+      (1L, 2L), (3L, null), (null, null)).toDF("d1", "d2")
+    val expected = Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 3L, 1L))
+    def canonN(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(canonN(Dedup.connectedComponents(withNull)) == expected)
+    assert(canonN(Dedup.connectedComponents(withNull,
+      localEdgeThreshold = 0)) == expected)
   }
 
   test("connectedComponents: non-convergence releases every cached " +
