@@ -567,4 +567,117 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 4)
   }
+
+  // --------------------------------------------------- K3/U4/C10 render
+  // The four goldens-only rows (PNG bytes, compositing, base64, fence)
+  // sit outside the DuckDB gate; these properties widen their evidence
+  // from single fixtures to arbitrary inputs.
+
+  private def imgPixels(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val out = new Array[Int](w * img.getHeight)
+    var i = 0
+    while (i < out.length) { out(i) = img.getRGB(i % w, i / w); i += 1 }
+    out
+  }
+
+  private val genArgbImage: Gen[(Int, Int, Array[Int])] = for {
+    w <- Gen.choose(1, 16)
+    h <- Gen.choose(1, 16)
+    px <- Gen.containerOfN[Array, Int](w * h,
+      Gen.choose(Int.MinValue, Int.MaxValue))
+  } yield (w, h, px)
+
+  test("property: pngBase64 round-trips ARBITRARY ARGB images through " +
+    "javax.imageio pixel-identically (C10, beyond the goldens)") {
+    check(Prop.forAll(genArgbImage) { case (w, h, px) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val b64 = graft.render.Render.pngBase64(img)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+      // PNG RGBA8 is lossless, including color channels under full
+      // transparency; the decoder may hand back a different
+      // BufferedImage TYPE, but getRGB canonicalizes to ARGB ints
+      back.getWidth == w && back.getHeight == h &&
+        imgPixels(back).sameElements(imgPixels(img))
+    }, n = 30)
+  }
+
+  /** Double-precision straight-alpha src-over fold — the mathematical
+    * model Render.stack quantizes. Returns per-pixel (alpha 0-255,
+    * premultiplied r/g/b on the 0-255 scale). */
+  private def refStack(layers: Seq[Array[Int]],
+      n: Int): Array[Array[Double]] = {
+    val acc = Array.fill(n)(Array(0.0, 0.0, 0.0, 0.0)) // a, pr, pg, pb
+    for (layer <- layers; i <- 0 until n) {
+      val s = layer(i)
+      val sa = ((s >>> 24) & 0xff) / 255.0
+      val d = acc(i)
+      val oa = sa + d(0) * (1 - sa)
+      var c = 0
+      while (c < 3) {
+        val sc = (s >> (16 - 8 * c)) & 0xff
+        // premultiplied src-over needs no division: P = Ps + Pd(1-as)
+        d(c + 1) = sc * sa + d(c + 1) * (1 - sa)
+        c += 1
+      }
+      d(0) = oa
+    }
+    acc.map(d => Array(d(0) * 255.0, d(1), d(2), d(3)))
+  }
+
+  /** |impl − model| per pixel: alpha within `aTol`/255; color compared
+    * PREMULTIPLIED (ch×a/255) within `pTol`/255 — the straight-alpha
+    * integer impl floor-divides by the composite alpha, so straight
+    * color under tiny alpha is legitimately coarse (error ~255/oa),
+    * while color×coverage — what a viewer sees — stays tight. */
+  private def closeToRef(px: Array[Int], ref: Array[Array[Double]],
+      aTol: Double, pTol: Double): Boolean =
+    px.indices.forall { i =>
+      val a = (px(i) >>> 24) & 0xff
+      math.abs(a - ref(i)(0)) <= aTol && (0 until 3).forall { c =>
+        val ch = (px(i) >> (16 - 8 * c)) & 0xff
+        math.abs(ch * a / 255.0 - ref(i)(c + 1)) <= pTol
+      }
+    }
+
+  test("property: stack src-over matches the float model on ARBITRARY " +
+    "stacks (folded AND regrouped ⇒ associative within quantization), " +
+    "and is exact on its identity/opaque laws (U4)") {
+    import graft.render.Render
+    check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 12)) { (w, h) =>
+      val layerGen = Gen.containerOfN[Array, Int](w * h,
+        Gen.choose(Int.MinValue, Int.MaxValue))
+      Prop.forAllNoShrink(layerGen, layerGen, layerGen) { (a, b, c) =>
+        val ref = refStack(Seq(a, b, c), w * h)
+        // the 3-layer fold tracks the model…
+        val folded = imgPixels(Render.stack(Seq(a, b, c), w, h))
+        // …and so does the REGROUPED pipeline a∘(b∘c) (flatten b,c
+        // first, composite the flattened layer over a) — together:
+        // associativity within quantization error. Each integer
+        // composite floors alpha once (≤1/255) and premult color a few
+        // /255 (dc/da propagation + the impl-alpha error re-entering
+        // through ch×a); 2-3 lossy steps stay within ~4/255 alpha and
+        // ~20/255 premult color — an implementation BUG (a dropped
+        // (255-sa)/255 factor, swapped operands) shows 50-200/255 on
+        // swaths of pixels, far outside these bands.
+        val bc = imgPixels(Render.stack(Seq(b, c), w, h))
+        val regrouped = imgPixels(Render.stack(Seq(a, bc), w, h))
+        val tracksModel = closeToRef(folded, ref, 4.0, 20.0) &&
+          closeToRef(regrouped, ref, 5.0, 24.0)
+        // identity law: a fully-transparent layer is a no-op (exact)
+        val clear = Array.fill(w * h)(0)
+        val ident = imgPixels(Render.stack(Seq(a, clear), w, h))
+          .sameElements(imgPixels(Render.stack(Seq(a), w, h)))
+        // opaque law: an opaque top layer replaces everything (exact)
+        val opaque = b.map(_ | 0xff000000)
+        val replaced = imgPixels(Render.stack(Seq(a, opaque), w, h))
+          .sameElements(opaque)
+        tracksModel && ident && replaced
+      }
+    }, n = 15)
+  }
 }

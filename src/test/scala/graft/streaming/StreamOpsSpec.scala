@@ -492,6 +492,207 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- chaos: kill-and-restart from checkpoint, one per stateful ----
+  // ---- family. Each test runs batches, STOPS the query, appends  ----
+  // ---- more data, restarts from the same checkpoint, and asserts ----
+  // ---- the result only reachable if pre-restart state was        ----
+  // ---- recovered (a lost-state run produces a DIFFERENT, also-   ----
+  // ---- valid-looking result, which is what makes these chaos     ----
+  // ---- tests rather than reruns).                                ----
+
+  private def stateDirs(ckpt: String, op: Int = 0): Set[String] = {
+    val d = new java.io.File(s"$ckpt/state/$op")
+    assert(d.isDirectory, s"no state dir at $d")
+    d.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.forall(_.isDigit)).toSet
+  }
+
+  test("chaos: streamingResample restarts from checkpoint — agg state " +
+    "survives, state partition count stays pinned over a conf change") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_sr").toString
+    StreamOps.withStatePartitions(spark, 3) { sess =>
+      import sess.implicits._
+      implicit val sc = sess.sqlContext
+      val in = MemoryStream[(String, Long, Double)]
+      val points = in.toDF().toDF("att_name", "t_us", "value_r")
+        .withColumn("data_time", timestamp_micros(col("t_us")))
+      val agg = StreamOps.streamingResample(points, "1s", "0 seconds")
+      def start(name: String) = agg.writeStream.format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      val q1 = start("sr_chaos1")
+      try {
+        in.addData(("a", 400000L, 2.0), ("a", 600000L, 4.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // the checkpoint pinned the state layout at 3 partitions
+      assert(stateDirs(ckpt) == Set("0", "1", "2"))
+      // restart under a conf that now claims 17 — the checkpoint wins
+      sess.conf.set("spark.sql.shuffle.partitions", "17")
+      in.addData(("a", 900000L, 8.0))
+      val q2 = start("sr_chaos2")
+      try {
+        q2.processAllAvailable()
+        // bucket 1s must MERGE the pre-restart 600ms point with the
+        // post-restart 900ms one: mean 6.0 over n=2. Lost state would
+        // read (8.0, 1) — a plausible-looking wrong answer.
+        val rows = sess.table("sr_chaos2").orderBy("bucket_us")
+          .as[(String, Long, Double, Long)].collect()
+        assert(rows.toSeq == Seq(
+          ("a", 0L, 2.0, 1L), ("a", 1000000L, 6.0, 2L)))
+        assert(stateDirs(ckpt) == Set("0", "1", "2"))
+      } finally q2.stop()
+    }
+  }
+
+  test("chaos: streamingSessions restarts from checkpoint — an open " +
+    "session extends across the restart instead of splitting") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_ss").toString
+    StreamOps.withStatePartitions(spark, 3) { sess =>
+      import sess.implicits._
+      implicit val sc = sess.sqlContext
+      val in = MemoryStream[(String, Long)]
+      val events = in.toDF().toDF("k", "t_us")
+        .withColumn("et", timestamp_micros(col("t_us")))
+      val agg = StreamOps.streamingSessions(events, "k", "et",
+        gap = "10 seconds", watermarkDelay = "0 seconds")
+      def start(name: String) = agg.writeStream.format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      val q1 = start("ss_chaos1")
+      try {
+        in.addData(("a", 0L), ("a", 5000000L)) // one session [0, 15s)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // 12s is within the 10s gap of the buffered 5s event: the
+      // recovered session must extend to [0, 22s) n=3. Lost state
+      // would report a fresh [12s, 22s) n=1 session.
+      in.addData(("a", 12000000L))
+      val q2 = start("ss_chaos2")
+      try {
+        q2.processAllAvailable()
+        val rows = sess.table("ss_chaos2").orderBy("t_start")
+          .as[(String, Long, Long, Long)].collect()
+        assert(rows.toSeq == Seq(("a", 0L, 22000000L, 3L)))
+      } finally q2.stop()
+    }
+  }
+
+  test("chaos: streamingRangeJoin restarts from checkpoint — a point " +
+    "buffered before the kill matches an opener arriving after it") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_rj").toString
+    StreamOps.withStatePartitions(spark, 3) { sess =>
+      import sess.implicits._
+      implicit val sc = sess.sqlContext
+      val pIn = MemoryStream[(String, Long, Long)]
+      val oIn = MemoryStream[(String, Long, Long)]
+      val points = pIn.toDF().toDF("k", "pt_us", "pid")
+        .withColumn("pt", timestamp_micros(col("pt_us"))).drop("pt_us")
+      val openers = oIn.toDF().toDF("k", "ot_us", "oid")
+        .withColumn("ot", timestamp_micros(col("ot_us"))).drop("ot_us")
+      val joined = StreamOps.streamingRangeJoin(points, openers,
+        "k", "pt", "ot", windowLen = "10 seconds",
+        watermarkDelay = "1 hour")
+      // append-mode recovery needs a replayable sink; the parquet
+      // FileStreamSink is exactly-once via its _spark_metadata log, so
+      // a replayed batch would surface below as DUPLICATE rows
+      val outDir = java.nio.file.Files.createTempDirectory("out_rj").toString
+      def start() = joined.select("pid", "oid").writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def sunk(): Seq[(Long, Long)] =
+        sess.read.parquet(outDir).as[(Long, Long)].collect().toSeq
+      val t0 = 1704067200000000L // 2024-01-01 (µs), well above epoch
+      val q1 = start()
+      try {
+        oIn.addData(("a", t0, 100L))
+        pIn.addData(("a", t0 + 5000000L, 1L),  // in window → emits now
+          ("a", t0 + 15000000L, 2L))           // buffered, no match yet
+        q1.processAllAvailable()
+        assert(sunk() == Seq((1L -> 100L)))
+      } finally q1.stop()
+      // the +15s point lives only in the JOIN STATE now; a post-
+      // restart opener at +12s must still catch it
+      oIn.addData(("a", t0 + 12000000L, 200L))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        // exactly the two matches, each committed once (no replay of
+        // the pre-kill (1,100), no loss of the buffered +15s point)
+        assert(sunk().sorted == Seq(1L -> 100L, 2L -> 200L))
+        assert(stateDirs(ckpt) == Set("0", "1", "2"))
+      } finally q2.stop()
+    }
+  }
+
+  test("chaos: streamingExactDedup restarts from checkpoint — a " +
+    "duplicate of a pre-kill doc stays suppressed") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_dd").toString
+    StreamOps.withStatePartitions(spark, 3) { sess =>
+      import sess.implicits._
+      implicit val sc = sess.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val docs = in.toDF().toDF("doc_id", "text")
+      val out = StreamOps.streamingExactDedup(docs)
+      val outDir = java.nio.file.Files.createTempDirectory("out_dd").toString
+      def start() = out.select("doc_id").writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      def sunk(): Seq[Long] =
+        sess.read.parquet(outDir).as[Long].collect().toSeq
+      val q1 = start()
+      try {
+        in.addData((1L, "alpha"), (2L, "beta"))
+        q1.processAllAvailable()
+        assert(sunk().sorted == Seq(1L, 2L))
+      } finally q1.stop()
+      // doc 3 duplicates pre-kill doc 1: only recovered digest state
+      // can suppress it (lost state lets it through); doc 4 is new
+      // and must pass — and the exactly-once file sink would expose a
+      // replayed batch as duplicate 1/2 rows in the sorted seq
+      in.addData((3L, "alpha"), (4L, "gamma"))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(sunk().sorted == Seq(1L, 2L, 4L))
+      } finally q2.stop()
+    }
+  }
+
+  test("chaos: archiveEvents restarts from checkpoint — the custom " +
+    "per-attribute deadband state survives the kill") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_ae").toString
+    StreamOps.withStatePartitions(spark, 3) { sess =>
+      import sess.implicits._
+      implicit val sc = sess.sqlContext
+      val in = MemoryStream[StreamOps.RawPoint]
+      val out = StreamOps.archiveEvents(in.toDS(), delta = 1.0)
+      val outDir = java.nio.file.Files.createTempDirectory("out_ae").toString
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      try {
+        in.addData(StreamOps.RawPoint("a", 1L, 5.0)) // first → emit
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // post-restart: 5.4 is within the deadband of the PRE-KILL 5.0
+      // (suppressed only if state recovered; lost state re-emits it as
+      // a first reading), 7.0 is a real change and must emit with
+      // prev = 5.0 — the recovered state value, not 5.4
+      in.addData(StreamOps.RawPoint("a", 2L, 5.4),
+        StreamOps.RawPoint("a", 3L, 7.0))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val rows = sess.read.parquet(outDir).orderBy("t")
+          .as[StreamOps.ArchivedPoint].collect()
+        assert(rows.map(_.t).toSeq == Seq(1L, 3L))
+        assert(rows(1).value_r == 7.0 && rows(1).prev == 5.0)
+      } finally q2.stop()
+    }
+  }
+
   test("withStatePartitions: body runs on a clone carrying n + the " +
     "parent's runtime confs; the parent session is never mutated") {
     val key = "spark.sql.shuffle.partitions"

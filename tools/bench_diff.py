@@ -2,12 +2,18 @@
 """Compare two Bench per-query JSON outputs and flag drifts.
 
 Usage: bench_diff.py <old.json-or-raw> <new.json-or-raw> [threshold]
+       bench_diff.py --headline <bench.json-or-raw>
 
 Accepts either the driver's BENCH_r{N}.json wrapper (reads the
 `tail` field for the JSON lines) or a raw file containing the two
 `{"metric": ...}` lines Bench prints.  Prints per-query old/new/ratio
 for every query whose ratio exceeds the threshold (default 1.25) in
 either direction, plus totals.
+
+--headline emits the one markdown line STATUS.md quotes as its bench
+headline, derived from the committed artifact — round-11 and round-10
+both shipped hand-typed headline numbers that drifted from the
+artifact; prose generated from the file cannot.
 """
 import json
 import re
@@ -30,7 +36,35 @@ def per_query(path: str) -> dict:
     raise SystemExit(f"no per_query line found in {path}")
 
 
+def lines_of(path: str) -> str:
+    text = open(path).read()
+    try:
+        wrapper = json.loads(text)
+        if isinstance(wrapper, dict) and "tail" in wrapper:
+            text = wrapper["tail"]
+    except json.JSONDecodeError:
+        pass
+    return text
+
+
+def headline(path: str) -> None:
+    for line in lines_of(path).splitlines():
+        line = line.strip()
+        if '"metric":"total"' in line.replace(" ", ""):
+            m = re.search(r"\{.*\}", line)
+            d = json.loads(m.group(0))
+            sf = d.get("sf", "?")
+            print(f"**Bench ({path}): {d['value']:.3f} s total over "
+                  f"{d['n_queries']} queries, {d['n_failed']} failed "
+                  f"(min-of-{d['passes']}, sf dir `{sf}`).**")
+            return
+    raise SystemExit(f"no total line found in {path}")
+
+
 def main() -> None:
+    if sys.argv[1] == "--headline":
+        headline(sys.argv[2])
+        return
     old_path, new_path = sys.argv[1], sys.argv[2]
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
     old, new = per_query(old_path), per_query(new_path)
