@@ -580,14 +580,15 @@ object PipelineQueries {
        |  CAST(sum(vec_id) AS BIGINT) AS vec_checksum
        |FROM a3 GROUP BY clab ORDER BY clab""".stripMargin
 
-  /** p40 — k-means at a cluster count PAST the literal-SQL threshold
-    * ([[graft.operators.Similarity.LiteralCentroidMaxL]] = 64): the
-    * init `vec_id % 128 + 1` yields L=128 cells, so the assignment
-    * runs on the broadcast-matrix `argmax_dot_e4` codegen expression —
-    * this query hash-pins the BROADCAST codepath end-to-end against
-    * the same DuckDB round-CTEs (p38 exercises only the literal path
-    * at oracle label counts; SimilaritySpec's path-vs-path parity is
-    * spec-level, this is oracle-level). TWO Lloyd rounds, because
+  /** p40 — k-means at L=128 cells (`vec_id % 128 + 1`), hash-pinning
+    * the broadcast-matrix `argmax_dot_e4` codegen expression end-to-end
+    * against the same DuckDB round-CTEs at a cluster count where the
+    * one-time literal-SQL alternative would already be unwieldy. (Since
+    * [[graft.operators.Similarity.LiteralCentroidMaxL]] dropped to 0 —
+    * the literal form breaks whole-stage fusion when combined with
+    * joins — every production query runs this broadcast path; p38
+    * pins it at oracle label counts too, and SimilaritySpec keeps the
+    * literal form as a path-vs-path reference.) TWO Lloyd rounds, because
     * round 2 re-aggregates centroids FROM expression-assigned cells —
     * a wrong dot, tie-break, or floor-div anywhere in the broadcast
     * path moves some vector and breaks the hash. */

@@ -35,7 +35,7 @@ object Similarity {
     * formulation it replaces ran two lambdas per element). */
   def dotE8(a: String, b: String): Column = expr(s"dot_e8($a, $b)")
 
-  private def ensureDotE8(df: DataFrame): Unit =
+  private[graft] def ensureDotE8(df: DataFrame): Unit =
     graft.functions.DotE8.register(df.sparkSession)
 
   /** Brute-force top-k: for each query vector (`queries`: qid, qe) the
@@ -127,9 +127,10 @@ object Similarity {
     * Assignment shape (the 100 TB part): centroid sums come from ONE
     * hash aggregate over per-dimension `element_at` projections — no
     * posexplode — and the L finished centroids (L×dims longs) are
-    * collected to the driver and re-emitted per [[CentroidSet]]: as
-    * LITERAL arrays below [[LiteralCentroidMaxL]] clusters, as one
-    * broadcast matrix read by a codegen expression above it. Each
+    * collected to the driver and re-emitted per [[CentroidSet]] as one
+    * broadcast matrix read by a codegen expression (the literal-SQL
+    * alternative survives only as the tests' reference path, forced
+    * via `literalMaxL` — see [[LiteralCentroidMaxL]]'s scaladoc). Each
     * corpus row then computes its L cell dots and takes the argmax in
     * the same projection: zero joins, zero shuffles, nothing
     * materialized per (row, dim, label) — round 2's explode-join built
@@ -241,23 +242,33 @@ object Similarity {
 
   /** Centroid-count threshold splitting the two assignment codepaths.
     * At or below it the collected centroids are re-emitted as literal
-    * struct-array SQL — measured fastest at oracle cluster counts
-    * (each dot appears ONCE in the tree; a when-chained running best
-    * duplicates the accumulated tree in condition AND otherwise,
-    * exponential in L, and benchmarked 3× slower than even the round-2
-    * join). Above it the literal form hits a driver/codegen wall —
-    * SemDeDup-cited deployments run ~50k clusters, and L=50k × dims=64
-    * literals would mean a multi-MB SQL string per Lloyd round, an
-    * expression past Janino's 64KB method limit (whole-stage-codegen
-    * fallback), and quadratic analyzer cost — so the centroid matrix
-    * instead ships as ONE Spark broadcast read by the codegen'd
-    * [[graft.functions.ArgmaxDotE4]] / [[graft.functions.TopCellsDotE4]]
-    * expressions: plan size, analysis cost, and generated code stay
-    * O(1) in L. Both paths share the exact int64 dot and
-    * (d desc, label asc) tie-break, so assignments are bit-identical
-    * (asserted path-vs-path in SimilaritySpec; StressSpec runs L=2048
-    * through the broadcast path). */
-  val LiteralCentroidMaxL = 64
+    * struct-array SQL; above it the centroid matrix ships as ONE Spark
+    * broadcast read by the codegen'd [[graft.functions.ArgmaxDotE4]] /
+    * [[graft.functions.TopCellsDotE4]] expressions, so plan size,
+    * analysis cost, and generated code stay O(1) in L (SemDeDup-cited
+    * deployments run ~50k clusters; L=50k × dims=64 literals would be
+    * a multi-MB SQL string per Lloyd round).
+    *
+    * The default is 0 — the broadcast path ALWAYS. The literal form
+    * measured fastest at oracle cluster counts when the assignment was
+    * its own codegen stage, but ProfileIvf/ProfileIvfDiag (round 12)
+    * caught a 50× cliff the isolated measurement missed: fused into a
+    * join stage (ivfTopK's candidate scoring, semanticDedup's pair
+    * stage), the combined stage's generated code blows past the
+    * codegen limits, Spark silently falls back to INTERPRETED eval for
+    * the whole stage, and the interpreted literal argmax re-allocates
+    * all L×dims literal arrays per corpus row — ivfTopK at a 200k-row
+    * corpus: 78 s literal vs 1.2 s broadcast, identical results. The
+    * broadcast expressions generate O(1)-size code that never breaks
+    * stage fusion, and win or tie in every plan shape measured.
+    *
+    * Both paths share the exact int64 dot and (d desc, label asc)
+    * tie-break, so assignments are bit-identical — asserted
+    * path-vs-path in SimilaritySpec (which pins the literal form at
+    * literalMaxL=Int.MaxValue as an in-engine reference
+    * implementation); p40 hash-pins the broadcast path against the
+    * DuckDB oracle end-to-end, and StressSpec runs L=2048 through it. */
+  val LiteralCentroidMaxL = 0
 
   /** ONE Lloyd centroid build, shared by [[ivfTopK]] and
     * [[kmeansAssignFull]] (both paths are oracle-hash-pinned against
@@ -266,7 +277,7 @@ object Similarity {
     * `labelCol`-assigned vectors, floor-div the means, and collect the
     * L centroids (label asc) — O(L×dims) longs of driver state, the
     * classic broadcast-Lloyd layout. */
-  private def collectCentroids(assigned: DataFrame, labelCol: String,
+  private[graft] def collectCentroids(assigned: DataFrame, labelCol: String,
       dims: Int): Array[(Int, Array[Long])] = {
     // qComp: a short vector contributes nothing to its missing dims'
     // sums but still counts in n — exactly the oracle's p38Round shape
@@ -291,7 +302,7 @@ object Similarity {
     * (corpus side) and nprobe probe cells (query side) — each emitted
     * through the [[LiteralCentroidMaxL]]-switched codepath. The
     * broadcast is built lazily and shared by both columns. */
-  private final class CentroidSet(df: DataFrame,
+  private[graft] final class CentroidSet(df: DataFrame,
       centroids: Array[(Int, Array[Long])], literalMax: Int) {
     require(centroids.nonEmpty, "no centroids: empty assignment frame")
     private def cellsSql: String =
