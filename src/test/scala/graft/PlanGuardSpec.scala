@@ -116,6 +116,51 @@ class PlanGuardSpec extends AnyFunSuite {
       "p73: broadcast-hinted cluster-map left join missing")
   }
 
+  test("no query leaves a big-expression Project/Filter outside " +
+    "whole-stage codegen (the interpreted-fallback cliff tripwire)") {
+    // Round 12's literal-centroid cliff: a huge literal expression
+    // fused into a join stage silently broke whole-stage codegen for
+    // the combined stage, and the per-row INTERPRETED eval of that
+    // expression (re-allocating every literal array per row) cost 50×
+    // — with nothing in the logs. The static signature: a hot per-row
+    // operator (Project/Filter) carrying a large expression tree that
+    // CollapseCodegenStages left OUTSIDE any WholeStageCodegen span.
+    // Calibration (ScratchPlan survey, sf0.001): the known-bad literal
+    // ivfTopK plan shows 805 expression nodes on an ejected Filter;
+    // the worst legitimate query shows 304 (p08's lang-id Project; the
+    // 471-node p54 outlier is a Generate, which Spark 4.1 never
+    // codegens and which evaluates once per input row, not per output
+    // row). Threshold 600 ≈ 2× headroom both ways.
+    //
+    // AQE defers codegen collapse to runtime per-stage, so probe on an
+    // AQE-off session clone where the executedPlan carries the spans.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    import org.apache.spark.sql.execution.{FilterExec, InputAdapter,
+      ProjectExec, SparkPlan, WholeStageCodegenExec}
+    def exprNodes(p: SparkPlan): Int =
+      p.expressions.map(e => { var n = 0; e.foreach(_ => n += 1); n }).sum
+    val offenders = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      def walk(p: SparkPlan, in: Boolean): Unit = p match {
+        case w: WholeStageCodegenExec => w.children.foreach(walk(_, true))
+        case a: InputAdapter => a.children.foreach(walk(_, false))
+        case other =>
+          if (!in) other match {
+            case _: ProjectExec | _: FilterExec =>
+              val sz = exprNodes(other)
+              if (sz > 600) offenders +=
+                s"$name: ${other.getClass.getSimpleName} with $sz " +
+                  "expression nodes outside codegen"
+            case _ => ()
+          }
+          other.children.foreach(walk(_, in))
+      }
+      walk(fn(sess, dir).queryExecution.executedPlan, in = false)
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("no query plans an unpartitioned Window or a CartesianProduct") {
     val offenders = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
