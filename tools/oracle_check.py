@@ -11,6 +11,7 @@ builder-side dev tool only — the engine itself never uses DuckDB.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -46,8 +47,12 @@ def main():
         oracles = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single files; GenScale's sf1 tier is a
+        # Spark-written DIRECTORY of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
