@@ -974,10 +974,10 @@ object EventQueries {
     * here (windowed agg keys ≤ input rows; session windows ≤ input
     * rows; join state buffers ≤ input rows within the watermark), and
     * [[graft.streaming.StreamOps.statePartitionsFor]] turns it into a
-    * partition count via the volume ÷ per-partition-target rule. At
-    * sf0.1 (~10⁵ events) this derives 7 — the band the measured-good
-    * pinned 8 sat in — and a 100× SF derives proportionally more
-    * instead of silently bottlenecking on 8 stores. */
+    * partition count via the volume ÷ per-partition-target rule: one
+    * fat store at sf0.1 (~10⁵ events), 5 at sf1, proportionally more
+    * with SF instead of silently bottlenecking on a pinned count —
+    * see the target's scaladoc for the measured sf0.1/sf1 curve. */
   private val streamRowCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def streamStatePartitions(s: SparkSession, dir: String): Int = {

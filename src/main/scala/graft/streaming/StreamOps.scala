@@ -74,16 +74,25 @@ object StreamOps {
     * input rows; for a stream-stream join: rows buffered within the
     * watermark horizon ≤ input rows) — callers pass the cheapest sound
     * bound they have, typically the input row count from parquet
-    * metadata. The default target (16 Ki state rows per partition)
-    * keeps per-partition state well under executor memory while not
-    * over-partitioning tiny state into pure per-batch commit I/O (the
-    * measured failure mode: 32 partitions × 4 join stores ran 7.3 s
-    * where 8 ran 2.6 s on identical output). Partition count never
-    * affects results — only where state lives — so callers can re-size
-    * per run as data grows (with a FRESH checkpoint: a checkpoint pins
-    * the count for its lifetime). */
+    * metadata. The default target (256 Ki state rows per partition)
+    * keeps per-partition state well under executor memory (~50 MB at
+    * ~200 B/row, ×4 stores for a stream-stream join) while not
+    * over-partitioning into pure per-batch commit I/O — the DOMINANT
+    * local failure mode, re-measured each scale-up: at sf0.1 32
+    * partitions × 4 join stores ran 7.3 s where 8 ran 2.6 s; the
+    * round-12 sf1 probe showed the old 16 Ki target deriving 68
+    * partitions and 14.8 s where 256 Ki derives 5 and runs 3.3 s
+    * (4.4×), with the sf0.1 family flat-to-better. Commit overhead
+    * scales with partitions × micro-batches regardless of state size,
+    * so the target errs toward FEWER, FATTER stores until memory
+    * binds; on a real cluster raise `maxPartitions` (and the input
+    * estimate) rather than shrinking the target — parallelism should
+    * come from volume, not from slicing small state thin. Partition
+    * count never affects results — only where state lives — so callers
+    * can re-size per run as data grows (with a FRESH checkpoint: a
+    * checkpoint pins the count for its lifetime). */
   def statePartitionsFor(estStateRows: Long,
-      targetRowsPerPartition: Long = 16 * 1024,
+      targetRowsPerPartition: Long = 256 * 1024,
       maxPartitions: Int = 256): Int = {
     require(targetRowsPerPartition > 0, "target must be positive")
     require(maxPartitions > 0, "maxPartitions must be positive")

@@ -426,17 +426,20 @@ class StreamOpsSpec extends AnyFunSuite {
 
   test("statePartitionsFor: volume ÷ per-partition target, clamped") {
     // tiny state collapses to one store (per-partition commit I/O is
-    // the measured failure mode of over-partitioning)
+    // the measured failure mode of over-partitioning — re-measured at
+    // sf1 in round 12: the old 16 Ki target derived 68 partitions and
+    // 14.8 s on q34 where the 256 Ki default derives 5 and runs 3.3 s)
     assert(StreamOps.statePartitionsFor(0) == 1)
     assert(StreamOps.statePartitionsFor(10_000) == 1)
-    // the sf0.1 events volume (~10^5 rows) derives the band the
-    // measured-good pinned value sat in
-    assert(StreamOps.statePartitionsFor(100_000) == 7)
-    // 100× the volume scales the store count proportionally…
-    assert(StreamOps.statePartitionsFor(10_000_000,
-      maxPartitions = Int.MaxValue) == 611)
+    // the sf0.1 events volume (~10^5 rows) stays one fat store;
+    // sf1's (~10^6) derives a handful
+    assert(StreamOps.statePartitionsFor(100_000) == 1)
+    assert(StreamOps.statePartitionsFor(1_150_000) == 5)
+    // 100× the sf1 volume scales the store count proportionally…
+    assert(StreamOps.statePartitionsFor(115_000_000,
+      maxPartitions = Int.MaxValue) == 439)
     // …until the default 256 clamp
-    assert(StreamOps.statePartitionsFor(10_000_000) == 256)
+    assert(StreamOps.statePartitionsFor(115_000_000) == 256)
     // custom target honored
     assert(StreamOps.statePartitionsFor(1_000_000,
       targetRowsPerPartition = 250_000) == 4)
