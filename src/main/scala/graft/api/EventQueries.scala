@@ -178,8 +178,10 @@ object EventQueries {
       .withColumn("vmean", round(col("vmean"), 6))
       .orderBy(col("event_type"), col("px"), col("py"))
 
-  // Note: vmean here is a plain double avg (not the cents trick) — cell
-  // populations are tiny so the double sum stays exact; still rounded.
+  // vmean follows the exact-sum contract like everything else: e6
+  // integer sum, one multiply, one division (a plain avg's double
+  // accumulation drifted 1 ulp from DuckDB once sf1 cells held enough
+  // points — "cell populations are tiny" did not survive the scale-up).
   private val q07Sql =
     s"""${PtsSql}, binned AS (
        |  SELECT event_type,
@@ -190,7 +192,8 @@ object EventQueries {
        |  WHERE t BETWEEN $Epoch2024 AND $TEnd AND NOT isnan(value_r)
        |    AND value_r BETWEEN 0.0 AND $VMax)
        |SELECT event_type, px, py, count(*) AS cnt,
-       |  round(avg(value_r), 6) AS vmean,
+       |  round(CAST(sum(CAST(round(value_r * 1e6) AS BIGINT)) AS DOUBLE)
+       |    / (count(*) * 1e6), 6) AS vmean,
        |  min(value_r) AS vmin, max(value_r) AS vmax
        |FROM binned GROUP BY event_type, px, py
        |ORDER BY event_type, px, py""".stripMargin
@@ -1281,7 +1284,8 @@ object EventQueries {
   private val q36Sql =
     s"""$imageCtesSql
        |SELECT y_axis, px, py, count(*) AS cnt,
-       |  round(avg(value_r), 6) AS vmean,
+       |  round(CAST(sum(CAST(round(value_r * 1e6) AS BIGINT)) AS DOUBLE)
+       |    / (count(*) * 1e6), 6) AS vmean,
        |  min(value_r) AS vmin, max(value_r) AS vmax
        |FROM binned GROUP BY y_axis, px, py
        |ORDER BY y_axis, px, py""".stripMargin

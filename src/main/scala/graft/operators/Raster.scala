@@ -70,7 +70,13 @@ object Raster {
       .groupBy(keys.map(col) :+ col("px") :+ col("py"): _*)
       .agg(
         count(lit(1)).as("cnt"),
-        avg(col("value_r")).as("vmean"),
+        // e6-quantized exact integer sum, one de-quantizing multiply,
+        // one IEEE division — the same order-free mean contract as the
+        // fused twin's CellAgg (a bare avg's double accumulation is
+        // merge-order-dependent; the sf1 audit caught the 1-ulp drift)
+        (sum(expr("cast(round(value_r * 1e6, 0) as bigint)"))
+          .cast("double") / (count(lit(1)).cast("double") * lit(1e6)))
+          .as("vmean"),
         min(col("value_r")).as("vmin"),
         max(col("value_r")).as("vmax"))
   }

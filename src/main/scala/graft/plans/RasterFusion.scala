@@ -209,11 +209,19 @@ object RasterStrategy extends SparkStrategy {
   }
 }
 
-/** One pixel cell's running (cnt, sum, min, max). */
-private[plans] final class CellAgg(var cnt: Long, var sum: Double,
+/** One pixel cell's running (cnt, sum, min, max). `sum` accumulates
+  * e6-QUANTIZED integer units (`round(v·10⁶)` half-away-from-zero,
+  * the dot_e8 rounding contract): a raw double accumulator is
+  * order-dependent across partition merges, and the round-12 sf1
+  * oracle audit caught exactly that — q07/q36 `vmean` drifting 1 ulp
+  * from DuckDB once cells held enough points (the old "cell
+  * populations are tiny so the double sum stays exact" assumption).
+  * Integer sums are merge-order-free, so vmean is bit-identical at
+  * any scale; overflow needs Σ|v| > 9.2×10¹² in ONE pixel cell. */
+private[plans] final class CellAgg(var cnt: Long, var sum: Long,
     var mn: Double, var mx: Double) {
   def add(v: Double): Unit = {
-    cnt += 1; sum += v
+    cnt += 1; sum += CellAgg.e6(v)
     if (v < mn) mn = v
     if (v > mx) mx = v
   }
@@ -221,6 +229,15 @@ private[plans] final class CellAgg(var cnt: Long, var sum: Double,
     cnt += o.cnt; sum += o.sum
     if (o.mn < mn) mn = o.mn
     if (o.mx > mx) mx = o.mx
+  }
+}
+
+private[plans] object CellAgg {
+  /** `round(v·10⁶)` half-away-from-zero — see [[graft.functions.DotE8
+    * .roundE4]] for the shared tie contract with SQL `round()`. */
+  def e6(v: Double): Long = {
+    val x = v * 1e6
+    if (x >= 0) Math.round(x) else -Math.round(-x)
   }
 }
 
@@ -249,7 +266,7 @@ private[plans] object CellFold {
       while (i < groupWidth) { keyVals(i) = row.get(i, childTypes(i)); i += 1 }
       val uKey = keyProj(keyRow)
       val incoming = new CellAgg(row.getLong(numKeys + 2),
-        row.getDouble(numKeys + 3), row.getDouble(numKeys + 4),
+        row.getLong(numKeys + 3), row.getDouble(numKeys + 4),
         row.getDouble(numKeys + 5))
       val agg = grid.get(uKey)
       if (agg == null) grid.put(uKey.copy(), incoming)
@@ -306,7 +323,8 @@ final case class RasterBinPartialExec(params: RasterParams,
             keyVals(k + 1) = p.py(v)
             val uKey = keyProj(keyRow)
             val agg = grid.get(uKey)
-            if (agg == null) grid.put(uKey.copy(), new CellAgg(1L, v, v, v))
+            if (agg == null)
+              grid.put(uKey.copy(), new CellAgg(1L, CellAgg.e6(v), v, v))
             else agg.add(v)
           }
         }
@@ -340,7 +358,7 @@ object RasterBinPartialExec {
     AttributeReference("px", LongType, nullable = false)(),
     AttributeReference("py", LongType, nullable = false)(),
     AttributeReference("cnt", LongType, nullable = false)(),
-    AttributeReference("sum", DoubleType, nullable = false)(),
+    AttributeReference("sum", LongType, nullable = false)(), // e6 units
     AttributeReference("mn", DoubleType, nullable = false)(),
     AttributeReference("mx", DoubleType, nullable = false)())
 }
@@ -373,7 +391,10 @@ final case class RasterBinMergeExec(output: Seq[Attribute], numKeys: Int,
           vals(k) = key.getLong(k)
           vals(k + 1) = key.getLong(k + 1)
           vals(k + 2) = a.cnt
-          vals(k + 3) = a.sum / a.cnt // Spark avg: final sum / count
+          // exact e6 integer sum, ONE de-quantizing multiply (cnt·10⁶
+          // is exact in double up to cnt ≈ 9×10⁹), ONE IEEE division —
+          // bit-identical to the oracle's formulation at any scale
+          vals(k + 3) = a.sum.toDouble / (a.cnt.toDouble * 1e6)
           vals(k + 4) = a.mn; vals(k + 5) = a.mx
           outProj(InternalRow.fromSeq(vals.toIndexedSeq))
         }
