@@ -1093,7 +1093,12 @@ object PipelineQueries {
        |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
        |    JOIN sz s2 ON s2.doc_id = i.d2
        |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
-       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |-- MATERIALIZED: the recursive reach references bi; inlined, the
+       |-- whole minhash pipeline re-executes inside every fixpoint
+       |-- iteration (the sf1 audit filled 75 GB of spill on p65 before
+       |-- OOM; materialized, the same query runs in ~2 min)
+       |bi AS MATERIALIZED (
+       |  SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
        |reach(a, b) AS (
        |  SELECT d1 AS a, d2 AS b FROM bi
        |  UNION
@@ -1255,7 +1260,12 @@ object PipelineQueries {
        |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
        |    JOIN sz s2 ON s2.doc_id = i.d2
        |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
-       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |-- MATERIALIZED: the recursive reach references bi; inlined, the
+       |-- whole minhash pipeline re-executes inside every fixpoint
+       |-- iteration (the sf1 audit filled 75 GB of spill on p65 before
+       |-- OOM; materialized, the same query runs in ~2 min)
+       |bi AS MATERIALIZED (
+       |  SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
        |reach(a, b) AS (
        |  SELECT d1 AS a, d2 AS b FROM bi
        |  UNION
@@ -2185,7 +2195,12 @@ object PipelineQueries {
        |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
        |    JOIN sz s2 ON s2.doc_id = i.d2
        |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
-       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |-- MATERIALIZED: the recursive reach references bi; inlined, the
+       |-- whole minhash pipeline re-executes inside every fixpoint
+       |-- iteration (the sf1 audit filled 75 GB of spill on p65 before
+       |-- OOM; materialized, the same query runs in ~2 min)
+       |bi AS MATERIALIZED (
+       |  SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
        |reach(a, b) AS (
        |  SELECT d1 AS a, d2 AS b FROM bi
        |  UNION
@@ -2716,7 +2731,12 @@ object PipelineQueries {
        |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
        |    JOIN sz s2 ON s2.doc_id = i.d2
        |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
-       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |-- MATERIALIZED: the recursive reach references bi; inlined, the
+       |-- whole minhash pipeline re-executes inside every fixpoint
+       |-- iteration (the sf1 audit filled 75 GB of spill on p65 before
+       |-- OOM; materialized, the same query runs in ~2 min)
+       |bi AS MATERIALIZED (
+       |  SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
        |reach(a, b) AS (
        |  SELECT d1 AS a, d2 AS b FROM bi
        |  UNION
@@ -3247,7 +3267,12 @@ object PipelineQueries {
        |  FROM inter i JOIN sz s1 ON s1.doc_id = i.d1
        |    JOIN sz s2 ON s2.doc_id = i.d2
        |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) >= 0.5),
-       |bi AS (SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
+       |-- MATERIALIZED: the recursive reach references bi; inlined, the
+       |-- whole minhash pipeline re-executes inside every fixpoint
+       |-- iteration (the sf1 audit filled 75 GB of spill on p65 before
+       |-- OOM; materialized, the same query runs in ~2 min)
+       |bi AS MATERIALIZED (
+       |  SELECT d1, d2 FROM vp UNION SELECT d2 AS d1, d1 AS d2 FROM vp),
        |reach(a, b) AS (
        |  SELECT d1 AS a, d2 AS b FROM bi
        |  UNION

@@ -46,6 +46,9 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     con = duckdb.connect()
+    # let heavy oracles (sf1-scale audits) spill instead of OOM-ing;
+    # an in-memory duckdb has NO temp dir by default
+    con.execute("SET temp_directory='/tmp/graft_oracle_spill'")
     for t in TABLES:
         # driver testdata ships single files; GenScale's sf1 tier is a
         # Spark-written DIRECTORY of part files — glob those
