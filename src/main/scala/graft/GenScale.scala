@@ -108,15 +108,19 @@ object GenScale {
     write("events", scaled(events, Map(
       "event_id" -> stride(events, "event_id"), "user_id" -> custStride)))
 
-    // documents: token bijection per copy (suffix = copy tag); copy 0
-    // verbatim. "$1" back-references the token; tags are digits, and
-    // the source vocabulary is alphabetic words, so tagged tokens
-    // never collide with another copy's.
+    // documents: token bijection per copy (suffix = "_<copy>" tag);
+    // copy 0 verbatim. The "_" separator makes cross-copy disjointness
+    // unconditional: a bare digit tag would let a source token ending
+    // in a digit collide across copies ("2"+tag1 = "21" = "21"+tag0's
+    // untagged twin), and "$1"+i for i≥10 leans on Java's greedy-valid
+    // group parsing ("$111" = group 1 + "11") — both removed by the
+    // non-digit separator while the transform stays a token bijection.
     val documents = read("documents")
     write("documents", scaled(documents,
       Map("doc_id" -> stride(documents, "doc_id")),
       (d, i) => if (i == 0) d else d
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + i))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1_" + i))
         .withColumn("n_chars", length(col("text")).cast("long"))))
 
     // embeddings: per-copy signed permutation of dims (orthogonal ⇒

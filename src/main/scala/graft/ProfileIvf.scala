@@ -98,21 +98,34 @@ object ProfileIvf {
     val mult = sys.env.getOrElse("SPARK_GRAFT_IVF_MULT", "10").toInt
     val spark = Harness.session()
     profile(spark, n) // warm: Janino + JIT, same rationale as Bench
-    // min-of-3 per scale, interleaved so host drift hits both scales
-    val runs1 = Seq.fill(3)(profile(spark, n).toMap)
-    val runs10 = Seq.fill(3)(profile(spark, n * mult).toMap)
+    // min-of-3 per scale, interleaved (1×,10×, 1×,10×, …) so monotonic
+    // host drift hits both scales instead of only the later block
+    val runs = Seq.fill(3)((profile(spark, n).toMap,
+      profile(spark, n * mult).toMap))
+    val (runs1, runs10) = (runs.map(_._1), runs.map(_._2))
     val names = Seq("centroids", "assign", "probe", "score", "topk",
       "end_to_end")
+    // locale-pinned: the f interpolator honors the default locale, and
+    // a comma-decimal locale would emit invalid JSON ("0,123")
+    def d(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def best(rs: Seq[Map[String, Double]]) =
       names.map(nm => nm -> rs.map(_(nm)).min)
-    val js = (best(runs1).map { case (k, v) => s""""1x.$k":${f"$v%.3f"}""" }
-      ++ best(runs10).map { case (k, v) => s""""${mult}x.$k":${f"$v%.3f"}""" }
+    val js = (best(runs1).map { case (k, v) => s""""1x.$k":${d("%.3f", v)}""" }
+      ++ best(runs10).map { case (k, v) =>
+        s""""${mult}x.$k":${d("%.3f", v)}""" }
       ++ names.map { nm =>
         val r = runs10.map(_(nm)).min / math.max(runs1.map(_(nm)).min, 1e-3)
-        s""""ratio.$nm":${f"$r%.2f"}"""
+        s""""ratio.$nm":${d("%.2f", r)}"""
       }).mkString("{", ",", "}")
-    println(s"""{"metric":"profile_ivf","unit":"sec","n":$n,""" +
-      s""""mult":$mult,"passes":3,"agg":"min","stages":$js}""")
+    val line = s"""{"metric":"profile_ivf","unit":"sec","n":$n,""" +
+      s""""mult":$mult,"passes":3,"agg":"min","stages":$js}"""
+    println(line)
+    // durable artifact: STATUS cites ABSOLUTE per-stage seconds from
+    // this file, never one run's ratio (toy-scale ratios are window
+    // noise — r12's ivf-10× read 2.9× in one window, 5.7× in another)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("PROFILE_IVF.json"), line + "\n")
     spark.stop()
   }
 }

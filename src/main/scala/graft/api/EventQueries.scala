@@ -984,6 +984,18 @@ object EventQueries {
   private val streamRowCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def streamStatePartitions(s: SparkSession, dir: String): Int = {
+    // dev-only sweep override ([[graft.ProfileStream]]): a system
+    // property — read PER CALL so one JVM can sweep counts — and LOUD,
+    // same rationale as SPARK_GRAFT_ONLY (an override leaking into a
+    // driver run must be visible in the log). The driver never sets it.
+    sys.props.get("graft.stream.statePartitions") match {
+      case Some(v) =>
+        println(s"[stream] STATE-PARTITION OVERRIDE: $v (dev sweep)")
+        v.toInt
+      case None => derivedStatePartitions(s, dir)
+    }
+  }
+  private def derivedStatePartitions(s: SparkSession, dir: String): Int = {
     val key = s"${graft.operators.SkewOps.sessionKey(s)}|$dir"
     // compute OUTSIDE the map's bin lock (a Spark job under
     // computeIfAbsent would block unrelated readers; see SkewOps)

@@ -1228,9 +1228,36 @@ object Dedup {
     * the scan was actually parallel (an earlier single-partition
     * measurement had it backwards). Both are quadratic within a block
     * by definition of the operator — the blocking key is the scale
-    * contract. */
+    * contract, and `maxBlock` is its ENFORCEMENT: before any pair is
+    * produced, one column-pruned count per block (a cheap aggregate —
+    * the scan reads only `blockCols`) refuses LOUDLY if any block
+    * exceeds the cap, instead of silently detonating O(n²) work. A
+    * skewed blocking key — one fat `(lang, source)` block, exactly
+    * what a 100 TB web corpus has — is an operator-contract violation,
+    * not a slow query. Callers with skewed keys should use
+    * [[minhashNearDups]] (same file): banded LSH is the sub-quadratic
+    * near-dup path with no per-block size assumption. The default cap
+    * (10 000 docs → ≤ 5×10⁷ pairs per block) bounds the worst block's
+    * pair count to roughly one executor-core-minute; raise it only
+    * with the quadratic cost understood. */
   def blockedJaccard(docs: DataFrame, blockCols: Seq[String],
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBlock: Long = 10000L): DataFrame = {
+    require(maxBlock > 0, "maxBlock must be positive")
+    val fat = docs.select(blockCols.map(col): _*)
+      .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBlock)
+      .orderBy(col("n").desc).limit(1).collect()
+    if (fat.nonEmpty) {
+      val r = fat.head
+      val key = blockCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString(", ")
+      throw new IllegalArgumentException(
+        s"blockedJaccard: block ($key) has ${r.getLong(blockCols.size)} " +
+          s"docs > maxBlock=$maxBlock — within-block pairing is O(n²) " +
+          "by contract and this block would detonate it. Use " +
+          "Dedup.minhashNearDups (banded LSH, sub-quadratic) for skewed " +
+          "blocking keys, or raise maxBlock knowingly.")
+    }
     val base = docs.select(blockCols.map(col) :+ col("doc_id") :+
       array_distinct(split(col("text"), " ")).as("ws"): _*)
     val a = base.select(blockCols.map(col) :+ col("doc_id").as("d1")

@@ -234,8 +234,19 @@ private[plans] final class CellAgg(var cnt: Long, var sum: Long,
 
 private[plans] object CellAgg {
   /** `round(v·10⁶)` half-away-from-zero — see [[graft.functions.DotE8
-    * .roundE4]] for the shared tie contract with SQL `round()`. */
+    * .roundE4]] for the shared tie contract with SQL `round()`.
+    *
+    * PRECONDITION: `v` is finite. Every caller sits behind
+    * [[RasterParams.keep]] (NaN and the finite axis bounds exclude
+    * ±Inf), and the check below makes that contract LOUD: Math.round
+    * would otherwise map NaN→0 and ±Inf→±MaxValue, handing a future
+    * unfiltered caller a plausible-looking finite vmean where the old
+    * double sum at least surfaced NaN/Inf. */
   def e6(v: Double): Long = {
+    if (v.isNaN || v.isInfinite)
+      throw new IllegalArgumentException(
+        s"CellAgg.e6: non-finite value $v — callers must pre-filter " +
+          "via RasterParams.keep")
     val x = v * 1e6
     if (x >= 0) Math.round(x) else -Math.round(-x)
   }

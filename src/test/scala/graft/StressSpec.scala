@@ -764,6 +764,33 @@ class StressSpec extends AnyFunSuite {
       f"dedup did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
   }
 
+  test("stress: blockedJaccard REFUSES a pathological oversized block " +
+    "instead of detonating O(n²)") {
+    // one fat block — the skewed-blocking-key shape a 100 TB web corpus
+    // has (most docs land in one (lang, source) stratum). The operator's
+    // scale contract is quadratic-WITHIN-a-block, so the guard must
+    // refuse loudly BEFORE producing any pair, naming the fat block and
+    // pointing at the sub-quadratic alternative.
+    val docs = spark.range(5000).select(
+      col("id").as("doc_id"),
+      lit("en").as("lang"),
+      // 4999 docs in one block, 1 in another: the guard must report the
+      // fat block, not trip on the healthy one
+      when(col("id") === 0, "rare").otherwise("cc").as("source"),
+      concat(lit("w"), col("id").cast("string")).as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.blockedJaccard(docs, Seq("lang", "source"), 0.5,
+        maxBlock = 1000L)
+    }
+    assert(e.getMessage.contains("source=cc"), e.getMessage)
+    assert(e.getMessage.contains("4999"), e.getMessage)
+    assert(e.getMessage.contains("minhashNearDups"), e.getMessage)
+    // same data under a sufficient cap still runs (and pairs only
+    // within blocks — zero pairs here, every doc's word set is unique)
+    assert(Dedup.blockedJaccard(docs, Seq("lang", "source"), 0.5,
+      maxBlock = 5000L).count() === 0L)
+  }
+
   test("stress: IVF top-k scales sub-quadratically over a 10× " +
     "synthetic embedding corpus") {
     // 64-dim quantized embeddings from a hash recurrence, 32 IVF
@@ -843,5 +870,18 @@ class StressSpec extends AnyFunSuite {
     // order within a suite, so everything above has run
     timings.foreach { case (l, s) => info(f"$l: $s%.2f s") }
     assert(timings.nonEmpty)
+    // durable artifact (STRESS_SELF.json): ABSOLUTE per-stage seconds,
+    // so STATUS cites a committed file instead of one window's ratio —
+    // r12's ivf-10× ratio read 2.9× in one window and 5.7× in another
+    // while the absolute times told the same story. A `-z` subset run
+    // writes a partial map (fewer keys); only commit full-suite files.
+    val js = timings.map { case (l, s) =>
+      Verify.q(l) + ":" + String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(s))
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("STRESS_SELF.json"),
+      s"""{"metric":"stress_timings","unit":"sec","agg":"single-run",""" +
+        s""""host":"local[2]","timings":$js}""" + "\n")
   }
 }

@@ -62,6 +62,8 @@ def headline(path: str) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__.strip().split("\n\n")[1])
     if sys.argv[1] == "--headline":
         headline(sys.argv[2])
         return
