@@ -977,13 +977,18 @@ object EventQueries {
     * here (windowed agg keys ≤ input rows; session windows ≤ input
     * rows; join state buffers ≤ input rows within the watermark), and
     * [[graft.streaming.StreamOps.statePartitionsFor]] turns it into a
-    * partition count via the volume ÷ per-partition-target rule: one
-    * fat store at sf0.1 (~10⁵ events), 5 at sf1, proportionally more
-    * with SF instead of silently bottlenecking on a pinned count —
-    * see the target's scaladoc for the measured sf0.1/sf1 curve. */
+    * partition count via the volume ÷ (target × `stores`) rule —
+    * `stores` is the operator's state-store count per partition (1
+    * for the q32/q33 aggregations, 4 for the q34 join), the round-13
+    * sweep's measured divergence between the two families; see the
+    * rule's scaladoc for the curve. At sf0.1 (~10⁵ events) that's 2
+    * partitions for the aggregations and one fat store for the join;
+    * at sf1, 16 and 4 — proportionally more with SF instead of
+    * silently bottlenecking on a pinned count. */
   private val streamRowCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def streamStatePartitions(s: SparkSession, dir: String): Int = {
+  private def streamStatePartitions(s: SparkSession, dir: String,
+      stores: Int): Int = {
     // dev-only sweep override ([[graft.ProfileStream]]): a system
     // property — read PER CALL so one JVM can sweep counts — and LOUD,
     // same rationale as SPARK_GRAFT_ONLY (an override leaking into a
@@ -992,10 +997,11 @@ object EventQueries {
       case Some(v) =>
         println(s"[stream] STATE-PARTITION OVERRIDE: $v (dev sweep)")
         v.toInt
-      case None => derivedStatePartitions(s, dir)
+      case None => derivedStatePartitions(s, dir, stores)
     }
   }
-  private def derivedStatePartitions(s: SparkSession, dir: String): Int = {
+  private def derivedStatePartitions(s: SparkSession, dir: String,
+      stores: Int): Int = {
     val key = s"${graft.operators.SkewOps.sessionKey(s)}|$dir"
     // compute OUTSIDE the map's bin lock (a Spark job under
     // computeIfAbsent would block unrelated readers; see SkewOps)
@@ -1005,7 +1011,7 @@ object EventQueries {
       val prev = streamRowCounts.putIfAbsent(key, n)
       rows = if (prev == null) n else prev
     }
-    graft.streaming.StreamOps.statePartitionsFor(rows.longValue())
+    graft.streaming.StreamOps.statePartitionsFor(rows.longValue(), stores)
   }
 
   /** Shared by q32–q34: the events stream's derived event-time column
@@ -1021,13 +1027,14 @@ object EventQueries {
     val schema = ad.raw.schema // legacy data: raw sets nanosAsLong on demand
     val tUs = eventTimeUs(schema)
     val name = s"q32_sink_${streamSinkSeq.incrementAndGet()}"
-    // state partitions derived from input volume — see
-    // streamStatePartitions. The WHOLE pipeline (UDF registration,
-    // file stream, sink read) is built on the clone the helper hands
-    // us: the memory sink registers in the session that runs the
-    // query, and registrations do not carry across sessions.
+    // state partitions derived from input volume (1-store windowed
+    // aggregation) — see streamStatePartitions. The WHOLE pipeline
+    // (UDF registration, file stream, sink read) is built on the clone
+    // the helper hands us: the memory sink registers in the session
+    // that runs the query, and registrations do not carry across
+    // sessions.
     graft.streaming.StreamOps.withStatePartitions(
-        s, streamStatePartitions(s, dir)) { sess =>
+        s, streamStatePartitions(s, dir, stores = 1)) { sess =>
       graft.functions.MicrosOf.register(sess)
       val stream = sess.readStream.schema(schema)
         .parquet(stagedStreamDir(s, dir))
@@ -1080,10 +1087,11 @@ object EventQueries {
     val ad = new EventsArchiveAdapter(s, dir)
     val schema = ad.raw.schema // legacy data: raw sets nanosAsLong on demand
     val name = s"q33_sink_${streamSinkSeq.incrementAndGet()}"
-    // state partitions derived from input volume — see
-    // streamStatePartitions; pipeline built on the clone (see q32)
+    // state partitions derived from input volume (1-store session
+    // aggregation) — see streamStatePartitions; pipeline built on the
+    // clone (see q32)
     graft.streaming.StreamOps.withStatePartitions(
-        s, streamStatePartitions(s, dir)) { sess =>
+        s, streamStatePartitions(s, dir, stores = 1)) { sess =>
       graft.functions.MicrosOf.register(sess)
       val stream = sess.readStream.schema(schema)
         .parquet(stagedStreamDir(s, dir))
@@ -1143,12 +1151,13 @@ object EventQueries {
     // per batch. Same rows, same hash; roughly half the fixed source
     // machinery cost (this was the suite's slowest query at r9).
     val name = s"q34_sink_${streamSinkSeq.incrementAndGet()}"
-    // state partitions derived from input volume (the join keeps 4
-    // state stores per partition, so over-partitioning tiny state
-    // costs pure per-batch commit I/O: 32 → 7.3 s, 8 → 2.6 s at
-    // sf0.1) — see streamStatePartitions; pipeline on the clone (q32)
+    // state partitions derived from input volume with stores=4 (the
+    // join keeps 4 state stores per partition, so over-partitioning
+    // tiny state costs pure per-batch commit I/O: 32 → 7.3 s, 8 →
+    // 2.6 s at sf0.1; 32 → 8.7 s vs 4 → 3.0 s at sf1) — see
+    // streamStatePartitions; pipeline on the clone (q32)
     graft.streaming.StreamOps.withStatePartitions(
-        s, streamStatePartitions(s, dir)) { sess =>
+        s, streamStatePartitions(s, dir, stores = 4)) { sess =>
       graft.functions.MicrosOf.register(sess)
       val src =
         sess.readStream.schema(schema).parquet(stagedStreamDir(s, dir))

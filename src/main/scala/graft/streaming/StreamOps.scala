@@ -68,36 +68,48 @@ object StreamOps {
   }
 
   /** The scaladoc's sizing rule as code: state-store partition count =
-    * estimated state volume ÷ target per-partition state, clamped to
-    * [1, `maxPartitions`]. `estStateRows` is an UPPER BOUND estimate of
-    * live state entries (for an aggregation: distinct keys×windows ≤
-    * input rows; for a stream-stream join: rows buffered within the
-    * watermark horizon ≤ input rows) — callers pass the cheapest sound
-    * bound they have, typically the input row count from parquet
-    * metadata. The default target (256 Ki state rows per partition)
-    * keeps per-partition state well under executor memory (~50 MB at
-    * ~200 B/row, ×4 stores for a stream-stream join) while not
-    * over-partitioning into pure per-batch commit I/O — the DOMINANT
-    * local failure mode, re-measured each scale-up: at sf0.1 32
-    * partitions × 4 join stores ran 7.3 s where 8 ran 2.6 s; the
-    * round-12 sf1 probe showed the old 16 Ki target deriving 68
-    * partitions and 14.8 s where 256 Ki derives 5 and runs 3.3 s
-    * (4.4×), with the sf0.1 family flat-to-better. Commit overhead
-    * scales with partitions × micro-batches regardless of state size,
-    * so the target errs toward FEWER, FATTER stores until memory
-    * binds; on a real cluster raise `maxPartitions` (and the input
-    * estimate) rather than shrinking the target — parallelism should
-    * come from volume, not from slicing small state thin. Partition
-    * count never affects results — only where state lives — so callers
-    * can re-size per run as data grows (with a FRESH checkpoint: a
-    * checkpoint pins the count for its lifetime). */
+    * estimated state volume ÷ (per-partition target × store count),
+    * clamped to [1, `maxPartitions`]. `estStateRows` is an UPPER BOUND
+    * estimate of live state entries (for an aggregation: distinct
+    * keys×windows ≤ input rows; for a stream-stream join: rows
+    * buffered within the watermark horizon ≤ input rows) — callers
+    * pass the cheapest sound bound they have, typically the input row
+    * count from parquet metadata.
+    *
+    * `numStores` is the operator's state-store count per partition
+    * (1 for a windowed/session aggregation, 4 for a stream-stream
+    * join: keyToNumValues + keyWithIndexToValue per side) and is the
+    * measured divergence between the two families: commit I/O per
+    * micro-batch scales with partitions × STORES, so a join's
+    * partitions must be `numStores`× fatter to pay the same overhead.
+    * The round-13 sf1 sweep (PROFILE_STREAM.json, ~10⁶ rows):
+    * aggregations improved monotonically up to 16 partitions (q32
+    * 11.2 s at 1 → 4.5 s at 16; q33 11.2 → 4.2) while the 4-store
+    * join bottomed at 4 (3.0 s) and DEGRADED 2.9× by 32 (8.7 s) — a
+    * single shared target cannot fit both, and the ratio between
+    * their optima is exactly the store count. The base target
+    * (64 Ki rows/partition/store) reproduces both optima: ×1 → 16
+    * partitions at sf1 for aggregations, ×4 = 256 Ki (the round-12
+    * q34 calibration, unchanged) → 4-5 for the join.
+    *
+    * Per-partition state stays well under executor memory (~13 MB at
+    * ~200 B/row per store); the rule still errs toward FEWER, FATTER
+    * stores until memory binds — on a real cluster raise
+    * `maxPartitions` (and the input estimate) rather than shrinking
+    * the target, so parallelism comes from volume, not from slicing
+    * small state thin. Partition count never affects results — only
+    * where state lives — so callers can re-size per run as data grows
+    * (with a FRESH checkpoint: a checkpoint pins the count for its
+    * lifetime). */
   def statePartitionsFor(estStateRows: Long,
-      targetRowsPerPartition: Long = 256 * 1024,
+      numStores: Int = 1,
+      targetRowsPerPartition: Long = 64 * 1024,
       maxPartitions: Int = 256): Int = {
+    require(numStores > 0, "numStores must be positive")
     require(targetRowsPerPartition > 0, "target must be positive")
     require(maxPartitions > 0, "maxPartitions must be positive")
-    val byVolume = math.ceil(
-      math.max(0L, estStateRows).toDouble / targetRowsPerPartition).toInt
+    val byVolume = math.ceil(math.max(0L, estStateRows).toDouble /
+      (targetRowsPerPartition.toDouble * numStores)).toInt
     math.min(maxPartitions, math.max(1, byVolume))
   }
 

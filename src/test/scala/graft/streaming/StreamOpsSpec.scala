@@ -424,22 +424,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("statePartitionsFor: volume ÷ per-partition target, clamped") {
+  test("statePartitionsFor: volume ÷ (target × stores), clamped") {
     // tiny state collapses to one store (per-partition commit I/O is
-    // the measured failure mode of over-partitioning — re-measured at
-    // sf1 in round 12: the old 16 Ki target derived 68 partitions and
-    // 14.8 s on q34 where the 256 Ki default derives 5 and runs 3.3 s)
+    // the measured failure mode of over-partitioning; it scales with
+    // partitions × STORES — the round-13 sf1 sweep found the 1-store
+    // aggregations' optimum at 4× the 4-store join's partition count,
+    // hence the per-store target)
     assert(StreamOps.statePartitionsFor(0) == 1)
     assert(StreamOps.statePartitionsFor(10_000) == 1)
-    // the sf0.1 events volume (~10^5 rows) stays one fat store;
-    // sf1's (~10^6) derives a handful
-    assert(StreamOps.statePartitionsFor(100_000) == 1)
-    assert(StreamOps.statePartitionsFor(1_150_000) == 5)
+    // 1-store aggregation (q32/q33): sf0.1 (~10^5 rows) → 2, sf1
+    // (~10^6) → 16 — the sweep's measured optimum at sf1
+    assert(StreamOps.statePartitionsFor(100_000) == 2)
+    assert(StreamOps.statePartitionsFor(1_000_000) == 16)
+    // 4-store stream-stream join (q34): the effective target is
+    // 256 Ki/partition — the round-12 calibration, unchanged: one fat
+    // store at sf0.1, a handful at sf1 (measured 3.0 s optimum vs
+    // 8.7 s at 32)
+    assert(StreamOps.statePartitionsFor(100_000, numStores = 4) == 1)
+    assert(StreamOps.statePartitionsFor(1_150_000, numStores = 4) == 5)
     // 100× the sf1 volume scales the store count proportionally…
-    assert(StreamOps.statePartitionsFor(115_000_000,
+    assert(StreamOps.statePartitionsFor(115_000_000, numStores = 4,
       maxPartitions = Int.MaxValue) == 439)
     // …until the default 256 clamp
-    assert(StreamOps.statePartitionsFor(115_000_000) == 256)
+    assert(StreamOps.statePartitionsFor(115_000_000, numStores = 4) == 256)
     // custom target honored
     assert(StreamOps.statePartitionsFor(1_000_000,
       targetRowsPerPartition = 250_000) == 4)
