@@ -24,6 +24,11 @@ object PlanCheck {
       val t2 = System.nanoTime()
       println(f"=== $name rows=$n count=${(t1 - t0) / 1e9}%.2fs " +
         f"foreach=${(t2 - t1) / 1e9}%.2fs")
+      // observe()-metrics (e.g. lshCandidates / simhashHammingDups
+      // bucket-overflow accounting) — populated by the actions above
+      df.queryExecution.observedMetrics.foreach { case (m, row) =>
+        println(s"=== $name observed $m: $row")
+      }
     }
     spark.stop()
   }
