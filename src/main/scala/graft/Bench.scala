@@ -81,7 +81,10 @@ object Bench {
     //     total + per-query map keyed by the unique qNN/pNN prefix —
     //     sized to fit the 2000-char tail even after sbt's trailing
     //     "[success]" line (~13 bytes/query: 115 queries ≈ 1.7 kB).
-    def d3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT — same invalid-JSON-under-comma-decimal-locale fix
+    // as ProfileIvf/Harness (ADVICE r12)
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val okResults = results.filterNot { case (k, _) => errors.contains(k) }
     val qs = okResults.map { case (k, v) => Verify.q(k) + ":" + d3(v) }
       .mkString("{", ",", "}")

@@ -49,7 +49,10 @@ object Harness {
     val runs = Seq.fill(passes)(profile(spark, sfDir))
     val names = runs.head.map(_._1)
     val best = names.map { n => n -> runs.map(_.toMap.apply(n)).min }
-    val js = best.map { case (k, v) => Verify.q(k) + ":" + f"$v%.3f" }
+    // Locale.ROOT: the f interpolator honors the default locale, and a
+    // comma-decimal locale would emit invalid JSON (ADVICE r12)
+    val js = best.map { case (k, v) => Verify.q(k) + ":" +
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     println(s"""{"metric":${Verify.q(metric)},"unit":"sec","stages":$js,""" +
       s""""passes":$passes,"agg":"min","sf":${Verify.q(sfDir)}}""")
