@@ -25,7 +25,12 @@ object PlanCheck {
       println(f"=== $name rows=$n count=${(t1 - t0) / 1e9}%.2fs " +
         f"foreach=${(t2 - t1) / 1e9}%.2fs")
       // observe()-metrics (e.g. lshCandidates / simhashHammingDups
-      // bucket-overflow accounting) — populated by the actions above
+      // bucket-overflow accounting) — populated by the actions above.
+      // CAVEAT: Spark does not surface CollectMetrics through every
+      // execution shape (count/foreach on a derived plan can read
+      // [null, 0] while a collect() on the operator's own frame reads
+      // real values — see connectedComponents' in-code note); treat a
+      // zero row here as "not surfaced", not "no overflow".
       df.queryExecution.observedMetrics.foreach { case (m, row) =>
         println(s"=== $name observed $m: $row")
       }

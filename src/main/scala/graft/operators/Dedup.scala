@@ -1167,7 +1167,7 @@ object Dedup {
     * `bits` — at 100 TB run 63-bit fingerprints so each block spans
     * ≥ 15 bits and buckets stay selective — while the oracled 16-bit
     * form keeps the DuckDB replica's `1 << j` arithmetic tiny.
-    * Fingerprints ride inside the bucket list, so the popcount
+    * Fingerprints ride inside the posting rows, so the popcount
     * verify needs no join back to the fingerprint table. */
   def simhashHammingDups(corpus: DataFrame, spark: SparkSession,
       bits: Int = 16, maxDist: Int = 1,
@@ -1187,30 +1187,43 @@ object Dedup {
         expr(s"shiftright(simhash, ${offsets(j)}) & " +
           s"${(1L << widths(j)) - 1}").as("bval"))
     }: _*)
-    sh.select(col("doc_id"), col("simhash"), explode(blockArr).as("p"))
+    // (blk, bval, doc_id, simhash) postings — persisted: the bucket
+    // stats and BOTH legs of the pair join read it (same lifecycle as
+    // polyCandidates' sets: MEMORY_AND_DISK under the LRU block
+    // manager; worst case recompute, never OOM)
+    val blocks = sh
+      .select(col("doc_id"), col("simhash"), explode(blockArr).as("p"))
       .select(col("p.blk").as("blk"), col("p.bval").as("bval"),
-        struct(col("doc_id"), col("simhash")).as("m"))
-      .groupBy(col("blk"), col("bval"))
-      // sorted by doc_id (unique first struct field) — the star
-      // anchor is the minimum id, all-pairs come out i<j ordered
-      .agg(sort_array(collect_list(col("m"))).as("ds"))
-      .where(size(col("ds")) > 1)
+        col("doc_id"), col("simhash")).persist()
+    // per-bucket count + star anchor (min doc id) — O(buckets) rows,
+    // co-partitioned with the join below (same grouping key), carrying
+    // the overflow accounting the array shape used to observe
+    val bs = blocks.groupBy(col("blk"), col("bval"))
+      .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("_anchor"))
+      .where(col("_n") > 1)
       .observe(s"hamming_buckets_${obsId.incrementAndGet()}",
-        sum(when(size(col("ds")) > maxBucket, 1L).otherwise(0L))
+        sum(when(col("_n") > maxBucket, 1L).otherwise(0L))
           .as("overflow_buckets"),
-        coalesce(max(size(col("ds"))), lit(0)).as("max_bucket_size"))
-      .select(explode(expr(
-        s"""CASE WHEN size(ds) <= $maxBucket THEN
-           |  flatten(transform(sequence(1, size(ds) - 1),
-           |    i -> transform(slice(ds, i + 1, size(ds) - i),
-           |      j -> struct(element_at(ds, i) as a, j as b))))
-           |ELSE
-           |  transform(slice(ds, 2, size(ds) - 1),
-           |    j -> struct(element_at(ds, 1) as a, j as b))
-           |END""".stripMargin)).as("p"))
-      .select(col("p.a.doc_id").as("d1"), col("p.b.doc_id").as("d2"),
-        bit_count(expr("p.a.simhash ^ p.b.simhash")).cast("int")
-          .as("hamming"))
+        coalesce(max(col("_n")).cast("int"), lit(0))
+          .as("max_bucket_size"))
+    // pairs STREAM out of a bucket self-join (whole-stage codegen over
+    // 16-byte rows) instead of exploding per-bucket pair ARRAYS — the
+    // old shape materialized O(n²) structs in ONE row per bucket (a
+    // near-cap 1000-doc bucket = ~500k structs ≈ 16 MB single array
+    // value; allocation + GC dominated the round-13 sf1 tail at
+    // 15.9 s). The capped star keeps its exact semantics as a join
+    // predicate: inside an over-cap bucket only the anchor (minimum
+    // doc id, always the smaller side of d1 < d2) emits pairs.
+    val a = blocks.join(bs, Seq("blk", "bval"))
+      .where(col("_n") <= maxBucket || col("doc_id") === col("_anchor"))
+      .select(col("blk"), col("bval"),
+        col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = blocks.select(col("blk"), col("bval"),
+      col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, Seq("blk", "bval"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(expr("s1 ^ s2")).cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
   }
