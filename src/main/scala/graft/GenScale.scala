@@ -109,13 +109,23 @@ object GenScale {
       "event_id" -> stride(events, "event_id"), "user_id" -> custStride)))
 
     // documents: token bijection per copy (suffix = "_<copy>" tag);
-    // copy 0 verbatim. The "_" separator makes cross-copy disjointness
-    // unconditional: a bare digit tag would let a source token ending
-    // in a digit collide across copies ("2"+tag1 = "21" = "21"+tag0's
-    // untagged twin), and "$1"+i for i≥10 leans on Java's greedy-valid
-    // group parsing ("$111" = group 1 + "11") — both removed by the
-    // non-digit separator while the transform stays a token bijection.
+    // copy 0 verbatim. The "_" separator removes the bare-digit tag's
+    // collision ("2"+tag1 = "21" = copy 0's untagged "21") and the
+    // "$1"+i group-parse ambiguity for i ≥ 10 ("$111" = group 1 +
+    // "11") — but cross-copy disjointness is still CONDITIONAL on the
+    // source vocabulary: a source token that itself ends in
+    // "_<digits>" (e.g. "foo_1" in verbatim copy 0) equals copy 1's
+    // tag of "foo". Validated loudly below instead of assumed
+    // (conservative check: any token with a _<digits> suffix trips
+    // it, whether or not its prefix is a live source token).
     val documents = read("documents")
+    val tainted = documents
+      .where(col("text").rlike("_\\d+(\\s|$)")).count()
+    require(tainted == 0L,
+      s"GenScale: $tainted source document(s) contain a token ending " +
+        "in _<digits> — the per-copy token tag could collide across " +
+        "copies (source 'foo_1' = copy 1's tag of 'foo'); pick a " +
+        "different tag separator for this vocabulary")
     write("documents", scaled(documents,
       Map("doc_id" -> stride(documents, "doc_id")),
       (d, i) => if (i == 0) d else d

@@ -77,6 +77,12 @@ object Verify {
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // the SELECTED set, recorded explicitly: oracle_check fails loudly
+    // on any selected query with neither a result dir nor an error
+    // entry (a stale or half-written verify_out previously read as
+    // "not selected" and passed the audit)
+    Files.writeString(Paths.get(s"$outDir/selected_queries.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1011,7 +1011,8 @@ object EventQueries {
       val prev = streamRowCounts.putIfAbsent(key, n)
       rows = if (prev == null) n else prev
     }
-    graft.streaming.StreamOps.statePartitionsFor(rows.longValue(), stores)
+    graft.streaming.StreamOps.statePartitionsFor(rows.longValue(),
+      numStores = stores)
   }
 
   /** Shared by q32–q34: the events stream's derived event-time column

@@ -932,10 +932,16 @@ object PipelineQueries {
     val name = s"p60_sink_${p60Sink.incrementAndGet()}"
     // shuffle partitions derived from input volume (the op itself is
     // STATELESS — the corpus is the state — so this sizes the
-    // anti-join shuffle, same volume rule) — see statePartitionsFor;
-    // pipeline built on the clone the helper hands us (q32 note)
+    // anti-join shuffle, same volume rule) — see statePartitionsFor.
+    // Target pinned at 256 Ki rows/partition explicitly: that is the
+    // value this query was measured under; the r13 default drop to
+    // 64 Ki (a STATE-store commit-I/O calibration) would silently 4×
+    // the partition count of this stateless shuffle, and
+    // over-partitioning is the measured local failure mode. Pipeline
+    // built on the clone the helper hands us (q32 note).
     graft.streaming.StreamOps.withStatePartitions(
-        s, graft.streaming.StreamOps.statePartitionsFor(nDocs)) { sess =>
+        s, graft.streaming.StreamOps.statePartitionsFor(nDocs,
+          targetRowsPerPartition = 256 * 1024)) { sess =>
       val stream = sess.readStream.schema(schema).parquet(streamDir)
       val q = graft.streaming.StreamOps
         .streamingExactDedupAgainstCorpus(stream, stateRoot)

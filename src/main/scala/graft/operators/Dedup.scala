@@ -1188,9 +1188,10 @@ object Dedup {
           s"${(1L << widths(j)) - 1}").as("bval"))
     }: _*)
     // (blk, bval, doc_id, simhash) postings — persisted: the bucket
-    // stats and BOTH legs of the pair join read it (same lifecycle as
-    // polyCandidates' sets: MEMORY_AND_DISK under the LRU block
-    // manager; worst case recompute, never OOM)
+    // stats and BOTH legs of the pair join read it. Released via
+    // CacheLifecycle after the result's first action (same pattern as
+    // polyCandidates' sets) so repeated calls in a long-lived session
+    // don't accumulate dead cached frames until LRU pressure.
     val blocks = sh
       .select(col("doc_id"), col("simhash"), explode(blockArr).as("p"))
       .select(col("p.blk").as("blk"), col("p.bval").as("bval"),
@@ -1220,12 +1221,14 @@ object Dedup {
         col("doc_id").as("d1"), col("simhash").as("s1"))
     val b = blocks.select(col("blk"), col("bval"),
       col("doc_id").as("d2"), col("simhash").as("s2"))
-    a.join(b, Seq("blk", "bval"))
+    val result = a.join(b, Seq("blk", "bval"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(expr("s1 ^ s2")).cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
+    CacheLifecycle.unpersistAfterFirstUse(result, blocks)
+    result
   }
 
   /** Blocked n-gram (word-set) Jaccard: pairs within the same blocking
@@ -1242,9 +1245,11 @@ object Dedup {
     * measurement had it backwards). Both are quadratic within a block
     * by definition of the operator — the blocking key is the scale
     * contract, and `maxBlock` is its ENFORCEMENT: before any pair is
-    * produced, one column-pruned count per block (a cheap aggregate —
-    * the scan reads only `blockCols`) refuses LOUDLY if any block
-    * exceeds the cap, instead of silently detonating O(n²) work. A
+    * produced, a per-block count over the persisted word-set frame
+    * (the ONLY scan of the input — the same cached frame then feeds
+    * both join legs, and the count frame gates singleton blocks out
+    * of the join) refuses LOUDLY if any block exceeds the cap,
+    * instead of silently detonating O(n²) work. A
     * skewed blocking key — one fat `(lang, source)` block, exactly
     * what a 100 TB web corpus has — is an operator-contract violation,
     * not a slow query. Callers with skewed keys should use
@@ -1256,14 +1261,26 @@ object Dedup {
   def blockedJaccard(docs: DataFrame, blockCols: Seq[String],
       threshold: Double, maxBlock: Long = 10000L): DataFrame = {
     require(maxBlock > 0, "maxBlock must be positive")
-    val fat = docs.select(blockCols.map(col): _*)
-      .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBlock)
-      .orderBy(col("n").desc).limit(1).collect()
+    // ONE scan of `docs` total (p51's bucket-stats pattern): the
+    // (blockCols, doc_id, ws) frame is persisted, the guard's
+    // per-block counts materialize it, and both join legs then read
+    // the cache instead of re-scanning the input — the round-13 guard
+    // paid a second full pass over the blocking columns at every call,
+    // which at 100 TB is real I/O. Lifecycle: released after the
+    // result's first action; the guard's own collect() is the
+    // cache-populating action on the refusal path too, where we
+    // unpersist before throwing.
+    val base = docs.select(blockCols.map(col) :+ col("doc_id") :+
+      array_distinct(split(col("text"), " ")).as("ws"): _*).persist()
+    val counts = base.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+    val fat = counts.where(col("_bn") > maxBlock)
+      .orderBy(col("_bn").desc).limit(1).collect()
     if (fat.nonEmpty) {
       val r = fat.head
       val key = blockCols.zipWithIndex
         .map { case (c, i) => s"$c=${r.get(i)}" }.mkString(", ")
+      base.unpersist()
       throw new IllegalArgumentException(
         s"blockedJaccard: block ($key) has ${r.getLong(blockCols.size)} " +
           s"docs > maxBlock=$maxBlock — within-block pairing is O(n²) " +
@@ -1271,13 +1288,16 @@ object Dedup {
           "Dedup.minhashNearDups (banded LSH, sub-quadratic) for skewed " +
           "blocking keys, or raise maxBlock knowingly.")
     }
-    val base = docs.select(blockCols.map(col) :+ col("doc_id") :+
-      array_distinct(split(col("text"), " ")).as("ws"): _*)
-    val a = base.select(blockCols.map(col) :+ col("doc_id").as("d1")
-      :+ col("ws").as("w1"): _*)
+    // the guard's count frame doubles as the join's gating side:
+    // singleton blocks (the long tail of a fine blocking key) never
+    // enter the pair join at all — co-partitioned with the join's own
+    // key, O(blocks) rows
+    val a = base.join(counts.where(col("_bn") > 1), blockCols)
+      .select(blockCols.map(col) :+ col("doc_id").as("d1")
+        :+ col("ws").as("w1"): _*)
     val b = base.select(blockCols.map(col) :+ col("doc_id").as("d2")
       :+ col("ws").as("w2"): _*)
-    a.join(b, blockCols).where(col("d1") < col("d2"))
+    val result = a.join(b, blockCols).where(col("d1") < col("d2"))
       .withColumn("n_inter",
         size(array_intersect(col("w1"), col("w2"))).cast("long"))
       .withColumn("n_union",
@@ -1287,6 +1307,8 @@ object Dedup {
       .select(blockCols.map(col) ++
         Seq(col("d1"), col("d2"), col("n_inter"), col("n_union"),
           col("jaccard")): _*)
+    CacheLifecycle.unpersistAfterFirstUse(result, base)
+    result
   }
 
   /** Rolling-hash fingerprint: min over 4-gram polynomial hashes of the

@@ -100,11 +100,18 @@ object StreamOps {
     * small state thin. Partition count never affects results — only
     * where state lives — so callers can re-size per run as data grows
     * (with a FRESH checkpoint: a checkpoint pins the count for its
-    * lifetime). */
+    * lifetime).
+    *
+    * Parameter order: `numStores` sits LAST, after the Long target —
+    * an Int literal in the second slot must mean the target (Int
+    * widens into the Long parameter), because the pre-r14 order
+    * (`numStores` second) let `statePartitionsFor(n, 250_000)`
+    * compile and silently bind 250 000 to the STORE count. Tuning
+    * args are passed by name at every call site in this codebase. */
   def statePartitionsFor(estStateRows: Long,
-      numStores: Int = 1,
       targetRowsPerPartition: Long = 64 * 1024,
-      maxPartitions: Int = 256): Int = {
+      maxPartitions: Int = 256,
+      numStores: Int = 1): Int = {
     require(numStores > 0, "numStores must be positive")
     require(targetRowsPerPartition > 0, "target must be positive")
     require(maxPartitions > 0, "maxPartitions must be positive")

@@ -52,7 +52,10 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     json_out = None
     if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+        i = sys.argv.index("--json")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--json requires an output path argument")
+        json_out = sys.argv[i + 1]
     report = {}
 
     def record(name, rows_match, schema_match, hash_match,
@@ -76,6 +79,18 @@ def main():
             verify_errors = json.load(f)
     except FileNotFoundError:
         pass
+    # Verify also records the SELECTED query set.  A selected query
+    # with neither a result dir nor an error entry means a stale or
+    # half-written verify_out — that must FAIL, not read as "not
+    # selected".  Older dumps without the file fall back to treating
+    # every oracle as selected (the pre-subset loud behavior).
+    try:
+        with open(f"{out_dir}/selected_queries.json") as f:
+            selected = set(json.load(f))
+    except FileNotFoundError:
+        print("note: no selected_queries.json (old Verify dump) — "
+              "treating ALL oracles as selected")
+        selected = set(oracles)
     con = duckdb.connect()
     # let heavy oracles (sf1-scale audits) spill instead of OOM-ing;
     # an in-memory duckdb has NO temp dir by default
@@ -97,8 +112,16 @@ def main():
                 record(name, False, False, False, None, None,
                        f"engine error: {verify_errors[name]}")
                 n_fail += 1
+            elif name in selected:
+                print(f"FAIL {name}: selected but no result dir and no "
+                      "error entry — stale or half-written verify_out?")
+                record(name, False, False, False, None, None,
+                       "selected but missing: no result dir, no error "
+                       "entry (stale/partial verify_out)")
+                n_fail += 1
             else:
                 n_skip += 1  # not selected in this (subset) Verify run
+                report[name] = {"skipped": True}
             continue
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
