@@ -1245,11 +1245,9 @@ object Dedup {
     * measurement had it backwards). Both are quadratic within a block
     * by definition of the operator — the blocking key is the scale
     * contract, and `maxBlock` is its ENFORCEMENT: before any pair is
-    * produced, a per-block count over the persisted word-set frame
-    * (the ONLY scan of the input — the same cached frame then feeds
-    * both join legs, and the count frame gates singleton blocks out
-    * of the join) refuses LOUDLY if any block exceeds the cap,
-    * instead of silently detonating O(n²) work. A
+    * produced, one column-pruned count per block (a cheap aggregate —
+    * the scan reads only `blockCols`) refuses LOUDLY if any block
+    * exceeds the cap, instead of silently detonating O(n²) work. A
     * skewed blocking key — one fat `(lang, source)` block, exactly
     * what a 100 TB web corpus has — is an operator-contract violation,
     * not a slow query. Callers with skewed keys should use
@@ -1257,30 +1255,32 @@ object Dedup {
     * near-dup path with no per-block size assumption. The default cap
     * (10 000 docs → ≤ 5×10⁷ pairs per block) bounds the worst block's
     * pair count to roughly one executor-core-minute; raise it only
-    * with the quadratic cost understood. */
+    * with the quadratic cost understood.
+    *
+    * MEASURED AND REVERTED (round 14): a single-scan variant that
+    * persisted the (blockCols, doc_id, ws) frame — guard counts over
+    * the cache, both join legs reading it, singleton blocks gated by
+    * the count frame — ran 2.7× SLOWER at sf1 (first action 7.6 →
+    * 20.4 s, same window, identical output): three scans of the
+    * deserialized columnar cache's wide array<string> rows plus an
+    * extra fat-row sort for the gate join cost far more CPU than the
+    * `split`+`array_distinct` recompute they avoid, because the
+    * recompute runs inside whole-stage codegen over the parquet scan
+    * while the cache scan materializes object arrays per row. The
+    * guard's extra pass is column-pruned to `blockCols` — at any
+    * scale it reads a small fraction of the bytes the pair join's two
+    * full scans must read anyway. */
   def blockedJaccard(docs: DataFrame, blockCols: Seq[String],
       threshold: Double, maxBlock: Long = 10000L): DataFrame = {
     require(maxBlock > 0, "maxBlock must be positive")
-    // ONE scan of `docs` total (p51's bucket-stats pattern): the
-    // (blockCols, doc_id, ws) frame is persisted, the guard's
-    // per-block counts materialize it, and both join legs then read
-    // the cache instead of re-scanning the input — the round-13 guard
-    // paid a second full pass over the blocking columns at every call,
-    // which at 100 TB is real I/O. Lifecycle: released after the
-    // result's first action; the guard's own collect() is the
-    // cache-populating action on the refusal path too, where we
-    // unpersist before throwing.
-    val base = docs.select(blockCols.map(col) :+ col("doc_id") :+
-      array_distinct(split(col("text"), " ")).as("ws"): _*).persist()
-    val counts = base.groupBy(blockCols.map(col): _*)
-      .agg(count(lit(1)).as("_bn"))
-    val fat = counts.where(col("_bn") > maxBlock)
-      .orderBy(col("_bn").desc).limit(1).collect()
+    val fat = docs.select(blockCols.map(col): _*)
+      .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBlock)
+      .orderBy(col("n").desc).limit(1).collect()
     if (fat.nonEmpty) {
       val r = fat.head
       val key = blockCols.zipWithIndex
         .map { case (c, i) => s"$c=${r.get(i)}" }.mkString(", ")
-      base.unpersist()
       throw new IllegalArgumentException(
         s"blockedJaccard: block ($key) has ${r.getLong(blockCols.size)} " +
           s"docs > maxBlock=$maxBlock — within-block pairing is O(n²) " +
@@ -1288,13 +1288,10 @@ object Dedup {
           "Dedup.minhashNearDups (banded LSH, sub-quadratic) for skewed " +
           "blocking keys, or raise maxBlock knowingly.")
     }
-    // the guard's count frame doubles as the join's gating side:
-    // singleton blocks (the long tail of a fine blocking key) never
-    // enter the pair join at all — co-partitioned with the join's own
-    // key, O(blocks) rows
-    val a = base.join(counts.where(col("_bn") > 1), blockCols)
-      .select(blockCols.map(col) :+ col("doc_id").as("d1")
-        :+ col("ws").as("w1"): _*)
+    val base = docs.select(blockCols.map(col) :+ col("doc_id") :+
+      array_distinct(split(col("text"), " ")).as("ws"): _*)
+    val a = base.select(blockCols.map(col) :+ col("doc_id").as("d1")
+      :+ col("ws").as("w1"): _*)
     val b = base.select(blockCols.map(col) :+ col("doc_id").as("d2")
       :+ col("ws").as("w2"): _*)
     val result = a.join(b, blockCols).where(col("d1") < col("d2"))
@@ -1307,7 +1304,6 @@ object Dedup {
       .select(blockCols.map(col) ++
         Seq(col("d1"), col("d2"), col("n_inter"), col("n_union"),
           col("jaccard")): _*)
-    CacheLifecycle.unpersistAfterFirstUse(result, base)
     result
   }
 
