@@ -1294,7 +1294,7 @@ object Dedup {
       :+ col("ws").as("w1"): _*)
     val b = base.select(blockCols.map(col) :+ col("doc_id").as("d2")
       :+ col("ws").as("w2"): _*)
-    val result = a.join(b, blockCols).where(col("d1") < col("d2"))
+    a.join(b, blockCols).where(col("d1") < col("d2"))
       .withColumn("n_inter",
         size(array_intersect(col("w1"), col("w2"))).cast("long"))
       .withColumn("n_union",
@@ -1304,7 +1304,6 @@ object Dedup {
       .select(blockCols.map(col) ++
         Seq(col("d1"), col("d2"), col("n_inter"), col("n_union"),
           col("jaccard")): _*)
-    result
   }
 
   /** Rolling-hash fingerprint: min over 4-gram polynomial hashes of the
