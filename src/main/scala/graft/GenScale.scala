@@ -119,13 +119,15 @@ object GenScale {
     // (conservative check: any token with a _<digits> suffix trips
     // it, whether or not its prefix is a live source token).
     val documents = read("documents")
-    val tainted = documents
-      .where(col("text").rlike("_\\d+(\\s|$)")).count()
-    require(tainted == 0L,
-      s"GenScale: $tainted source document(s) contain a token ending " +
-        "in _<digits> — the per-copy token tag could collide across " +
-        "copies (source 'foo_1' = copy 1's tag of 'foo'); pick a " +
-        "different tag separator for this vocabulary")
+    if (copies > 1) {
+      val tainted = documents
+        .where(col("text").rlike("_\\d+(\\s|$)")).count()
+      require(tainted == 0L,
+        s"GenScale: $tainted source document(s) contain a token ending " +
+          "in _<digits> — the per-copy token tag could collide across " +
+          "copies (source 'foo_1' = copy 1's tag of 'foo'); pick a " +
+          "different tag separator for this vocabulary")
+    }
     write("documents", scaled(documents,
       Map("doc_id" -> stride(documents, "doc_id")),
       (d, i) => if (i == 0) d else d
