@@ -61,6 +61,25 @@ object GenScale {
     spark.stop()
   }
 
+  /** The token-tag collision guard, extracted so the copies==1 skip
+    * is itself under test: tags only exist for copy i > 0, so a
+    * single verbatim copy can never collide and a `_<digits>`-bearing
+    * vocabulary must PASS at copies=1 — while the same vocabulary at
+    * copies>1 must trip loudly (source "foo_1" in verbatim copy 0
+    * equals copy 1's tag of "foo"). Conservative check: any token
+    * with a _<digits> suffix trips it, whether or not its prefix is a
+    * live source token. */
+  def validateTagDisjointness(documents: DataFrame, copies: Int): Unit =
+    if (copies > 1) {
+      val tainted = documents
+        .where(col("text").rlike("_\\d+(\\s|$)")).count()
+      require(tainted == 0L,
+        s"GenScale: $tainted source document(s) contain a token ending " +
+          "in _<digits> — the per-copy token tag could collide across " +
+          "copies (source 'foo_1' = copy 1's tag of 'foo'); pick a " +
+          "different tag separator for this vocabulary")
+    }
+
   def generate(spark: SparkSession, src: String, dst: String,
       copies: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
@@ -119,15 +138,7 @@ object GenScale {
     // (conservative check: any token with a _<digits> suffix trips
     // it, whether or not its prefix is a live source token).
     val documents = read("documents")
-    if (copies > 1) {
-      val tainted = documents
-        .where(col("text").rlike("_\\d+(\\s|$)")).count()
-      require(tainted == 0L,
-        s"GenScale: $tainted source document(s) contain a token ending " +
-          "in _<digits> — the per-copy token tag could collide across " +
-          "copies (source 'foo_1' = copy 1's tag of 'foo'); pick a " +
-          "different tag separator for this vocabulary")
-    }
+    validateTagDisjointness(documents, copies)
     write("documents", scaled(documents,
       Map("doc_id" -> stride(documents, "doc_id")),
       (d, i) => if (i == 0) d else d

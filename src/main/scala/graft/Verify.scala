@@ -63,6 +63,26 @@ object Verify {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     var ok = 0
     val selected = subsetFilter("verify", SparkEntry.queries)
+    // Record THIS run's selection and clear every prior-generation
+    // artifact BEFORE the query loop: a run killed mid-loop on a
+    // reused outDir must leave this run's selection plus only this
+    // run's results — previously it left the PREVIOUS run's
+    // selected_queries.json plus mixed-generation result dirs, which
+    // oracle_check's staleness guard (missing-dir check) could not
+    // see through and would pass as a complete audit.
+    Files.writeString(Paths.get(s"$outDir/selected_queries.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Seq("verify_errors.json", "oracle_sql.json").foreach { f =>
+      Files.deleteIfExists(Paths.get(s"$outDir/$f"))
+    }
+    SparkEntry.queries.keys.foreach { name =>
+      val stale = Paths.get(s"$outDir/$name")
+      if (Files.isDirectory(stale)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(stale).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
+    }
     selected.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -77,12 +97,6 @@ object Verify {
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
-    // the SELECTED set, recorded explicitly: oracle_check fails loudly
-    // on any selected query with neither a result dir nor an error
-    // entry (a stale or half-written verify_out previously read as
-    // "not selected" and passed the audit)
-    Files.writeString(Paths.get(s"$outDir/selected_queries.json"),
-      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1012,7 +1012,7 @@ object EventQueries {
       rows = if (prev == null) n else prev
     }
     graft.streaming.StreamOps.statePartitionsFor(rows.longValue(),
-      numStores = stores)
+      graft.streaming.StreamOps.StateSizing(numStores = stores))
   }
 
   /** Shared by q32–q34: the events stream's derived event-time column

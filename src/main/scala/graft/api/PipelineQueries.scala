@@ -941,7 +941,8 @@ object PipelineQueries {
     // built on the clone the helper hands us (q32 note).
     graft.streaming.StreamOps.withStatePartitions(
         s, graft.streaming.StreamOps.statePartitionsFor(nDocs,
-          targetRowsPerPartition = 256 * 1024)) { sess =>
+          graft.streaming.StreamOps.StateSizing(
+            targetRowsPerPartition = 256 * 1024))) { sess =>
       val stream = sess.readStream.schema(schema).parquet(streamDir)
       val q = graft.streaming.StreamOps
         .streamingExactDedupAgainstCorpus(stream, stateRoot)

@@ -67,6 +67,22 @@ object StreamOps {
     body(sess)
   }
 
+  /** Name-only tuning knobs for [[statePartitionsFor]] — a distinct
+    * type so a positional Int/Long at the call site can never bind to
+    * a knob (the misbinding hazard both pre- and post-r14 flat
+    * signatures carried in one direction or the other). Construct
+    * with named args: `StateSizing(numStores = 4)`. Fields validate
+    * on construction so a bad knob fails where it was written, not
+    * inside the sizing math. */
+  final case class StateSizing(
+      targetRowsPerPartition: Long = 64 * 1024,
+      maxPartitions: Int = 256,
+      numStores: Int = 1) {
+    require(targetRowsPerPartition > 0, "target must be positive")
+    require(maxPartitions > 0, "maxPartitions must be positive")
+    require(numStores > 0, "numStores must be positive")
+  }
+
   /** The scaladoc's sizing rule as code: state-store partition count =
     * estimated state volume ÷ (per-partition target × store count),
     * clamped to [1, `maxPartitions`]. `estStateRows` is an UPPER BOUND
@@ -102,22 +118,19 @@ object StreamOps {
     * (with a FRESH checkpoint: a checkpoint pins the count for its
     * lifetime).
     *
-    * Parameter order: `numStores` sits LAST, after the Long target —
-    * an Int literal in the second slot must mean the target (Int
-    * widens into the Long parameter), because the pre-r14 order
-    * (`numStores` second) let `statePartitionsFor(n, 250_000)`
-    * compile and silently bind 250 000 to the STORE count. Tuning
-    * args are passed by name at every call site in this codebase. */
+    * The tuning knobs live in [[StateSizing]], a separate config
+    * type, so no positional Int/Long at a `statePartitionsFor` call
+    * site can bind to any of them: the pre-r14 flat signature let
+    * `statePartitionsFor(n, stores)` compile with the store count
+    * silently widening into the Long target (and the r14 reorder
+    * merely inverted which misbinding compiled). With the config
+    * type, a stale positional call is a type error, and each knob
+    * must be named inside a deliberate `StateSizing(...)`. */
   def statePartitionsFor(estStateRows: Long,
-      targetRowsPerPartition: Long = 64 * 1024,
-      maxPartitions: Int = 256,
-      numStores: Int = 1): Int = {
-    require(numStores > 0, "numStores must be positive")
-    require(targetRowsPerPartition > 0, "target must be positive")
-    require(maxPartitions > 0, "maxPartitions must be positive")
+      sizing: StateSizing = StateSizing()): Int = {
     val byVolume = math.ceil(math.max(0L, estStateRows).toDouble /
-      (targetRowsPerPartition.toDouble * numStores)).toInt
-    math.min(maxPartitions, math.max(1, byVolume))
+      (sizing.targetRowsPerPartition.toDouble * sizing.numStores)).toInt
+    math.min(sizing.maxPartitions, math.max(1, byVolume))
   }
 
   /** The archive as a LIVE source: tail the

@@ -440,16 +440,27 @@ class StreamOpsSpec extends AnyFunSuite {
     // 256 Ki/partition — the round-12 calibration, unchanged: one fat
     // store at sf0.1, a handful at sf1 (measured 3.0 s optimum vs
     // 8.7 s at 32)
-    assert(StreamOps.statePartitionsFor(100_000, numStores = 4) == 1)
-    assert(StreamOps.statePartitionsFor(1_150_000, numStores = 4) == 5)
+    assert(StreamOps.statePartitionsFor(100_000,
+      StreamOps.StateSizing(numStores = 4)) == 1)
+    assert(StreamOps.statePartitionsFor(1_150_000,
+      StreamOps.StateSizing(numStores = 4)) == 5)
     // 100× the sf1 volume scales the store count proportionally…
-    assert(StreamOps.statePartitionsFor(115_000_000, numStores = 4,
-      maxPartitions = Int.MaxValue) == 439)
+    assert(StreamOps.statePartitionsFor(115_000_000,
+      StreamOps.StateSizing(numStores = 4,
+        maxPartitions = Int.MaxValue)) == 439)
     // …until the default 256 clamp
-    assert(StreamOps.statePartitionsFor(115_000_000, numStores = 4) == 256)
+    assert(StreamOps.statePartitionsFor(115_000_000,
+      StreamOps.StateSizing(numStores = 4)) == 256)
     // custom target honored
     assert(StreamOps.statePartitionsFor(1_000_000,
-      targetRowsPerPartition = 250_000) == 4)
+      StreamOps.StateSizing(targetRowsPerPartition = 250_000)) == 4)
+    // the hazard the config type exists to kill: a positional Int in
+    // the knob slot (the old flat signature's silent misbinding) no
+    // longer compiles
+    assertTypeError(
+      "StreamOps.statePartitionsFor(1_000_000L, 4)")
+    assertTypeError(
+      "StreamOps.statePartitionsFor(1_000_000L, 250_000L)")
   }
 
   test("streamingRangeJoin: identical time-column names on the two " +

@@ -12,7 +12,11 @@ builder-side dev tool only — the engine itself never uses DuckDB.
 --json writes per-query results in the driver's CORRECTNESS_r{N}.json
 shape (rows_match / schema_match / hash_match / spark_rows /
 oracle_rows / err), so scale-tier audits (e.g. the sf1 run) leave a
-COMMITTED artifact instead of a prose claim.
+COMMITTED artifact instead of a prose claim.  Queries not selected by
+a subset (SPARK_GRAFT_ONLY) Verify run appear in the SAME shape with
+null fields, err="skipped: ...", and an extra "skipped": true flag —
+so a subset artifact is distinguishable from a full audit without any
+entry ever missing the rows_match/... keys.
 """
 import json
 import math
@@ -121,7 +125,12 @@ def main():
                 n_fail += 1
             else:
                 n_skip += 1  # not selected in this (subset) Verify run
-                report[name] = {"skipped": True}
+                # uniform record() shape (nulls + err) so consumers that
+                # index rows_match on every entry never KeyError; the
+                # extra "skipped" flag marks subset-mode artifacts
+                record(name, None, None, None, None, None,
+                       "skipped: not selected in this Verify run")
+                report[name]["skipped"] = True
             continue
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
