@@ -381,6 +381,18 @@ object Dedup {
     * through to the loop). Set `localEdgeThreshold = 0` to force the
     * distributed loop (StressSpec does, to pin the loop's own
     * contract). */
+  /** Diagnostic breadcrumb from the LAST [[connectedComponents]] call
+    * on this JVM: edge count if it was measured (−1 when the loop path
+    * skipped the count), composed propagation rounds (0 on the driver
+    * fast path), loop materializations (jobs that decided
+    * convergence), and which path ran. Written for ProfileCC's
+    * bounded-iteration evidence — single-threaded dev/probe use only,
+    * never read by the engine. */
+  final case class CcStats(edges: Long, rounds: Int,
+      materializations: Int, fastPath: Boolean)
+  val lastCcStats =
+    new java.util.concurrent.atomic.AtomicReference[CcStats](null)
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeThreshold: Long = 2L << 20): DataFrame = {
     val idType = pairs.schema("d1").dataType
@@ -407,9 +419,12 @@ object Dedup {
       basePlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val base = if (ownCache) basePlan.persist() else basePlan
     def releaseBase(): Unit = if (ownCache) base.unpersist()
+    var countedEdges = -1L
     if (localEligible) {
       val nPairs = base.count()
+      countedEdges = nPairs
       if (nPairs <= localEdgeThreshold / 4) {
+        lastCcStats.set(CcStats(nPairs, 0, 0, fastPath = true))
         val result = localComponents(pairs.sparkSession, base,
           idType == org.apache.spark.sql.types.IntegerType)
         releaseBase()
@@ -479,6 +494,7 @@ object Dedup {
     // materialization × 2 materializations on the same graphs).
     var converged = false
     var round = 0
+    var materializations = 0
     var sinceCheckpoint = 0
     var depth = 2
     val generations = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -542,8 +558,11 @@ object Dedup {
       generations += labels
       labels = next
       round += depth
+      materializations += 1
       depth = math.min(depth * 2, 8)
     }
+    lastCcStats.set(
+      CcStats(countedEdges, round, materializations, fastPath = false))
     // silent truncation would corrupt the dedup result downstream
     // (non-minimal cluster_ids, several keep=1 rows per component) —
     // pathological graphs (diameter > maxIter) must fail loudly
