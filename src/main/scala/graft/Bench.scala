@@ -62,7 +62,22 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       if (ok) Some(name -> dt) else None
     }.toMap
-    val passes = Seq(pass(), pass(), pass())
+    // Window self-calibration (round-15 verdict #2): a fixed synthetic
+    // CPU workload (Harness.calibrationRun) measured at suite start,
+    // between passes, and at the end. The points land in the artifact
+    // so bench_diff.py can normalize cross-window comparisons on a
+    // MEASURED window factor instead of inferring one from the suite
+    // median (which under-corrects for sub-second queries). Warm once
+    // first — the calibration plan needs its codegen compile like any
+    // other query.
+    Harness.calibrationRun(spark)
+    val calPoints = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibrate(): Unit = calPoints += Harness.calibrationPoint(spark)
+    calibrate()
+    val p1 = pass(); calibrate()
+    val p2 = pass(); calibrate()
+    val p3 = pass(); calibrate()
+    val passes = Seq(p1, p2, p3)
     val results = names.map { name =>
       name -> passes.map(_.getOrElse(name, Double.MaxValue)).min
     }
@@ -112,10 +127,17 @@ object Bench {
       .mkString("{", ",", "}")
     // total covers successful queries only; failures are listed explicitly
     val total = okResults.map(_._2).sum
+    // calibration fields ride the headline line so they reach both
+    // BENCH_SELF.json and the driver artifact's tail (~90 chars —
+    // the compact final line stays well under the 2000-char tail)
+    val calMedian = Harness.medianOf(calPoints.toSeq)
+    val calJson =
+      s""""calibration":{"points":${calPoints.map(d3).mkString("[", ",", "]")},""" +
+      s""""median":${d3(calMedian)},"rows":${Harness.CalibrationRows}}"""
     val headline =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""n_queries":${names.size},"n_failed":${errors.size},""" +
-      s""""passes":3,"agg":"min","sf":${Verify.q(sfDir)}}"""
+      s""""passes":3,"agg":"min",$calJson,"sf":${Verify.q(sfDir)}}"""
     val perQueryFull =
       s"""{"metric":"per_query","unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"sf":${Verify.q(sfDir)}}"""

@@ -36,6 +36,50 @@ object Harness {
     spark
   }
 
+  /** Rows in the fixed calibration workload — sized so one run takes
+    * ~0.5–1 s on the stated 32-core bench harness: long enough to feel
+    * CPU contention from the window, short enough that three points of
+    * three runs add only seconds to a suite. */
+  val CalibrationRows: Long = 4L << 30
+
+  /** ONE run of the fixed synthetic calibration workload: XOR of
+    * xxhash64 over a `range` (XOR, not sum: ANSI mode makes a long sum
+    * over 4G hashes an overflow error) — no disk, no shuffle beyond
+    * the final single-row aggregate, plan-identical every invocation,
+    * entirely
+    * whole-stage-codegen CPU. Its wall time gauges what the CURRENT
+    * window's host contention does to pure compute, so two bench
+    * artifacts from different windows can be compared on
+    * calibration-normalized ratios instead of inferring the window
+    * factor from the suite median (round-15 verdict #2: per-query
+    * window sensitivity exceeds the suite median on sub-second
+    * queries, so median normalization under-corrects). */
+  def calibrationRun(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, CalibrationRows, 1L,
+        spark.sparkContext.defaultParallelism)
+      .selectExpr("bit_xor(xxhash64(id)) AS h")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One calibration POINT = median of `runs` consecutive
+    * [[calibrationRun]]s (median, not min: the gauge should reflect
+    * the window's typical contention, which min would hide). */
+  def calibrationPoint(spark: SparkSession, runs: Int = 3): Double = {
+    require(runs > 0, s"calibration runs must be positive, got $runs")
+    medianOf(Seq.fill(runs)(calibrationRun(spark)))
+  }
+
+  /** Upper median (even counts take the higher middle element —
+    * calibration points come in odd runs, so the distinction only
+    * matters to callers aggregating the per-pass point list). */
+  def medianOf(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "medianOf on empty seq")
+    val sorted = xs.sorted
+    sorted(sorted.size / 2)
+  }
+
   /** Profiler driver: warm once at [[warmDir]] (Janino + JIT — see
     * Bench's warm-pass note for the measured rationale), run `passes`
     * timed passes of `profile` at [[sfDir]], and print ONE JSON line

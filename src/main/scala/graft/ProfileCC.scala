@@ -32,6 +32,10 @@ object ProfileCC {
 
   def main(args: Array[String]): Unit = {
     val passes = sys.env.getOrElse("SPARK_GRAFT_CC_PASSES", "3").toInt
+    // 0/negative would skip both measurement loops: the cluster-count
+    // cross-check then passes trivially (-1 == -1) and cell() NPEs on
+    // the null CcStats — fail loudly at the source instead (ADVICE r15)
+    require(passes > 0, s"SPARK_GRAFT_CC_PASSES must be positive, got $passes")
     val spark = Harness.session()
     val dir = Harness.sfDir
 
@@ -44,10 +48,16 @@ object ProfileCC {
       .select(col("d1"), col("d2")).persist()
     val nEdges = pairs.count()
 
-    def timeCc(threshold: Long): (Double, Dedup.CcStats, Long) = {
+    // production cell: NO explicit threshold — if the default is ever
+    // retuned the probe keeps measuring the actual production path
+    // instead of a stale literal (ADVICE r15)
+    def timeCc(threshold: Option[Long]): (Double, Dedup.CcStats, Long) = {
       val t0 = System.nanoTime()
-      val cc = Dedup.connectedComponents(pairs,
-        localEdgeThreshold = threshold)
+      val cc = threshold match {
+        case Some(t) => Dedup.connectedComponents(pairs,
+          localEdgeThreshold = t)
+        case None => Dedup.connectedComponents(pairs)
+      }
       val nClusters = cc.where(col("keep") === 1).count()
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, Dedup.lastCcStats.get(), nClusters)
@@ -60,9 +70,10 @@ object ProfileCC {
         TextOps.withPlantedNearDups(wDocs, every = 25, dropWords = 3),
         spark, shingleK = 3, numPerms = 16, rowsPerBand = 4,
         threshold = 0.5).select(col("d1"), col("d2"))
-      Seq(2L << 20, 0L).foreach(t =>
-        Dedup.connectedComponents(wPairs, localEdgeThreshold = t)
-          .write.format("noop").mode("overwrite").save())
+      Dedup.connectedComponents(wPairs)
+        .write.format("noop").mode("overwrite").save()
+      Dedup.connectedComponents(wPairs, localEdgeThreshold = 0L)
+        .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
       println(s"[profile-cc] warm failed: ${e.getMessage}")
     }
@@ -70,9 +81,9 @@ object ProfileCC {
     var prod = (Double.MaxValue, null: Dedup.CcStats, -1L)
     var loop = (Double.MaxValue, null: Dedup.CcStats, -1L)
     (1 to passes).foreach { _ =>
-      val p = timeCc(2L << 20)
+      val p = timeCc(None)
       if (p._1 < prod._1) prod = p
-      val l = timeCc(0L)
+      val l = timeCc(Some(0L))
       if (l._1 < loop._1) loop = l
     }
     require(prod._3 == loop._3,

@@ -79,8 +79,13 @@ object Verify {
       val stale = Paths.get(s"$outDir/$name")
       if (Files.isDirectory(stale)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(stale).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
+        // Files.walk holds a directory handle until closed — drain
+        // the paths, close, THEN delete (ADVICE r15: the undrained
+        // stream leaked one handle per stale dir until GC)
+        val walk = Files.walk(stale)
+        val paths = try walk.iterator().asScala.toSeq
+                    finally walk.close()
+        paths.reverse.foreach(Files.delete)
       }
     }
     selected.foreach { case (name, fn) =>

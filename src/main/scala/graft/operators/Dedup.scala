@@ -316,6 +316,18 @@ object Dedup {
     result
   }
 
+  /** Diagnostic breadcrumb from the LAST [[connectedComponents]] call
+    * on this JVM: edge count if it was measured (−1 when the loop path
+    * skipped the count), composed propagation rounds (0 on the driver
+    * fast path), loop materializations (jobs that decided
+    * convergence), and which path ran. Written for ProfileCC's
+    * bounded-iteration evidence — single-threaded dev/probe use only,
+    * never read by the engine. */
+  final case class CcStats(edges: Long, rounds: Int,
+      materializations: Int, fastPath: Boolean)
+  val lastCcStats =
+    new java.util.concurrent.atomic.AtomicReference[CcStats](null)
+
   /** Connected components over an undirected near-dup pair graph
     * (`d1`, `d2` columns): the grouping step that turns pairwise
     * "A≈B" verdicts into dedup CLUSTERS — every doc gets the minimum
@@ -381,17 +393,6 @@ object Dedup {
     * through to the loop). Set `localEdgeThreshold = 0` to force the
     * distributed loop (StressSpec does, to pin the loop's own
     * contract). */
-  /** Diagnostic breadcrumb from the LAST [[connectedComponents]] call
-    * on this JVM: edge count if it was measured (−1 when the loop path
-    * skipped the count), composed propagation rounds (0 on the driver
-    * fast path), loop materializations (jobs that decided
-    * convergence), and which path ran. Written for ProfileCC's
-    * bounded-iteration evidence — single-threaded dev/probe use only,
-    * never read by the engine. */
-  final case class CcStats(edges: Long, rounds: Int,
-      materializations: Int, fastPath: Boolean)
-  val lastCcStats =
-    new java.util.concurrent.atomic.AtomicReference[CcStats](null)
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       localEdgeThreshold: Long = 2L << 20): DataFrame = {

@@ -33,7 +33,40 @@ def per_query(path: str) -> dict:
         if '"metric":"per_query"' in line.replace(" ", ""):
             m = re.search(r"\{.*\}", line)
             return json.loads(m.group(0))["queries"]
+    # Driver artifacts keep only the output TAIL, which truncates the
+    # long per_query line mid-way — fall back to the compact final
+    # line (total + short-key queries map), which Bench sizes to
+    # always survive the tail.
+    for line in reversed(lines_of(path).splitlines()):
+        line = line.strip()
+        if '"metric":"total"' in line.replace(" ", "") and '"queries"' in line:
+            m = re.search(r"\{.*\}", line)
+            return json.loads(m.group(0))["queries"]
     raise SystemExit(f"no per_query line found in {path}")
+
+
+def short_keys(queries: dict) -> dict:
+    """Normalize query names to their unique qNN/pNN prefix so a
+    full-name artifact (BENCH_SELF) can be diffed against a compact
+    short-key one (driver tails); collisions keep the full name —
+    same rule Bench itself applies when emitting the compact line."""
+    pref = {}
+    for name in queries:
+        pref.setdefault(name.split("_")[0], []).append(name)
+    return {(name.split("_")[0] if len(pref[name.split("_")[0]]) == 1
+             else name): sec for name, sec in queries.items()}
+
+
+def calibration_median(path: str):
+    """Window-calibration median from the artifact's total line, or
+    None for pre-r16 artifacts that carry no calibration fields."""
+    for line in lines_of(path).splitlines():
+        line = line.strip()
+        if '"metric":"total"' in line.replace(" ", ""):
+            m = re.search(r"\{.*\}", line)
+            cal = json.loads(m.group(0)).get("calibration")
+            return cal["median"] if cal else None
+    return None
 
 
 def lines_of(path: str) -> str:
@@ -54,9 +87,12 @@ def headline(path: str) -> None:
             m = re.search(r"\{.*\}", line)
             d = json.loads(m.group(0))
             sf = d.get("sf", "?")
+            cal = d.get("calibration")
+            cal_txt = (f" Window calibration median "
+                       f"{cal['median']:.3f} s." if cal else "")
             print(f"**Bench ({path}): {d['value']:.3f} s total over "
                   f"{d['n_queries']} queries, {d['n_failed']} failed "
-                  f"(min-of-{d['passes']}, sf dir `{sf}`).**")
+                  f"(min-of-{d['passes']}, sf dir `{sf}`).**{cal_txt}")
             return
     raise SystemExit(f"no total line found in {path}")
 
@@ -69,14 +105,25 @@ def main() -> None:
         return
     old_path, new_path = sys.argv[1], sys.argv[2]
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
-    old, new = per_query(old_path), per_query(new_path)
+    old, new = short_keys(per_query(old_path)), short_keys(per_query(new_path))
+    # Self-calibration (r16): when BOTH artifacts carry the measured
+    # window-calibration median, normalize every ratio by the window
+    # factor cal_new/cal_old before flagging — a measured gauge, not
+    # the suite-median inference that under-corrects for sub-second
+    # queries. Pre-r16 artifacts fall back to raw ratios (factor 1).
+    cal_old, cal_new = calibration_median(old_path), calibration_median(new_path)
+    window = cal_new / cal_old if cal_old and cal_new else 1.0
+    if window != 1.0:
+        print(f"window calibration: {cal_old:.3f}s -> {cal_new:.3f}s "
+              f"(factor {window:.2f}x); ratios below are "
+              f"calibration-normalized")
     common = sorted(set(old) & set(new))
     drifted = []
     for q in common:
         a, b = old[q], new[q]
         if a <= 0 or b <= 0:
             continue
-        ratio = b / a
+        ratio = b / a / window
         if ratio > thr or ratio < 1 / thr:
             drifted.append((q, a, b, ratio))
     drifted.sort(key=lambda x: -x[3])
@@ -87,7 +134,8 @@ def main() -> None:
     if only_new:
         print(f"new queries: {', '.join(only_new)}")
     print(f"== {len(common)} common, {len(drifted)} drifted past "
-          f"{thr}x; totals {sum(old[q] for q in common):.1f}s -> "
+          f"{thr}x{' (normalized)' if window != 1.0 else ''}; totals "
+          f"{sum(old[q] for q in common):.1f}s -> "
           f"{sum(new[q] for q in common):.1f}s ==")
 
 
