@@ -90,16 +90,27 @@ object Harness {
       passes: Int = 3): Unit = {
     val spark = session()
     profile(spark, warmDir)
+    // window calibration brackets the timed passes (same gauge as
+    // Bench, r16): cross-window PROFILE_* comparisons get a measured
+    // factor instead of the scatter-prone inference that burned
+    // r14/r15 on PROFILE_STREAM readings
+    calibrationRun(spark)
+    val calBefore = calibrationPoint(spark)
     val runs = Seq.fill(passes)(profile(spark, sfDir))
+    val calAfter = calibrationPoint(spark)
     val names = runs.head.map(_._1)
     val best = names.map { n => n -> runs.map(_.toMap.apply(n)).min }
     // Locale.ROOT: the f interpolator honors the default locale, and a
     // comma-decimal locale would emit invalid JSON (ADVICE r12)
-    val js = best.map { case (k, v) => Verify.q(k) + ":" +
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val js = best.map { case (k, v) => Verify.q(k) + ":" + d3(v) }
       .mkString("{", ",", "}")
+    val cal = s""""calibration":{"points":[${d3(calBefore)},""" +
+      s"""${d3(calAfter)}],"median":${d3(medianOf(Seq(calBefore,
+        calAfter)))},"rows":$CalibrationRows}"""
     println(s"""{"metric":${Verify.q(metric)},"unit":"sec","stages":$js,""" +
-      s""""passes":$passes,"agg":"min","sf":${Verify.q(sfDir)}}""")
+      s""""passes":$passes,"agg":"min",$cal,"sf":${Verify.q(sfDir)}}""")
     spark.stop()
   }
 }

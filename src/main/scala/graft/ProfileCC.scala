@@ -78,6 +78,11 @@ object ProfileCC {
       println(s"[profile-cc] warm failed: ${e.getMessage}")
     }
 
+    // window calibration brackets the timed cells (same gauge as
+    // Bench/runProfile, r16) so cross-scale ProfileCC runs carry
+    // their own window factor
+    Harness.calibrationRun(spark)
+    val calBefore = Harness.calibrationPoint(spark)
     var prod = (Double.MaxValue, null: Dedup.CcStats, -1L)
     var loop = (Double.MaxValue, null: Dedup.CcStats, -1L)
     (1 to passes).foreach { _ =>
@@ -89,6 +94,7 @@ object ProfileCC {
     require(prod._3 == loop._3,
       s"fast path and loop disagree on cluster count: ${prod._3} vs " +
         s"${loop._3}")
+    val calAfter = Harness.calibrationPoint(spark)
     pairs.unpersist()
 
     def d3(v: Double): String =
@@ -99,8 +105,11 @@ object ProfileCC {
         s""""rounds":${s.rounds},"materializations":${s.materializations},""" +
         s""""clusters":${t._3}}"""
     }
+    val cal = s""""calibration":{"points":[${d3(calBefore)},""" +
+      s"""${d3(calAfter)}],"median":${d3(Harness.medianOf(
+        Seq(calBefore, calAfter)))},"rows":${Harness.CalibrationRows}}"""
     val line = s"""{"metric":"profile_cc","unit":"sec",""" +
-      s""""passes":$passes,"agg":"min","sf":${Verify.q(dir)},""" +
+      s""""passes":$passes,"agg":"min",$cal,"sf":${Verify.q(dir)},""" +
       s""""edges":$nEdges,"production":${cell(prod)},""" +
       s""""loop_forced":${cell(loop)}}"""
     println(line)
