@@ -95,7 +95,9 @@ object Bench {
     //  3. the FINAL stdout line is one compact self-contained JSON —
     //     total + per-query map keyed by the unique qNN/pNN prefix —
     //     sized to fit the 2000-char tail even after sbt's trailing
-    //     "[success]" line (~13 bytes/query: 115 queries ≈ 1.7 kB).
+    //     "[success]" line (~13 bytes/query: 118 queries ≈ 1.75 kB,
+    //     with calibration trimmed to median-only and a stderr budget
+    //     guard below).
     // Locale.ROOT — same invalid-JSON-under-comma-decimal-locale fix
     // as ProfileIvf/Harness (ADVICE r12)
     def d3(v: Double): String =
@@ -152,9 +154,22 @@ object Bench {
     println(headline)
     // the compact line IS the headline plus the short-key maps — one
     // source of truth for the metric fields, not a third hand-synced
-    // spelling of them
-    println(headline.dropRight(1) +
-      s""","queries":$qsShort,"errors":$errJsonShort}""")
+    // spelling of them — except calibration, trimmed to median-only
+    // (r16 ADVICE: the ~95-char points list rode the one line whose
+    // entire purpose is fitting the ~2000-char driver tail; bench_diff
+    // normalizes on "median" alone, and the full points list is
+    // preserved in BENCH_SELF.json's headline)
+    val compact = headline.replace(calJson,
+      s""""calibration":{"median":${d3(calMedian)}}""").dropRight(1) +
+      s""","queries":$qsShort,"errors":$errJsonShort}"""
+    // budget guard: warn on STDERR (never stdout — the compact line
+    // must stay last) if query growth or a many-failure run ever
+    // pushes the line near the driver's tail capture limit
+    if (compact.length > 1950)
+      System.err.println(s"[bench] WARNING: compact line is " +
+        s"${compact.length} chars, past the ~1950 budget for the " +
+        "~2000-char driver tail; trim before the next driver run")
+    println(compact)
     spark.stop()
   }
 }

@@ -71,13 +71,18 @@ object Harness {
     medianOf(Seq.fill(runs)(calibrationRun(spark)))
   }
 
-  /** Upper median (even counts take the higher middle element —
-    * calibration points come in odd runs, so the distinction only
-    * matters to callers aggregating the per-pass point list). */
+  /** Interpolated median: odd counts take the true middle element;
+    * even counts AVERAGE the two middle elements. (r16 ADVICE: the
+    * profiler mains bracket their passes with exactly two calibration
+    * points, and an upper-median-of-2 is just the max — one contention
+    * spike in either bracketing point would inflate the window factor
+    * bench_diff divides by. Averaging keeps the 2-point case unbiased
+    * and leaves odd-count callers unchanged.) */
   def medianOf(xs: Seq[Double]): Double = {
     require(xs.nonEmpty, "medianOf on empty seq")
     val sorted = xs.sorted
-    sorted(sorted.size / 2)
+    if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+    else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
   }
 
   /** Profiler driver: warm once at [[warmDir]] (Janino + JIT — see

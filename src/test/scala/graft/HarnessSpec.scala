@@ -15,8 +15,10 @@ class HarnessSpec extends AnyFunSuite {
     assert(Harness.medianOf(Seq(5.0)) == 5.0)
   }
 
-  test("medianOf: even count takes the UPPER middle (documented)") {
-    assert(Harness.medianOf(Seq(4.0, 1.0, 3.0, 2.0)) == 3.0)
+  test("medianOf: even count averages the two middles (r16 ADVICE: " +
+    "upper-median-of-2 is max, biasing bracketed profiler windows)") {
+    assert(Harness.medianOf(Seq(4.0, 1.0, 3.0, 2.0)) == 2.5)
+    assert(Harness.medianOf(Seq(1.0, 3.0)) == 2.0)
   }
 
   test("medianOf refuses an empty seq; calibrationPoint refuses " +

@@ -103,9 +103,51 @@ def main() -> None:
         out = run(full, driver)
         assert "factor 2.00x" in out, out
         assert "2 common, 0 drifted" in out, out
+        # footer semantics (r16 ADVICE): totals labeled raw, plus the
+        # normalized total ratio when the gauge is active
+        assert "raw totals" in out, out
+        assert "total ratio 1.00x normalized" in out, out
         out = run(pre, driver)
         assert "factor" not in out, out
         assert "2 common, 2 drifted" in out, out
+        # one-sided calibration is called out, not silently raw
+        assert "carries calibration; ratios below are RAW" in out, out
+
+        # align (r16 ADVICE): a full-name key on one side pairs with
+        # its short prefix on the other (Bench shortens over the whole
+        # suite incl. failures; short_keys only over survivors), and
+        # old-only keys are REPORTED instead of silently dropped
+        pairs = bench_diff.align({"q01": 1.0, "p55_split_leakage": 2.0},
+                                 {"q01_scan": 1.0, "p55": 2.0})
+        assert pairs == {"q01_scan": ("q01", "q01_scan"),
+                         "p55_split_leakage": ("p55_split_leakage", "p55")}, pairs
+        # ambiguous prefixes (two unmatched keys one side) do NOT pair
+        pairs = bench_diff.align({"q01_a": 1.0, "q01_b": 2.0}, {"q01": 1.0})
+        assert pairs == {}, pairs
+        gone = write(d, "gone.json", FULL.replace(
+            '"q01_scan_project":0.500,', ""))
+        out = run(full, gone)
+        assert "dropped queries (old only): q01" in out, out
+
+        # --scale-pair: raw AND calibration-normalized ratios from the
+        # total lines (driver has 2x the total at 2x the calibration ->
+        # normalized 1.00x)
+        def run_pair(a, b):
+            buf = io.StringIO()
+            argv = sys.argv
+            sys.argv = ["bench_diff.py", "--scale-pair", a, b]
+            try:
+                with contextlib.redirect_stdout(buf):
+                    bench_diff.main()
+            finally:
+                sys.argv = argv
+            return buf.getvalue()
+
+        out = run_pair(full, driver)
+        assert "raw 1.50x" in out, out
+        assert "calibration-normalized 0.75x" in out, out
+        out = run_pair(pre, driver)
+        assert "raw 1.50x" in out and "RAW ratio only" in out, out
     print("OK: bench_diff self-test passed")
 
 
