@@ -929,7 +929,7 @@ object PipelineQueries {
     }
     val (stateRoot, streamDir, nDocs) = entry
     val schema = docs(s, dir).schema
-    val name = s"p60_sink_${p60Sink.incrementAndGet()}"
+    val name = EventQueries.streamSinkKey(s, dir, "p60")
     // shuffle partitions derived from input volume (the op itself is
     // STATELESS — the corpus is the state — so this sizes the
     // anti-join shuffle, same volume rule) — see statePartitionsFor.
@@ -944,20 +944,16 @@ object PipelineQueries {
           graft.streaming.StreamOps.StateSizing(
             targetRowsPerPartition = 256 * 1024))) { sess =>
       val stream = sess.readStream.schema(schema).parquet(streamDir)
-      val q = graft.streaming.StreamOps
-        .streamingExactDedupAgainstCorpus(stream, stateRoot)
-        .select(col("doc_id"), col("fp"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val out = sess.table(name).orderBy(col("doc_id"))
-      sess.catalog.dropTempView(name) // bounds sink accumulation (q32)
-      out
+      // executor-written parquet result, not a memory sink (see
+      // EventQueries.q32 / StreamOps.runToParquetTable)
+      graft.streaming.StreamOps.runToParquetTable(
+          graft.streaming.StreamOps
+            .streamingExactDedupAgainstCorpus(stream, stateRoot)
+            .select(col("doc_id"), col("fp")),
+          "append", sess, name)
+        .orderBy(col("doc_id"))
     }
   }
-  private val p60Sink = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val p60Sql =
     s"""WITH state AS (
