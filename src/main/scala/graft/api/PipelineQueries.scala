@@ -25,11 +25,23 @@ object PipelineQueries {
     * scan is one partition — fine for the shuffle-first queries, a
     * serial bottleneck for the CPU-bound per-doc pipelines (shingling,
     * hashing, tokenizing: the map work IS the query). Those spread the
-    * tiny text across the cluster first; a real 100 TB corpus arrives
-    * in thousands of splits and the exchange collapses to a no-op
-    * repartition of already-parallel data. */
-  private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+    * tiny text across the cluster first. The repartition is now
+    * SCALE-GATED (r17, guide §2.4 "remove shuffles outright"): a real
+    * 100 TB corpus arrives in thousands of splits that already exceed
+    * the cluster's parallelism, and an unconditional round-robin
+    * repartition there is a full-corpus text shuffle (plus
+    * sortBeforeRepartition's local sort) for nothing — the gate skips
+    * it when the scan is already at least as parallel as the session.
+    * Results are partitioning-independent (every query totalizes its
+    * order; aggregates are exact-integer), so the gate can never
+    * change a hash. Locally (one-row-group file → 1 scan partition)
+    * the repartition still engages, keeping the bench plan unchanged. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame = {
+    val df = docs(s, dir)
+    val scanParts = df.rdd.getNumPartitions
+    if (scanParts >= s.sparkContext.defaultParallelism) df
+    else df.repartition(s.sparkContext.defaultParallelism)
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")

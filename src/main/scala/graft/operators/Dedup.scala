@@ -865,6 +865,11 @@ object Dedup {
     * full chunks only, matching the oracle. */
   def chunkDupStats(corpus: DataFrame, k: Int = 10): DataFrame = {
     require(k > 0)
+    // persisted: the chunk-digest projection feeds the counts
+    // aggregate AND the join probe — unpersisted, the corpus
+    // scan+split+per-chunk sha2 ran twice per materialization. Thin
+    // rows (doc_id, 32-byte digest), the measured-good persist shape;
+    // released after the result's first materialization.
     val ch = corpus
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= k)
@@ -872,14 +877,17 @@ object Dedup {
         s"""transform(sequence(1, size(ts) div $k),
            |  i -> sha2(array_join(slice(ts, (i - 1) * $k + 1, $k), ' '),
            |    256))""".stripMargin)).as("d"))
+      .persist()
     val counts = ch.groupBy(col("d"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-    ch.join(counts, Seq("d"))
+    val result = ch.join(counts, Seq("d"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("shared_frac",
         col("n_shared").cast("double") / col("n_chunks"))
+    CacheLifecycle.unpersistAfterFirstUse(result, ch)
+    result
   }
 
   /** Corpus-wide boilerplate REMOVAL — the rewrite step that
@@ -927,6 +935,13 @@ object Dedup {
     // null text tokenizes as "" (one empty chunk) so the doc row
     // survives the rewrite, as promised — packTokenBudget makes the
     // same choice (null text keeps its slot at 0 tokens)
+    // persisted: the chunk+digest projection feeds the salted df
+    // aggregate AND the flagging join probe — unpersisted, the corpus
+    // scan+split+chunk transform+per-chunk sha2 ran twice per
+    // materialization. Rows carry the chunk text (needed by the
+    // rewrite side), so this is the WIDEST persist of the r17 batch —
+    // gated by the same-window sf1 A/B like the rest; released after
+    // the result's first materialization.
     val ch = corpus
       .select(col("doc_id"),
         split(coalesce(col("text"), lit("")), " ").as("ts"))
@@ -937,6 +952,7 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("ci"),
         col("col").as("chunk"))
       .withColumn("d", sha2(col("chunk"), 256))
+      .persist()
     val buckets = SkewOps.defaultBuckets(corpus)
     val boil = SkewOps.saltedAgg(ch.select(col("d"), col("doc_id")),
       keys = Seq("d"), saltFrom = "doc_id", buckets = buckets,
@@ -944,7 +960,7 @@ object Dedup {
       merges = Seq(sum(col("nd_p")).as("nd")))
       .where(col("nd") > maxDocFreq)
       .select(col("d"), lit(true).as("_boil"))
-    ch.join(broadcast(boil), Seq("d"), "left_outer")
+    val result = ch.join(broadcast(boil), Seq("d"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -958,6 +974,8 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
         array_join(expr("transform(kept, x -> x.chunk)"), " ")
           .as("kept_text"))
+    CacheLifecycle.unpersistAfterFirstUse(result, ch)
+    result
   }
 
   /** Winnowing fingerprint sets (the MOSS selection rule): hash every
@@ -992,16 +1010,24 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
            |  i -> array_min(slice(hs, i, $w))))""".stripMargin)).as("fp"))
+      // persisted: the fingerprint projection (the operator's dominant
+      // per-row work — per-token hash, 31-combine per gram, window
+      // minima) feeds the counts aggregate AND the join probe —
+      // unpersisted it ran twice per materialization. Thin (doc_id,
+      // long) rows; released after first materialization.
+      .persist()
     // (doc_id, fp) pairs are unique after the in-row array_distinct,
     // so a plain count equals countDistinct(doc_id) without the
     // distinct aggregate's expand phase
     val cnt = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
-    fps.join(cnt, Seq("fp"))
+    val result = fps.join(cnt, Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fps"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("shared_frac",
         col("n_shared").cast("double") / col("n_fps"))
+    CacheLifecycle.unpersistAfterFirstUse(result, fps)
+    result
   }
 
   /** Cross-document repeated n-gram span removal — the REWRITE form of
@@ -1049,6 +1075,13 @@ object Dedup {
         s"(($acc * 31 + element_at(tids, i + $k)) % ${TextOps.HashP}L)"
     }
     // (doc_id, pos, token, gram-hash-starting-here | null)
+    // persisted: the gram-hash projection (per-token poly_hash31 + the
+    // 31-combine per position — the operator's dominant per-row work)
+    // feeds the shared-gram aggregate AND the flagging probe —
+    // unpersisted it ran twice per materialization (plus once more in
+    // the skew gate's plan-time job on a cold gate cache). Rows are
+    // (doc_id, pos, token, long); released after the result's first
+    // materialization.
     val occ = corpus
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ")
         .as("ws"))
@@ -1061,6 +1094,7 @@ object Dedup {
           .stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         col("col.w").as("w"), col("col.h").as("h"))
+      .persist()
     val shared = occ.where(col("h").isNotNull)
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
@@ -1070,7 +1104,7 @@ object Dedup {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    flagged
+    val result = flagged
       .withColumn("ls",
         max(when(col("nd").isNotNull, col("pos"))).over(win))
       .withColumn("covered",
@@ -1084,6 +1118,8 @@ object Dedup {
         (col("n_removed").cast("double") / col("n_tokens"))
           .as("removed_frac"),
         array_join(expr("transform(kept, x -> x.w)"), " ").as("kept_text"))
+    CacheLifecycle.unpersistAfterFirstUse(result, occ)
+    result
   }
 
   /** Corpus version diff by content digest: per doc_id across two

@@ -87,6 +87,16 @@ object Retrieval {
       .distinct()
     // postings restricted to the query vocabulary; df over THIS set
     // equals df over the corpus for every token that can ever score.
+    // ORDER NOTE (r17, measured): pulling the broadcast vocab prune
+    // BELOW the distinct (join∘distinct ≡ distinct∘join — the join key
+    // is the distinct's own key) shrinks the postings exchange only
+    // when the query vocabulary is a selective slice of the corpus
+    // vocabulary. On corpora where the eval vocabulary covers most
+    // tokens the reorder is pure cost — every raw occurrence pays the
+    // broadcast probe and the partial aggregate dedupes nothing
+    // earlier (bench corpus: vocab coverage 100%, p72 read 1.27× raw
+    // — reverted). Production corpora with selective eval suites
+    // should gate the reorder on |query vocab| ≪ |corpus vocab|.
     // Persisted: both the df aggregate (broadcast build side) and the
     // scoring join probe it — without the cache the corpus
     // explode+distinct runs TWICE per invocation, and at 100 TB that
@@ -148,11 +158,18 @@ object Retrieval {
     require(scale > 0, s"scale must be positive, got $scale")
     val dlExpr = expr("size(filter(split(text, ' '), x -> length(x) >= 1))")
       .cast("long")
-    val ct = corpus.select(col("doc_id"), dlExpr.as("dl"),
-      explode(split(col("text"), " ")).as("w"))
-      .where(length(col("w")) >= 1)
-    val tf = ct.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    // split ONCE per row: the filtered token array feeds both the
+    // per-doc length and the explode — the previous shape evaluated
+    // split(text) twice per corpus row (once in the Generate, once in
+    // the dl projection), pure per-row waste on the dominant scan
+    // (guide §1.2 step 2). explode(filter(...)) ≡ explode(...) +
+    // length filter: empty tokens vanish either way, and dl is the
+    // same filtered size.
+    val ct = corpus
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) >= 1)").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("w"))
     // tokenized docs only: an all-separator doc has no postings and
     // must not dilute avgdl (the DuckDB oracle's per-doc length CTE
     // drops it the same way)
@@ -160,6 +177,12 @@ object Retrieval {
       .where(col("dl") >= 1)
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     val qt = queryTokens(queries)
+    // aggregate-then-prune (lexicalTopK's ORDER NOTE applies here the
+    // same way: prune-before-aggregate wins only for selective query
+    // vocabularies, and the bench corpus' is not — measured r17,
+    // reverted)
+    val tf = ct.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     val rel = tf.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
       .persist()
     val wt = rarityWeights(rel, scale)

@@ -417,12 +417,20 @@ object TextStats {
     * and the per-doc top-k on the bounded [[TopK]] aggregator — no
     * per-doc rank window ever sorts the full postings. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    // persisted: the tf postings feed BOTH the df aggregate (the
+    // salted join's dim side) and the join probe — unpersisted, the
+    // corpus scan+explode+tf aggregate ran TWICE per materialization
+    // (visible as two identical Scan→Generate→HashAggregate subtrees
+    // in the r17 before-plan). Thin postings (two longs + a token),
+    // the measured-good persist shape (p51 pattern); released by the
+    // one-shot listener at first materialization.
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    saltedFreqJoin(tf, dfT, "w", "df")
+    val result = saltedFreqJoin(tf, dfT, "w", "df")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * expr("(n_docs * 1000000L) div df"))
       .groupBy(col("doc_id"))
@@ -430,6 +438,8 @@ object TextStats {
       .select(col("doc_id"), posexplode(col("ks")).as(Seq("i", "p")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("rn"),
         col("p._2").as("w"), (-col("p._1")).as("score"))
+    CacheLifecycle.unpersistAfterFirstUse(result, tf)
+    result
   }
 
   /** The p33/p37 postings⋈frequency join, Zipf-proofed. A stop-word
@@ -470,16 +480,23 @@ object TextStats {
     * collected or broadcast: at corpus scale the rare tail IS most of
     * the vocabulary, so it must stay distributed. */
   def rareTokenStats(docs: DataFrame, minCount: Long = 3L): DataFrame = {
+    // persisted: the token postings feed the corpus frequency
+    // aggregate AND the join probe — the same double-scan the other
+    // r17 persists remove; thin (long, token) rows, released after
+    // the result's first materialization
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
+      .persist()
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    saltedFreqJoin(toks, freq, "tok", "freq")
+    val result = saltedFreqJoin(toks, freq, "tok", "freq")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("freq") < minCount, 1L).otherwise(0L)).as("n_rare"))
       // exact integer counts, one IEEE division — engine-deterministic
       .withColumn("rare_frac",
         col("n_rare").cast("double") / col("n_tok"))
+    CacheLifecycle.unpersistAfterFirstUse(result, toks)
+    result
   }
 
   /** Exact per-stratum token-count quantiles (median + p90, "lower"
@@ -691,11 +708,19 @@ object TextStats {
   def bigramSurprise(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
     val buckets = SkewOps.defaultBuckets(docs)
-    val bo = bigramOccurrences(docs)
+    // persisted: the bigram-occurrence projection feeds the probe side
+    // AND (twice, via cnt → uni) the model build — unpersisted it ran
+    // 3× per materialization, each a full corpus scan + in-row bigram
+    // hash (the dominant per-row work of this operator). Thin rows
+    // (doc_id, w1, b); released after the result's first
+    // materialization — registered on the RESULT frame, not the model,
+    // so the gate's plan-time job cannot fire it early.
+    val bo = bigramOccurrences(docs).persist()
     val cntU = bigramModel(bo, buckets).select(col("b"), col("bi"), col("u"))
     // gated on bi — a bigram's occurrence count is exactly its
     // probe-row count in this postings⋈model join
-    SkewOps.hotSaltedJoin(bo.select(col("doc_id"), col("b")), cntU, "b",
+    val result = SkewOps.hotSaltedJoin(
+        bo.select(col("doc_id"), col("b")), cntU, "b",
         "doc_id", buckets, "bi")
       .select(col("doc_id"),
         expr(s"(u * ${scale}L) div bi").as("s"))
@@ -703,6 +728,8 @@ object TextStats {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprise_sum"))
       .withColumn("mean_surprise",
         col("surprise_sum").cast("double") / col("n_bigrams"))
+    graft.operators.CacheLifecycle.unpersistAfterFirstUse(result, bo)
+    result
   }
 
   /** DSIR-style importance weighting for domain-TARGETED selection:
@@ -737,7 +764,11 @@ object TextStats {
       scale: Long = 1000000L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
     val buckets = SkewOps.defaultBuckets(corpus)
-    val bo = bigramOccurrences(corpus)
+    // persisted for the same 3×-recompute reason as [[bigramSurprise]]
+    // (probe + cnt + uni legs all re-derive the corpus bigram
+    // projection); the small `target` side stays unpersisted — its two
+    // model legs re-scan only the in-domain sample
+    val bo = bigramOccurrences(corpus).persist()
     val mC = bigramModel(bo, buckets)
       .select(col("b"), col("bi").as("bi_c"), col("u").as("u_c"))
     val mT = bigramModel(bigramOccurrences(target), buckets)
@@ -750,12 +781,15 @@ object TextStats {
       .select(col("b"), col("bi_c"),
         coalesce(expr(s"(bi_t * u_c * ${scale}L) div (bi_c * u_t)"),
           lit(0L)).as("r"))
-    SkewOps.hotSaltedJoin(bo.select(col("doc_id"), col("b")), stats, "b",
+    val result = SkewOps.hotSaltedJoin(
+        bo.select(col("doc_id"), col("b")), stats, "b",
         "doc_id", buckets, "bi_c")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("ratio_sum"))
       .withColumn("mean_ratio",
         col("ratio_sum").cast("double") / col("n_bigrams"))
+    graft.operators.CacheLifecycle.unpersistAfterFirstUse(result, bo)
+    result
   }
 
   /** CCNet-style perplexity bucketing: split each language's corpus
