@@ -208,6 +208,13 @@ object TextStats {
       else merges.foldLeft(tok.withColumn("sym", split(col("w"), ""))) {
         case (df, (x, y)) => df.withColumn("sym", bpeMergePass(x, y))
       }
+    // SORT-AGGREGATE NOTE (r17, measured): the seg_head string maxes
+    // make this a SortAggregate over the applied token stream. A
+    // split-aggregate rewrite (numeric sums as HashAggregate + the
+    // string maxes over only the pos ≤ 2 rows, sharing one persisted
+    // thin projection) was tried and REVERTED: the token-level cache
+    // write plus the extra doc-level join cost more than the removed
+    // long-keyed sort — same-window sf1 A/B read p70 1.3× SLOWER.
     val out = applied
       .groupBy(col("doc_id")).agg(
         sum(length(col("w"))).as("n_sym0"),
@@ -698,6 +705,15 @@ object TextStats {
     * the probe-row count of this join (computed in the same prefix
     * aggregate, zero extra passes). */
   private def bigramModel(bo: DataFrame, buckets: Int): DataFrame = {
+    // SORT-AGGREGATE NOTE (r17, measured): `min` over a STRING has no
+    // mutable aggregation buffer, so this groupBy(b) plans as a
+    // SortAggregate that per-partition-sorts the bigram stream. A
+    // two-level rewrite (count per (b, w1) HashAggregate first, string
+    // min over the vocab-sized table) was tried and REVERTED: the
+    // removed sort is a cheap long-keyed sort of thin rows, while the
+    // rewrite added a second exchange and a string grouping key —
+    // same-window sf1 A/B read p45 1.3×, p48 1.4× SLOWER. The sort
+    // spills gracefully at scale; leave it.
     val cnt = bo.groupBy(col("b"))
       .agg(count(lit(1)).as("bi"), min(col("w1")).as("w1"))
     val uni = cnt.groupBy(col("w1"))
@@ -773,11 +789,16 @@ object TextStats {
       .select(col("b"), col("bi").as("bi_c"), col("u").as("u_c"))
     val mT = bigramModel(bigramOccurrences(target), buckets)
       .select(col("b"), col("bi").as("bi_t"), col("u").as("u_t"))
-    // vocab-sized ⋈ vocab-sized on the bigram id; unseen-in-target
-    // bigrams keep NULL bi_t/u_t and score 0 below. bi_c rides along
-    // as the skew gate's weight: the corpus-side occurrence count is
-    // exactly this join's probe-row count per bigram id.
-    val stats = mC.join(mT, Seq("b"), "left")
+    // vocab-sized ⋈ TARGET-vocab-sized on the bigram id; unseen-in-
+    // target bigrams keep NULL bi_t/u_t and score 0 below. bi_c rides
+    // along as the skew gate's weight: the corpus-side occurrence
+    // count is exactly this join's probe-row count per bigram id.
+    // The target model is BROADCAST (r17): the operator's contract is
+    // target ≪ corpus (an in-domain sample — a benchmark train split),
+    // so its bigram model is broadcast-sized by construction, and the
+    // unhinted join planned a SortMergeJoin that sorted+shuffled the
+    // full corpus model for it (visible in the r17 before-plan).
+    val stats = mC.join(broadcast(mT), Seq("b"), "left")
       .select(col("b"), col("bi_c"),
         coalesce(expr(s"(bi_t * u_c * ${scale}L) div (bi_c * u_t)"),
           lit(0L)).as("r"))
