@@ -39,8 +39,15 @@ object PipelineQueries {
   private def docsSpread(s: SparkSession, dir: String): DataFrame = {
     val df = docs(s, dir)
     val scanParts = df.rdd.getNumPartitions
-    if (scanParts >= s.sparkContext.defaultParallelism) df
-    else df.repartition(s.sparkContext.defaultParallelism)
+    // target parallelism: conf-overridable (r18, ADVICE) — point-in-time
+    // defaultParallelism is transiently low under dynamic allocation at
+    // job start, so a cluster deployment pins graft.spread.parallelism
+    // to its steady-state core count instead; the local default keeps
+    // the bench behavior byte-identical
+    val target = s.conf.get("graft.spread.parallelism",
+      s.sparkContext.defaultParallelism.toString).toInt
+    if (scanParts >= target) df
+    else df.repartition(target)
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =

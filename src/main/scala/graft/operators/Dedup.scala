@@ -942,6 +942,20 @@ object Dedup {
     // rewrite side), so this is the WIDEST persist of the r17 batch —
     // gated by the same-window sf1 A/B like the rest; released after
     // the result's first materialization.
+    // Storage level is SIZE-GATED (r18, ADVICE): a deserialized
+    // in-memory copy of the full chunk text roughly doubles the
+    // corpus working set at scale and competes with execution memory —
+    // past the input-size gate the cache spills to DISK_ONLY (still
+    // one tokenize+sha2 pass instead of two; the read back is
+    // sequential local disk). The bench corpus stays far under the
+    // gate, so local plans and timings are unchanged.
+    val textMemMax = corpus.sparkSession.conf
+      .get("graft.cache.textMemMaxBytes", (4L << 30).toString).toLong
+    val chLevel =
+      if (corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= textMemMax)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.DISK_ONLY
     val ch = corpus
       .select(col("doc_id"),
         split(coalesce(col("text"), lit("")), " ").as("ts"))
@@ -952,7 +966,7 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("ci"),
         col("col").as("chunk"))
       .withColumn("d", sha2(col("chunk"), 256))
-      .persist()
+      .persist(chLevel)
     val buckets = SkewOps.defaultBuckets(corpus)
     val boil = SkewOps.saltedAgg(ch.select(col("d"), col("doc_id")),
       keys = Seq("d"), saltFrom = "doc_id", buckets = buckets,

@@ -30,6 +30,23 @@ object Retrieval {
     .where(length(col("w")) >= 1)
     .distinct()
 
+  /** Selectivity gate for the postings-prune ordering (the r17 ORDER
+    * NOTE, now an actual branch): `true` pulls the broadcast
+    * query-vocabulary prune BELOW the tf/distinct aggregate —
+    * `join∘distinct ≡ distinct∘join` on the aggregate's own key, so
+    * both orders are bit-identical — which shrinks the one
+    * corpus-sized postings exchange when the query vocabulary is a
+    * SELECTIVE slice of the corpus vocabulary. Default FALSE
+    * (aggregate-then-prune): on corpora where the eval vocabulary
+    * covers most tokens the early probe is pure per-occurrence cost
+    * (bench corpus: 100% coverage, p72 measured 1.27× slower with the
+    * reorder in r17). Flip it per-session for production eval suites
+    * with |query vocab| ≪ |corpus vocab|; RetrievalSpec pins both
+    * branches to identical results. */
+  private def pruneBeforeAggregate(df: DataFrame): Boolean =
+    df.sparkSession.conf
+      .get("graft.retrieval.selectiveQueries", "false").toBoolean
+
   /** Rarity weights over a query-vocab-pruned postings frame whose
     * rows are distinct per (doc_id, w): `scale div df` — the integer
     * IDF surrogate both scorers share (floor division preserves the
@@ -80,30 +97,44 @@ object Retrieval {
       k: Int = 5, scale: Long = 1000000L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(scale > 0, s"scale must be positive, got $scale")
-    val qt = queryTokens(queries)
-    val ct = corpus
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .where(length(col("w")) >= 1)
-      .distinct()
+    // qt persisted (r18): it feeds the vocabulary-prune broadcast AND
+    // the scoring join — unpersisted, the queries frame was scanned,
+    // exploded and distinct'd TWICE per invocation (and when queries
+    // are a filtered slice of the corpus, each of those is a full
+    // corpus-file scan — the r17 p67 plan showed the qt subtree
+    // planned twice from parquet). The cached set is the distinct
+    // query tokens — eval-suite-sized by contract, never the corpus.
+    val qt = queryTokens(queries).persist()
+    val result = lexicalTopKImpl(corpus, qt, k, scale)
+    CacheLifecycle.unpersistAfterFirstUse(result, qt)
+    result
+  }
+
+  /** [[lexicalTopK]] over ALREADY-PERSISTED query tokens — shared with
+    * [[mineHardNegatives]], whose positive gate reuses the same qt
+    * cache for its query token sets. */
+  private def lexicalTopKImpl(corpus: DataFrame, qt: DataFrame,
+      k: Int, scale: Long): DataFrame = {
+    val vocab = broadcast(qt.select(col("w")).distinct())
     // postings restricted to the query vocabulary; df over THIS set
     // equals df over the corpus for every token that can ever score.
-    // ORDER NOTE (r17, measured): pulling the broadcast vocab prune
-    // BELOW the distinct (join∘distinct ≡ distinct∘join — the join key
-    // is the distinct's own key) shrinks the postings exchange only
-    // when the query vocabulary is a selective slice of the corpus
-    // vocabulary. On corpora where the eval vocabulary covers most
-    // tokens the reorder is pure cost — every raw occurrence pays the
-    // broadcast probe and the partial aggregate dedupes nothing
-    // earlier (bench corpus: vocab coverage 100%, p72 read 1.27× raw
-    // — reverted). Production corpora with selective eval suites
-    // should gate the reorder on |query vocab| ≪ |corpus vocab|.
+    // ORDER (r17 NOTE → r18 gate): aggregate-then-prune by default;
+    // [[pruneBeforeAggregate]] pulls the vocab prune below the
+    // distinct for selective eval vocabularies (join∘distinct ≡
+    // distinct∘join on the distinct's own key — bit-identical, both
+    // branches pinned equal in RetrievalSpec).
     // Persisted: both the df aggregate (broadcast build side) and the
     // scoring join probe it — without the cache the corpus
     // explode+distinct runs TWICE per invocation, and at 100 TB that
     // doubles the dominant scan+shuffle. The cached set is bounded by
     // the query vocabulary's postings, not the corpus; released by the
     // one-shot listener as soon as the result materializes.
-    val rel = ct.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
+    val toks = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+    val rel = (if (pruneBeforeAggregate(corpus))
+        toks.join(vocab, Seq("w")).distinct()
+      else toks.distinct().join(vocab, Seq("w")))
       .persist()
     // rel rows are distinct (doc_id, w), so count(*) IS the document
     // frequency — no second distinct aggregate
@@ -156,6 +187,17 @@ object Retrieval {
       k: Int = 5, scale: Long = 1000000L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(scale > 0, s"scale must be positive, got $scale")
+    // qt persisted for the same two-reader reason as [[lexicalTopK]]
+    val qt = queryTokens(queries).persist()
+    val result = bm25TopKImpl(corpus, qt, k, scale)
+    CacheLifecycle.unpersistAfterFirstUse(result, qt)
+    result
+  }
+
+  /** [[bm25TopK]] over ALREADY-PERSISTED query tokens (see
+    * [[lexicalTopKImpl]]). */
+  private def bm25TopKImpl(corpus: DataFrame, qt: DataFrame,
+      k: Int, scale: Long): DataFrame = {
     val dlExpr = expr("size(filter(split(text, ' '), x -> length(x) >= 1))")
       .cast("long")
     // split ONCE per row: the filtered token array feeds both the
@@ -176,14 +218,18 @@ object Retrieval {
     val stats = corpus.select(dlExpr.as("dl"))
       .where(col("dl") >= 1)
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val qt = queryTokens(queries)
-    // aggregate-then-prune (lexicalTopK's ORDER NOTE applies here the
-    // same way: prune-before-aggregate wins only for selective query
-    // vocabularies, and the bench corpus' is not — measured r17,
-    // reverted)
-    val tf = ct.groupBy(col("doc_id"), col("w"))
+    val vocab = broadcast(qt.select(col("w")).distinct())
+    // aggregate-then-prune by default; [[pruneBeforeAggregate]] pulls
+    // the vocab prune below the tf aggregate for selective query
+    // vocabularies (the prune key is the aggregate's own key, so the
+    // per-(doc_id, w) counts are untouched — bit-identical branches,
+    // pinned in RetrievalSpec)
+    val grouped = if (pruneBeforeAggregate(corpus)) ct.join(vocab, Seq("w"))
+      else ct
+    val tf = grouped.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
-    val rel = tf.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
+    val rel = (if (pruneBeforeAggregate(corpus)) tf
+      else tf.join(vocab, Seq("w")))
       .persist()
     val wt = rarityWeights(rel, scale)
     val scored = rel
@@ -232,24 +278,38 @@ object Retrieval {
       s"need k >= nNeg > 0, got k=$k nNeg=$nNeg")
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"positive threshold must be in (0, 1], got $tauNum/$tauDen")
+    // validate BEFORE the persist below: throwing after it would leak
+    // the qt cache entry on the error path
+    require(scorer == "lexical" || scorer == "bm25",
+      s"scorer must be lexical|bm25, got '$scorer'")
+    // one persisted query-token frame shared by the scorer (vocab
+    // prune + scoring join) AND the gate's query token sets below —
+    // before r18 the queries frame was scanned and tokenized THREE
+    // times per call (twice inside the scorer, once for qset), each a
+    // full corpus-file pass when queries are a filtered corpus slice
+    val qt = queryTokens(queries).persist()
     // Q×k rows, referenced three times below (candidate rows, the
     // semi-join key set, the gate) — persist so retrieval runs once.
     // `scorer` picks the retrieval stage: "lexical" (flat rarity sum)
     // or "bm25" — the DPR-standard combo is BM25 candidates + a
     // positive gate; everything downstream is scorer-agnostic.
-    val cand = (scorer match {
-      case "lexical" => lexicalTopK(corpus, queries, k, scale)
-      case "bm25" => bm25TopK(corpus, queries, k, scale)
-      case other => throw new IllegalArgumentException(
-        s"scorer must be lexical|bm25, got '$other'")
-    }).persist()
+    val cand = (if (scorer == "lexical") lexicalTopKImpl(corpus, qt, k, scale)
+      else bm25TopKImpl(corpus, qt, k, scale)).persist()
     // the SAME tokenizer as the scorers: empty tokens from doubled
     // separators are dropped — counting '' as a gate token inflates
     // both set sizes, deflating Jaccard, so a near-duplicate positive
     // could sneak under tau and be trained on as a hard negative
     val nonEmptyTokens = array_distinct(
       expr("filter(split(text, ' '), x -> length(x) >= 1)"))
-    val qset = queries.select(col("query_id"), nonEmptyTokens.as("qs"))
+    // query token SETS from the persisted qt, not a third scan of the
+    // queries frame: qt rows are exactly the distinct non-empty tokens
+    // per query, and the gate only consumes the set's SIZE and its
+    // intersection with ds — both order-independent, so collect_list
+    // order never reaches the result. A token-free query has no qt
+    // rows and thus no qset row, but it has no postings either, so it
+    // cannot appear in cand and the inner gate join drops nothing.
+    val qset = qt.groupBy(col("query_id"))
+      .agg(collect_list(col("w")).as("qs"))
     val dset = corpus
       .join(broadcast(cand.select(col("doc_id")).distinct()), Seq("doc_id"),
         "left_semi")
@@ -267,6 +327,7 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("doc_id"), (-col("col._1")).as("score"))
     CacheLifecycle.unpersistAfterFirstUse(result, cand)
+    CacheLifecycle.unpersistAfterFirstUse(result, qt)
     result
   }
 }

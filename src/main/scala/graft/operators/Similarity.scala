@@ -463,17 +463,84 @@ object Similarity {
     * `dot / sqrt(double(n1) · double(n2))` — identical op order in the
     * oracle, so the doubles are bit-equal (norms ≈ 6e9 ≪ 2⁵³, exact as
     * doubles; sqrt/mul/div are correctly-rounded IEEE in any engine). */
+  /** Memoized hot-bucket gate for [[cosineNearDups]] — the SkewOps
+    * gateCache shape: per (session, emb plan, params), the ≤ 2^nPlanes
+    * buckets whose population exceeds `maxBlock`, with their sub-block
+    * count. Collected ONCE per corpus as a tiny plan-time job (which
+    * doubles as the cache fill for `withBucket`); repeat calls replay
+    * the decision. A stale decision after the underlying files change
+    * under an identical plan only mis-tunes the SPLIT — results are
+    * pair-set-identical for any split. */
+  private val hotBucketCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Long)]]()
+  private[operators] def clearHotBucketCache(): Unit = hotBucketCache.clear()
+
+  private def hotBuckets(withBucket: DataFrame, maxBlock: Int)
+      : Array[(Long, Long)] = {
+    val key = s"${SkewOps.sessionKey(withBucket.sparkSession)}|" +
+      s"${withBucket.queryExecution.analyzed.semanticHash()}|$maxBlock"
+    var cached = hotBucketCache.get(key)
+    if (cached == null) {
+      if (hotBucketCache.size > 256) hotBucketCache.clear()
+      val computed = withBucket.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn") > maxBlock)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1) + maxBlock - 1) / maxBlock)
+      val prev = hotBucketCache.putIfAbsent(key, computed)
+      cached = if (prev == null) computed else prev
+    }
+    cached
+  }
+
   def cosineNearDups(emb: DataFrame, threshold: Double,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64, maxBlock: Int = 4096): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock must be positive, got $maxBlock")
     ensureDotE8(emb)
+    // persisted (r18): the pair join's two sides derived the bucket
+    // independently — the r17 plan scanned the embeddings TWICE and ran
+    // the 8-plane bucket hash (8 literal dot products over `dim`
+    // components) plus the norm dot on BOTH legs. One cached pass
+    // feeds both sides (and the hot-bucket gate below); released by
+    // the one-shot listener after the result materializes.
     val withBucket = emb
       .withColumn("bucket", lshBucket("embedding", nPlanes, dim))
       .withColumn("nrm", expr("dot_e8(embedding, embedding)"))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("d1"),
+      .persist()
+    // ≤ 2^nPlanes join keys: at corpus scale every bucket is a HOT key
+    // by construction (parallelism capped at 2^nPlanes, per-bucket
+    // pair work quadratic in its population — the p15 sf10 knee).
+    // Buckets past `maxBlock` rows get sub-blocked deterministically:
+    // the d2 side splits into ceil(bn/maxBlock) blocks by
+    // pmod(xxhash64(vec_id)), the d1 side replicates across its
+    // bucket's blocks, and the join key becomes (bucket, blk) — every
+    // same-bucket pair still meets exactly once (at the block of its
+    // d2), so the result set is untouched, but one bucket's quadratic
+    // verification spreads over nb tasks instead of one (guide §2.5:
+    // split the key AQE cannot). The hot list is gate-collected and
+    // memoized ([[hotBuckets]]); with no hot bucket — every local
+    // corpus — the plan is EXACTLY the plain bucket self-join over the
+    // cache, no replication, no extra join column.
+    val hot = hotBuckets(withBucket, maxBlock)
+    val a0 = withBucket.select(col("bucket"), col("vec_id").as("d1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("d2"),
+    val b0 = withBucket.select(col("bucket"), col("vec_id").as("d2"),
       col("embedding").as("e2"), col("nrm").as("n2"))
-    a.join(b, Seq("bucket")).where(col("d1") < col("d2"))
+    val joined = if (hot.isEmpty) a0.join(b0, Seq("bucket"))
+      else {
+        // nb per bucket as a literal lookup (≤ 2^nPlanes entries)
+        def nbExpr: Column = coalesce(element_at(
+          map(hot.flatMap { case (bk, nb) => Seq(lit(bk), lit(nb)) }: _*),
+          col("bucket")), lit(1L))
+        val a = a0.withColumn("blk",
+          explode(sequence(lit(0L), nbExpr - 1L)))
+        val b = b0.withColumn("blk",
+          pmod(xxhash64(col("d2")), nbExpr))
+        a.join(b, Seq("bucket", "blk"))
+      }
+    val result = joined
+      .where(col("d1") < col("d2"))
       .withColumn("dot_e8", expr("dot_e8(e1, e2)"))
       // zero-norm guard inside the expression (see semanticDedup):
       // under ANSI the 0-denominator division throws; the when() keeps
@@ -485,6 +552,8 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), col("bucket"), col("dot_e8"),
         col("cosine"))
+    CacheLifecycle.unpersistAfterFirstUse(result, withBucket)
+    result
   }
 
   /** Embedding-space benchmark DECONTAMINATION — the semantic sibling

@@ -798,7 +798,19 @@ object TextStats {
     // so its bigram model is broadcast-sized by construction, and the
     // unhinted join planned a SortMergeJoin that sorted+shuffled the
     // full corpus model for it (visible in the r17 before-plan).
-    val stats = mC.join(broadcast(mT), Seq("b"), "left")
+    // SIZE-GATED (r18, ADVICE): a caller passing a non-small target
+    // would hit the 8 GB broadcast cap / driver OOM where the old
+    // shuffled join handled any size — fall back to the unhinted join
+    // when the target INPUT's estimated bytes exceed the gate (the
+    // model aggregate is never larger than its input). Results are
+    // identical either way; only the join strategy moves.
+    val tMaxBytes = target.sparkSession.conf
+      .get("graft.broadcastModel.maxBytes", (256L << 20).toString).toLong
+    val tSmall = target.queryExecution.optimizedPlan.stats.sizeInBytes
+      .isValidLong &&
+      target.queryExecution.optimizedPlan.stats.sizeInBytes <= tMaxBytes
+    val mTSide = if (tSmall) broadcast(mT) else mT
+    val stats = mC.join(mTSide, Seq("b"), "left")
       .select(col("b"), col("bi_c"),
         coalesce(expr(s"(bi_t * u_c * ${scale}L) div (bi_c * u_t)"),
           lit(0L)).as("r"))

@@ -68,6 +68,32 @@ class StressSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  /** Bounded re-measure for WALL-CLOCK ratio assertions (r18, the r17
+    * driver flake): a shared container's load spike can stretch one
+    * timing draw past any honest bound — one draw is not evidence of a
+    * structural regression. Re-measuring is: the documented bug
+    * signatures these ratios guard (lost gate cache, lost exchange
+    * reuse, quadratic blowup) reproduce on EVERY draw at well past the
+    * bound, so `attempts` consecutive failures still fail the suite
+    * with the last measurement in the message, while an isolated spike
+    * passes on re-draw. Bounds are NOT widened — detection power is
+    * unchanged; only single-draw variance is retired. */
+  private def retriedRatioAssert(attempts: Int)(measureAndAssert: => Unit)
+      : Unit = {
+    var n = 0
+    var passed = false
+    while (!passed) {
+      n += 1
+      try { measureAndAssert; passed = true }
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException
+            if n < attempts =>
+          info(s"wall-clock ratio over bound (attempt $n/$attempts), " +
+            s"re-measuring: ${e.getMessage}")
+      }
+    }
+  }
+
   /** The heaviest shuffle stage must spread its reads: max per-task
     * records ≤ 2× the mean over that stage's tasks. */
   private def assertBalanced(reads: Map[Int, Seq[Long]],
@@ -305,40 +331,46 @@ class StressSpec extends AnyFunSuite {
         sec
       }
       val plainRes = consume(toks.join(freq, "tok"))
-      val plain = best("plain uniform join")(consume(toks.join(freq, "tok")))
-      val salted = best(s"salted($buckets) uniform join")(
-        consume(SkewOps.saltedJoin(toks, freq, "tok", "doc_id", buckets)))
-      val salted64 = best("salted(64) uniform join")(
-        consume(SkewOps.saltedJoin(toks, freq, "tok", "doc_id", 64)))
-      val gated = best(s"gated($buckets) uniform join")(
-        consume(SkewOps.hotSaltedJoin(toks, freq, "tok", "doc_id",
-          buckets, "freq")))
       // value parity on top of the timing
       assert(consume(SkewOps.saltedJoin(toks, freq, "tok", "doc_id",
         buckets)) == plainRes)
       assert(consume(SkewOps.hotSaltedJoin(toks, freq, "tok", "doc_id",
         buckets, "freq")) == plainRes)
-      val ratio = salted / plain
-      val ratio64 = salted64 / plain
-      val ratioG = gated / plain
-      info(f"flat-cost ratio: salted($buckets)/plain = $ratio%.2f, " +
-        f"salted(64)/plain = $ratio64%.2f, GATED/plain = $ratioG%.2f")
-      // the documented claim is "noise next to the postings"; allow
-      // generous host noise but fail if the insurance turns structural
-      assert(ratio < 3.0,
-        f"salted join costs $ratio%.2fx plain on a skew-free corpus")
-      // the GATE is what production paths use now: a uniform corpus
-      // has an empty hot set, so its cost must track the plain join
-      // (the round-8 1.25–2.65× insurance is exactly what this
-      // retires). The timed calls after the warm-up replay the
-      // MEMOIZED gate decision (SkewOps.gateCache — the repeat-call
-      // path every production pipeline takes), so this prices
-      // gated≈plain directly; the one-off cold gate's 1.3–1.4×
-      // serialized-aggregate latency is paid once per corpus at
-      // construction. A structural regression (losing the cache or
-      // exchange reuse) lands well past 2
-      assert(ratioG < 2.0,
-        f"gated join costs $ratioG%.2fx plain on a skew-free corpus")
+      // the whole measurement (all four variants) re-draws on a bound
+      // miss so both sides of each ratio come from ONE load window —
+      // retrying only the failing side would compare across windows
+      retriedRatioAssert(3) {
+        val plain = best("plain uniform join")(
+          consume(toks.join(freq, "tok")))
+        val salted = best(s"salted($buckets) uniform join")(
+          consume(SkewOps.saltedJoin(toks, freq, "tok", "doc_id", buckets)))
+        val salted64 = best("salted(64) uniform join")(
+          consume(SkewOps.saltedJoin(toks, freq, "tok", "doc_id", 64)))
+        val gated = best(s"gated($buckets) uniform join")(
+          consume(SkewOps.hotSaltedJoin(toks, freq, "tok", "doc_id",
+            buckets, "freq")))
+        val ratio = salted / plain
+        val ratio64 = salted64 / plain
+        val ratioG = gated / plain
+        info(f"flat-cost ratio: salted($buckets)/plain = $ratio%.2f, " +
+          f"salted(64)/plain = $ratio64%.2f, GATED/plain = $ratioG%.2f")
+        // the documented claim is "noise next to the postings"; allow
+        // generous host noise but fail if the insurance turns structural
+        assert(ratio < 3.0,
+          f"salted join costs $ratio%.2fx plain on a skew-free corpus")
+        // the GATE is what production paths use now: a uniform corpus
+        // has an empty hot set, so its cost must track the plain join
+        // (the round-8 1.25–2.65× insurance is exactly what this
+        // retires). The timed calls after the warm-up replay the
+        // MEMOIZED gate decision (SkewOps.gateCache — the repeat-call
+        // path every production pipeline takes), so this prices
+        // gated≈plain directly; the one-off cold gate's 1.3–1.4×
+        // serialized-aggregate latency is paid once per corpus at
+        // construction. A structural regression (losing the cache or
+        // exchange reuse) lands well past 2
+        assert(ratioG < 2.0,
+          f"gated join costs $ratioG%.2fx plain on a skew-free corpus")
+      }
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
@@ -748,20 +780,22 @@ class StressSpec extends AnyFunSuite {
       (survivors, sec)
     }
     run(1500L) // warm codegen/JIT so the ratio measures execution
-    val (s1, t1) = run(1500L)
-    val (s10, t10) = run(15000L)
-    timings += "dedup scale 1x" -> t1
-    timings += "dedup scale 10x" -> t10
-    info(f"dedup 1×: $t1%.2f s ($s1 survivors), 10×: $t10%.2f s ($s10)")
-    // one keeper per 10-doc group when LSH finds the cluster; allow
-    // slack for pairs a 16-perm signature misses
-    assert(s1 >= 150L && s1 <= 300L, s"unexpected survivor count $s1")
-    assert(s10 >= 1500L && s10 <= 3000L, s"unexpected survivor count $s10")
-    // sub-quadratic: 10× data in well under quadratic's 100× time
-    // (generous bound — a shared CI-ish host jitters small runs)
-    val ratio = t10 / math.max(t1, 0.5)
-    assert(ratio < 30.0,
-      f"dedup did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+    retriedRatioAssert(2) {
+      val (s1, t1) = run(1500L)
+      val (s10, t10) = run(15000L)
+      timings += "dedup scale 1x" -> t1
+      timings += "dedup scale 10x" -> t10
+      info(f"dedup 1×: $t1%.2f s ($s1 survivors), 10×: $t10%.2f s ($s10)")
+      // one keeper per 10-doc group when LSH finds the cluster; allow
+      // slack for pairs a 16-perm signature misses
+      assert(s1 >= 150L && s1 <= 300L, s"unexpected survivor count $s1")
+      assert(s10 >= 1500L && s10 <= 3000L, s"unexpected survivor count $s10")
+      // sub-quadratic: 10× data in well under quadratic's 100× time
+      // (generous bound — a shared CI-ish host jitters small runs)
+      val ratio = t10 / math.max(t1, 0.5)
+      assert(ratio < 30.0,
+        f"dedup did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+    }
   }
 
   test("stress: blockedJaccard REFUSES a pathological oversized block " +
@@ -814,16 +848,18 @@ class StressSpec extends AnyFunSuite {
       (rows, sec)
     }
     run(20000L) // warm
-    val (r1, t1) = run(20000L)
-    val (r10, t10) = run(200000L)
-    timings += "ivf scale 1x" -> t1
-    timings += "ivf scale 10x" -> t10
-    info(f"ivf 1×: $t1%.2f s ($r1 rows), 10×: $t10%.2f s ($r10 rows)")
-    // every query fills its top-k from ~n/32-deep probed cells
-    assert(r1 == 100L && r10 == 100L)
-    val ratio = t10 / math.max(t1, 0.5)
-    assert(ratio < 30.0,
-      f"ivf did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+    retriedRatioAssert(2) {
+      val (r1, t1) = run(20000L)
+      val (r10, t10) = run(200000L)
+      timings += "ivf scale 1x" -> t1
+      timings += "ivf scale 10x" -> t10
+      info(f"ivf 1×: $t1%.2f s ($r1 rows), 10×: $t10%.2f s ($r10 rows)")
+      // every query fills its top-k from ~n/32-deep probed cells
+      assert(r1 == 100L && r10 == 100L)
+      val ratio = t10 / math.max(t1, 0.5)
+      assert(ratio < 30.0,
+        f"ivf did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+    }
   }
 
   test("stress: BM25 retrieval scales ~linearly over a 10× corpus " +
@@ -853,16 +889,17 @@ class StressSpec extends AnyFunSuite {
       (rows, sec)
     }
     run(30000L) // warm
-    val (r1, t1) = run(30000L)
-    val (r10, t10) = run(300000L)
-    queries.unpersist()
-    timings += "bm25 scale 1x" -> t1
-    timings += "bm25 scale 10x" -> t10
-    info(f"bm25 1×: $t1%.2f s ($r1 rows), 10×: $t10%.2f s ($r10 rows)")
-    assert(r1 == 40L && r10 == 40L) // 8 queries × k=5 at both scales
-    val ratio = t10 / math.max(t1, 0.5)
-    assert(ratio < 30.0,
-      f"bm25 did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+    try retriedRatioAssert(2) {
+      val (r1, t1) = run(30000L)
+      val (r10, t10) = run(300000L)
+      timings += "bm25 scale 1x" -> t1
+      timings += "bm25 scale 10x" -> t10
+      info(f"bm25 1×: $t1%.2f s ($r1 rows), 10×: $t10%.2f s ($r10 rows)")
+      assert(r1 == 40L && r10 == 40L) // 8 queries × k=5 at both scales
+      val ratio = t10 / math.max(t1, 0.5)
+      assert(ratio < 30.0,
+        f"bm25 did not scale: 1×=$t1%.2f s, 10×=$t10%.2f s (${ratio}%.1f×)")
+    } finally queries.unpersist()
   }
 
   test("stress timings summary") {

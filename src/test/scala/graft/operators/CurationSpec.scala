@@ -275,6 +275,35 @@ class CurationSpec extends AnyFunSuite {
     assert(r.orderBy("rank").collect().map(_.getLong(2)).toSeq == Seq(2L, 1L))
   }
 
+  test("prune-before-aggregate branch (graft.retrieval.selectiveQueries) " +
+    "is bit-identical to the default for both scorers") {
+    // the r18 selectivity gate: join∘distinct ≡ distinct∘join on the
+    // aggregate's own key, so both plan orders must produce the same
+    // rows — including docs with repeated tokens (tf must survive the
+    // reorder) and tokens outside the query vocabulary (pruned either
+    // way). The corpus mixes both.
+    val corpus = Seq(
+      (1L, "q q q x rare"),
+      (2L, "q y y z"),
+      (3L, "rare z z q"),
+      (4L, "none of these match"))
+      .toDF("doc_id", "text")
+    val queries = Seq((9L, "q rare"), (8L, "z")).toDF("query_id", "text")
+    def collectAll(scorer: String) = (scorer match {
+      case "lexical" => Retrieval.lexicalTopK(corpus, queries, k = 5)
+      case _ => Retrieval.bm25TopK(corpus, queries, k = 5)
+    }).orderBy("query_id", "rank").collect().toSeq
+    for (scorer <- Seq("lexical", "bm25")) {
+      val dflt = collectAll(scorer)
+      spark.conf.set("graft.retrieval.selectiveQueries", "true")
+      try {
+        val pruned = collectAll(scorer)
+        assert(pruned == dflt,
+          s"$scorer branches diverge:\n default=$dflt\n pruned=$pruned")
+      } finally spark.conf.unset("graft.retrieval.selectiveQueries")
+    }
+  }
+
   test("mineHardNegatives drops near-duplicate positives, keeps and " +
     "re-ranks the true negatives, and releases both caches") {
     // doc 10 is the query; doc 11 is a shifted near-copy (token-set

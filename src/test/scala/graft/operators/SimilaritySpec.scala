@@ -447,6 +447,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head.getDouble(4) > 0.99 && r.head.getDouble(4) <= 1.0 + 1e-9)
   }
 
+  test("cosineNearDups hot-bucket sub-blocking is pair-set-identical " +
+    "to the plain bucket self-join") {
+    // 40 near-parallel vectors land in ONE bucket; maxBlock = 3 forces
+    // the hot branch (gate collects the bucket, nb = ceil(40/3) = 14,
+    // the d1 side replicates across 14 blocks) — every same-bucket
+    // pair must still meet exactly once, so the two branches return
+    // identical pair sets. Also pins gate memoization invalidation via
+    // clearHotBucketCache.
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => 1.0f + (i * 8 + j) % 7 * 1e-3f))
+    }.toDF("vec_id", "embedding")
+    def pairs(mb: Int) = {
+      Similarity.clearHotBucketCache()
+      Similarity.cosineNearDups(emb, threshold = 0.9, nPlanes = 4,
+        dim = 8, maxBlock = mb)
+        .orderBy("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+        .toSeq
+    }
+    val plain = pairs(100000) // no bucket over the cap → plain branch
+    val split = pairs(3)      // every 40-row bucket splits 14 ways
+    assert(plain.nonEmpty, "fixture produced no near-dup pairs")
+    assert(split == plain,
+      s"sub-blocked branch diverges: plain=${plain.size} rows, " +
+        s"split=${split.size} rows")
+  }
+
   test("labelStats aggregates exact quantized sums per label") {
     val emb = Seq((0L, Array(0.5f, -0.5f), 1), (1L, Array(0.25f, 0.75f), 1),
       (2L, Array(1.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
