@@ -1525,6 +1525,14 @@ object PipelineQueries {
         .select((col("doc_id") + 5000000L).as("doc_id"),
           array_join(reverse(split(col("text"), " ")), " ").as("text")))
 
+  // NOTE (r18, measured and REVERTED): persisting `base` here (it is
+  // read 5× — the corpus digest+band passes plus incBatch's three
+  // filtered legs) benched p28 1.28× SLOWER in a same-window
+  // order-alternating A/B (1.21 → 1.55/1.65 s, controls flat): the
+  // cache round-trip costs more than the re-scans, and the scale
+  // argument is weak — three of the five readers are ~8%-selectivity
+  // slices (%40/%30/%35), so a full-text cache write outweighs the
+  // pruned parquet re-reads it saves. Same verdict for p36.
   private def p28(s: SparkSession, dir: String): DataFrame = {
     val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
     Dedup.incrementalDedup(incBatch(base), base, s).orderBy(col("doc_id"))
@@ -1558,6 +1566,9 @@ object PipelineQueries {
     * hash-pinned against the oracle — not just parity-tested against
     * the two-frame form. Same oracle SQL as p28 by construction: the
     * state round-trip must be semantically invisible. */
+  // NOTE (r18): a gated `base` persist (5 readers, as in p28) was
+  // measured flat here (1.02× in the same A/B) and reverted with p28 —
+  // see p28's NOTE for the numbers and the scale rationale.
   private def p36(s: SparkSession, dir: String): DataFrame = {
     val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
     val rootPath = java.nio.file.Files

@@ -111,6 +111,24 @@ private[graft] object CacheLifecycle {
   def unpersistAfterFirstUse(result: DataFrame, cached: Dataset[_]): Unit =
     releaseAfterFirstUse(result)(() => cached.unpersist(blocking = false))
 
+  /** Persist a TEXT-BEARING frame with a size-gated storage level: a
+    * deserialized in-memory copy of corpus text competes with execution
+    * memory at scale, so past `graft.cache.textMemMaxBytes` (input-size
+    * estimate, default 4 GiB) the cache goes DISK_ONLY — still one
+    * compute pass instead of N, read back off sequential local disk.
+    * Small (bench-scale) inputs keep MEMORY_AND_DISK and their plans/
+    * timings. The same gate stripBoilerplate shipped with in r18;
+    * factored here for the other multi-consumer text frames. */
+  def persistTextGated(df: DataFrame): DataFrame = {
+    val maxMem = df.sparkSession.conf
+      .get("graft.cache.textMemMaxBytes", (4L << 30).toString).toLong
+    val level =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxMem)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.DISK_ONLY
+    df.persist(level)
+  }
+
   /** The general form: run `release` once, after the first completed
     * query containing `result`'s plan — for resources that are not a
     * single Dataset's persist (e.g. a PeriodCache holding one

@@ -730,16 +730,27 @@ object Dedup {
     * winner table (one row per cluster) broadcasts back. Zero
     * corpus-sized shuffles, no windows. */
   def bestQualityKeep(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    // members persisted (r18): it feeds BOTH the per-cluster argmax
+    // (the broadcast build side) and the final audit join — unpersisted
+    // the `quality` subtree ran twice per materialization, and quality
+    // is typically a FULL-CORPUS classifier pass (the r17 p65 plan
+    // shows the classifierScore scan+projection as two identical legs).
+    // The cached frame is thin — (doc_id, margin, cluster_id), cluster
+    // MEMBERS only after the inner join — and is released by the
+    // one-shot listener at the result's first materialization.
     val members = quality.select(col("doc_id"), col("margin"))
       .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
         Seq("doc_id"))
+      .persist()
     val best = members.groupBy(col("cluster_id"))
       .agg(max(struct(col("margin"), (-col("doc_id")).as("nd"))).as("b"))
       .select(col("cluster_id"), col("b.margin").as("best_margin"),
         (-col("b.nd")).as("keep_id"))
-    members.join(broadcast(best), Seq("cluster_id"))
+    val result = members.join(broadcast(best), Seq("cluster_id"))
       .select(col("cluster_id"), col("doc_id"), col("margin"),
         col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"))
+    CacheLifecycle.unpersistAfterFirstUse(result, members)
+    result
   }
 
   /** Incremental dedup: admit only the docs of a NEW batch that are

@@ -189,8 +189,18 @@ object Retrieval {
     require(scale > 0, s"scale must be positive, got $scale")
     // qt persisted for the same two-reader reason as [[lexicalTopK]]
     val qt = queryTokens(queries).persist()
-    val result = bm25TopKImpl(corpus, qt, k, scale)
+    // corpus persisted (r18): BM25 reads the corpus TWICE — the
+    // postings explode and the (N, Σdl) stats pass — each previously a
+    // full parquet scan + any upstream union/transform. One cached
+    // (doc_id, text) projection feeds both; text-bearing, so the
+    // storage level is size-gated (DISK_ONLY past
+    // graft.cache.textMemMaxBytes). Released after the result's first
+    // materialization.
+    val c = CacheLifecycle.persistTextGated(
+      corpus.select(col("doc_id"), col("text")))
+    val result = bm25TopKImpl(c, qt, k, scale)
     CacheLifecycle.unpersistAfterFirstUse(result, qt)
+    CacheLifecycle.unpersistAfterFirstUse(result, c)
     result
   }
 
@@ -288,13 +298,22 @@ object Retrieval {
     // times per call (twice inside the scorer, once for qset), each a
     // full corpus-file pass when queries are a filtered corpus slice
     val qt = queryTokens(queries).persist()
+    // corpus persisted (r18): the mining chain reads the corpus once
+    // or twice inside the scorer (postings; + the BM25 stats pass) and
+    // ONCE MORE for the candidate-text fetch (`dset`) — each previously
+    // a full parquet scan + upstream union/transform. One cached
+    // (doc_id, text) projection feeds every leg; size-gated storage
+    // level as in [[bm25TopK]]; released after the result's first
+    // materialization.
+    val c = CacheLifecycle.persistTextGated(
+      corpus.select(col("doc_id"), col("text")))
     // Q×k rows, referenced three times below (candidate rows, the
     // semi-join key set, the gate) — persist so retrieval runs once.
     // `scorer` picks the retrieval stage: "lexical" (flat rarity sum)
     // or "bm25" — the DPR-standard combo is BM25 candidates + a
     // positive gate; everything downstream is scorer-agnostic.
-    val cand = (if (scorer == "lexical") lexicalTopKImpl(corpus, qt, k, scale)
-      else bm25TopKImpl(corpus, qt, k, scale)).persist()
+    val cand = (if (scorer == "lexical") lexicalTopKImpl(c, qt, k, scale)
+      else bm25TopKImpl(c, qt, k, scale)).persist()
     // the SAME tokenizer as the scorers: empty tokens from doubled
     // separators are dropped — counting '' as a gate token inflates
     // both set sizes, deflating Jaccard, so a near-duplicate positive
@@ -310,7 +329,7 @@ object Retrieval {
     // cannot appear in cand and the inner gate join drops nothing.
     val qset = qt.groupBy(col("query_id"))
       .agg(collect_list(col("w")).as("qs"))
-    val dset = corpus
+    val dset = c
       .join(broadcast(cand.select(col("doc_id")).distinct()), Seq("doc_id"),
         "left_semi")
       .select(col("doc_id"), nonEmptyTokens.as("ds"))
@@ -328,6 +347,7 @@ object Retrieval {
         col("col._2").as("doc_id"), (-col("col._1")).as("score"))
     CacheLifecycle.unpersistAfterFirstUse(result, cand)
     CacheLifecycle.unpersistAfterFirstUse(result, qt)
+    CacheLifecycle.unpersistAfterFirstUse(result, c)
     result
   }
 }

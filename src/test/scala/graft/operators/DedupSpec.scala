@@ -396,6 +396,27 @@ class DedupSpec extends AnyFunSuite {
       s"expected broadcast joins:\n$plan")
   }
 
+  test("bestQualityKeep releases its members cache after first " +
+    "materialization") {
+    // r18: `members` (quality ⋈ clusters) is persisted so the quality
+    // frame — a full-corpus classifier pass for real callers — is
+    // computed ONCE instead of once per consumer (argmax + audit join);
+    // the one-shot listener must drain the cache after the result's
+    // first materialization.
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 0L)).toDF("doc_id", "margin")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Dedup.bestQualityKeep(clusters, quality)
+    assert(r.count() == 2)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"members cache still pinned: $leaked")
+    // a second materialization recomputes and still answers correctly
+    assert(r.orderBy("doc_id").collect().map(_.getBoolean(4)).toSeq ==
+      Seq(false, true))
+  }
+
   test("incrementalDedup: batch deduped against corpus, novel docs pass") {
     val existing = docs // 0≡1, 2, 3
     val batch = Seq(
