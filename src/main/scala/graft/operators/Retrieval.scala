@@ -189,18 +189,19 @@ object Retrieval {
     require(scale > 0, s"scale must be positive, got $scale")
     // qt persisted for the same two-reader reason as [[lexicalTopK]]
     val qt = queryTokens(queries).persist()
-    // corpus persisted (r18): BM25 reads the corpus TWICE — the
-    // postings explode and the (N, Σdl) stats pass — each previously a
-    // full parquet scan + any upstream union/transform. One cached
-    // (doc_id, text) projection feeds both; text-bearing, so the
-    // storage level is size-gated (DISK_ONLY past
-    // graft.cache.textMemMaxBytes). Released after the result's first
-    // materialization.
-    val c = CacheLifecycle.persistTextGated(
-      corpus.select(col("doc_id"), col("text")))
-    val result = bm25TopKImpl(c, qt, k, scale)
+    // NOTE (r18, measured and REVERTED here, KEPT in
+    // [[mineHardNegatives]]): persisting a (doc_id, text) corpus
+    // projection across this operator's TWO corpus readers (postings
+    // explode + the stats pass) benched p72 1.08× raw / ~1.15×
+    // control-adjusted SLOWER at sf1 (flat at sf0.1) — a wide-string
+    // cache scan materializes objects outside whole-stage codegen
+    // while the re-scan it saves runs fused over the vectorized
+    // parquet reader (the r14 p04 lesson). With mineHardNegatives'
+    // THIRD reader (the candidate-text fetch) the same persist wins
+    // big (p74 0.69×/0.79× at sf0.1/sf1), so the trade flips at three
+    // full-corpus readers, not two.
+    val result = bm25TopKImpl(corpus, qt, k, scale)
     CacheLifecycle.unpersistAfterFirstUse(result, qt)
-    CacheLifecycle.unpersistAfterFirstUse(result, c)
     result
   }
 
