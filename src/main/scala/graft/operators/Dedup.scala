@@ -730,18 +730,32 @@ object Dedup {
     * winner table (one row per cluster) broadcasts back. Zero
     * corpus-sized shuffles, no windows. */
   def bestQualityKeep(clusters: DataFrame, quality: DataFrame): DataFrame = {
-    // members persisted (r18): it feeds BOTH the per-cluster argmax
-    // (the broadcast build side) and the final audit join — unpersisted
-    // the `quality` subtree ran twice per materialization, and quality
-    // is typically a FULL-CORPUS classifier pass (the r17 p65 plan
-    // shows the classifierScore scan+projection as two identical legs).
-    // The cached frame is thin — (doc_id, margin, cluster_id), cluster
-    // MEMBERS only after the inner join — and is released by the
-    // one-shot listener at the result's first materialization.
-    val members = quality.select(col("doc_id"), col("margin"))
+    // members feeds BOTH the per-cluster argmax (the broadcast build
+    // side) and the final audit join — unpersisted the `quality`
+    // subtree runs twice per materialization, and quality is typically
+    // a FULL-CORPUS classifier pass (the r17 p65 plan shows the
+    // classifierScore scan+projection as two identical legs). The
+    // persist is SIZE-GATED on the quality input's estimated bytes
+    // (`graft.cache.membersPersistMinBytes`, default 1 GiB): an r18
+    // same-window A/B ladder measured the cache round-trip at 1.3–1.4×
+    // control-normalized on p65 at sf0.1 (legs 4.90/3.17/5.34/2.45 s
+    // persist/no/persist/no against p20+p33 controls) — at small
+    // inputs the fused re-scan is cheaper than the cache machinery,
+    // while past the gate the persist removes one full corpus
+    // classifier pass. Same provably-small-else-assume-large logic as
+    // importanceWeights' broadcast gate; results identical either way
+    // (the cached frame is thin: doc_id, margin, cluster_id — cluster
+    // MEMBERS only after the inner join), released by the one-shot
+    // listener at the result's first materialization.
+    val minBytes = quality.sparkSession.conf
+      .get("graft.cache.membersPersistMinBytes", (1L << 30).toString)
+      .toLong
+    val qStats = quality.queryExecution.optimizedPlan.stats.sizeInBytes
+    val qSmall = qStats.isValidLong && qStats <= minBytes
+    val membersBase = quality.select(col("doc_id"), col("margin"))
       .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
         Seq("doc_id"))
-      .persist()
+    val members = if (qSmall) membersBase else membersBase.persist()
     val best = members.groupBy(col("cluster_id"))
       .agg(max(struct(col("margin"), (-col("doc_id")).as("nd"))).as("b"))
       .select(col("cluster_id"), col("b.margin").as("best_margin"),
@@ -749,7 +763,7 @@ object Dedup {
     val result = members.join(broadcast(best), Seq("cluster_id"))
       .select(col("cluster_id"), col("doc_id"), col("margin"),
         col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"))
-    CacheLifecycle.unpersistAfterFirstUse(result, members)
+    if (!qSmall) CacheLifecycle.unpersistAfterFirstUse(result, members)
     result
   }
 

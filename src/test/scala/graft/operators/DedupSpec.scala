@@ -397,24 +397,57 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("bestQualityKeep releases its members cache after first " +
-    "materialization") {
-    // r18: `members` (quality ⋈ clusters) is persisted so the quality
-    // frame — a full-corpus classifier pass for real callers — is
-    // computed ONCE instead of once per consumer (argmax + audit join);
-    // the one-shot listener must drain the cache after the result's
-    // first materialization.
+    "materialization (persist branch forced past the size gate)") {
+    // r18: `members` (quality ⋈ clusters) is persisted — size-gated on
+    // the quality input's estimated bytes — so the quality frame, a
+    // full-corpus classifier pass for real callers, is computed ONCE
+    // instead of once per consumer (argmax + audit join); the one-shot
+    // listener must drain the cache after the result's first
+    // materialization. Gate forced to 0 here so the tiny fixture takes
+    // the at-scale persist branch.
     val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
     val quality = Seq((1L, 5L), (2L, 9L), (3L, 0L)).toDF("doc_id", "margin")
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val r = Dedup.bestQualityKeep(clusters, quality)
-    assert(r.count() == 2)
-    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(leaked.isEmpty, s"members cache still pinned: $leaked")
-    // a second materialization recomputes and still answers correctly
-    assert(r.orderBy("doc_id").collect().map(_.getBoolean(4)).toSeq ==
-      Seq(false, true))
+    spark.conf.set("graft.cache.membersPersistMinBytes", "0")
+    try {
+      val r = Dedup.bestQualityKeep(clusters, quality)
+      // persist() registers with the cache manager synchronously —
+      // getPersistentRDDs would only show it after materialization
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "gate=0 must take the persist branch")
+      assert(r.count() == 2)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      while (leaked.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(leaked.isEmpty, s"members cache still pinned: $leaked")
+      // a second materialization recomputes and still answers correctly
+      assert(r.orderBy("doc_id").collect().map(_.getBoolean(4)).toSeq ==
+        Seq(false, true))
+    } finally spark.conf.unset("graft.cache.membersPersistMinBytes")
+  }
+
+  test("bestQualityKeep size gate: a provably-small quality input " +
+    "skips the persist and both branches agree") {
+    // The r18 session-3 A/B measured the members cache round-trip at
+    // 1.3–1.4× control-normalized on p65 at sf0.1 — below the gate the
+    // fused re-scan is cheaper, so small inputs must NOT persist, and
+    // the branch choice must be result-invisible.
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (7L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, -3L), (2L, 8L), (5L, 0L), (7L, 0L), (99L, 4L))
+      .toDF("doc_id", "margin")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val gated = Dedup.bestQualityKeep(clusters, quality)
+      .orderBy("cluster_id", "doc_id").collect().toSeq
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "a tiny in-memory quality frame must take the no-persist branch")
+    spark.conf.set("graft.cache.membersPersistMinBytes", "0")
+    val forced =
+      try Dedup.bestQualityKeep(clusters, quality)
+        .orderBy("cluster_id", "doc_id").collect().toSeq
+      finally spark.conf.unset("graft.cache.membersPersistMinBytes")
+    assert(gated == forced, "persist gate changed the result set")
   }
 
   test("incrementalDedup: batch deduped against corpus, novel docs pass") {
